@@ -1,0 +1,21 @@
+"""Model zoo: functional decoder-only transformers + param transforms."""
+
+from .configs import (  # noqa: F401
+    LLAMA2_7B,
+    LLAMA3_8B,
+    LLAMA3_70B,
+    NAMED_CONFIGS,
+    OPT_125M,
+    TINY_LLAMA,
+    TINY_OPT,
+    ModelConfig,
+)
+from .params import init_params, quantize_model_rtn, linear_names  # noqa: F401
+from .transformer import (  # noqa: F401
+    NO_QUANT,
+    RuntimeQuantConfig,
+    decode_step,
+    forward_hidden,
+    forward_logits,
+    init_kv_cache,
+)

@@ -1,0 +1,136 @@
+"""Model architecture configs.
+
+One typed config object replaces the reference's per-driver argparse sprawl
+(`/root/reference/main.py:205-277`; SURVEY.md §5 "Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Decoder-only transformer architecture description.
+
+    Covers Llama-2/3 (GQA, RoPE, SwiGLU, RMSNorm) and OPT (learned positions,
+    ReLU MLP, LayerNorm, absolute pos offset) via `arch`.
+    """
+
+    arch: str = "llama"  # "llama" | "opt"
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 8192
+    rope_theta: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    # OPT specifics
+    do_layer_norm_before: bool = True
+    activation: str = "silu"  # "silu" (llama) | "relu" (opt)
+    # numerics
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @property
+    def kv_repeat(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+# ---------------------------------------------------------------------------
+# Named configs (shapes from the HF model cards; the reference loads these
+# through transformers AutoModel — `/root/reference/models/LMClass.py:40-43`).
+# ---------------------------------------------------------------------------
+
+LLAMA3_8B = ModelConfig(
+    arch="llama",
+    vocab_size=128256,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    rope_theta=500000.0,
+    max_position_embeddings=8192,
+)
+
+LLAMA3_70B = ModelConfig(
+    arch="llama",
+    vocab_size=128256,
+    hidden_size=8192,
+    intermediate_size=28672,
+    num_layers=80,
+    num_heads=64,
+    num_kv_heads=8,
+    rope_theta=500000.0,
+    max_position_embeddings=8192,
+)
+
+LLAMA2_7B = ModelConfig(
+    arch="llama",
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=11008,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=32,
+    rope_theta=10000.0,
+    max_position_embeddings=4096,
+    rms_norm_eps=1e-5,
+)
+
+OPT_125M = ModelConfig(
+    arch="opt",
+    vocab_size=50272,
+    hidden_size=768,
+    intermediate_size=3072,
+    num_layers=12,
+    num_heads=12,
+    num_kv_heads=12,
+    max_position_embeddings=2048,
+    activation="relu",
+    tie_word_embeddings=True,
+)
+
+#: Tiny llama-shaped config for CPU tests (random init, real code paths).
+TINY_LLAMA = ModelConfig(
+    arch="llama",
+    vocab_size=512,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    rope_theta=10000.0,
+    max_position_embeddings=256,
+)
+
+TINY_OPT = ModelConfig(
+    arch="opt",
+    vocab_size=512,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=4,
+    max_position_embeddings=256,
+    activation="relu",
+    tie_word_embeddings=True,
+)
+
+NAMED_CONFIGS = {
+    "llama3-8b": LLAMA3_8B,
+    "llama3-70b": LLAMA3_70B,
+    "llama2-7b": LLAMA2_7B,
+    "opt-125m": OPT_125M,
+    "tiny-llama": TINY_LLAMA,
+    "tiny-opt": TINY_OPT,
+}

@@ -1,0 +1,331 @@
+"""Functional decoder-only transformer (Llama-3 / OPT families).
+
+TPU-first re-design of the reference's quantized HF module trees
+(`/root/reference/models/int_llama_layer.py`, `int_opt_layer.py`): instead of
+swapping nn.Modules, the model is a pure function over a parameter pytree in
+which any linear weight may be a `jax.Array` (fp) or a `QuantizedTensor`
+(real-quant). Activation/KV quantization behavior is carried by a static
+`RuntimeQuantConfig` so the whole forward jits to one XLA program.
+
+Key TPU idioms (vs the reference's eager loops):
+- layers are *stacked* along a leading axis and executed with `lax.scan`
+  (one compiled layer body regardless of depth);
+- the full-sequence path materializes no python-level per-layer state;
+- decode uses a preallocated KV ring buffer updated with
+  `lax.dynamic_update_slice` — not the reference's `torch.cat` concat
+  anti-pattern (`int_llama_layer.py:130-135`);
+- softmax in fp32, matmuls in bf16 with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.matmul import qlinear
+from ..quant.quantizer import QuantSpec, fake_quant_dynamic
+from .configs import ModelConfig
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeQuantConfig:
+    """Static activation/attention quantization switches.
+
+    Mirrors the six quantizer-param dicts the reference assembles at
+    `main.py:317-353` (weight / act / q / k / v / p): weight quantization is
+    a *storage* property (QuantizedTensor in the pytree), the rest are
+    runtime fake-quant hooks.
+    """
+
+    act: Optional[QuantSpec] = None  # linear-layer inputs
+    q: Optional[QuantSpec] = None  # query before QK^T
+    k: Optional[QuantSpec] = None  # key before QK^T
+    v: Optional[QuantSpec] = None  # value before PV
+    p: Optional[QuantSpec] = None  # softmax probs before PV (metric fix0to1)
+
+    @staticmethod
+    def off() -> "RuntimeQuantConfig":
+        return RuntimeQuantConfig()
+
+
+NO_QUANT = RuntimeQuantConfig.off()
+
+
+def _maybe_fq(x: jax.Array, spec: Optional[QuantSpec]) -> jax.Array:
+    if spec is None or not spec.enabled:
+        return x
+    return fake_quant_dynamic(x, spec)
+
+
+# ---------------------------------------------------------------------------
+# Norms — functional versions of OmniLayerNorm / OmniLlamaRMSNorm
+# (`/root/reference/quant/omni_norm.py:11-63`): fp32 statistics, learnable
+# weight/bias that LET scales can be folded into.
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# RoPE (HF llama convention, so HF checkpoints reproduce bit-compatible
+# scores; cf. reference use of `apply_rotary_pos_emb`,
+# `models/int_llama_layer.py:124-125`).
+# ---------------------------------------------------------------------------
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float, dtype) -> Tuple[jax.Array, jax.Array]:
+    """positions [*, S] -> cos/sin [*, S, head_dim]."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [*, S, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, H, D]; cos/sin: [B or 1, S, D]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[..., None, :] + rotated * sin[..., None, :]
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def _attention(
+    q: jax.Array,  # [B, S, H, D]
+    k: jax.Array,  # [B, T, Hkv, D]
+    v: jax.Array,  # [B, T, Hkv, D]
+    mask: Optional[jax.Array],  # [S, T] additive fp32 mask or None
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig,
+) -> jax.Array:
+    """Eager attention with the reference's quantization hook points: Q/K
+    fake-quant before QK^T, probs/V before PV
+    (`models/int_llama_layer.py:141-163`). GQA via head-group einsum instead
+    of repeat_kv materialization."""
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    rep = h // k.shape[2]
+    q = _maybe_fq(q, rq.q)
+    k = _maybe_fq(k, rq.k)
+    qg = q.reshape(b, s, k.shape[2], rep, d)
+    scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(d).astype(jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    probs = _maybe_fq(probs, rq.p).astype(q.dtype)
+    v = _maybe_fq(v, rq.v)
+    out = jnp.einsum("bgrst,btgd->bsgrd", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(b, s, h, d).astype(q.dtype)
+
+
+def causal_mask(s: int, t: Optional[int] = None, offset: int = 0) -> jax.Array:
+    """Additive causal mask [s, t]; query i attends key j iff j <= i+offset."""
+    t = t or s
+    qi = jnp.arange(s)[:, None] + offset
+    kj = jnp.arange(t)[None, :]
+    return jnp.where(kj <= qi, 0.0, -jnp.inf).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer
+# ---------------------------------------------------------------------------
+
+
+def _attn_block(
+    p: Params,
+    h: jax.Array,
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig,
+    cos_sin: Optional[Tuple[jax.Array, jax.Array]],
+    mask: Optional[jax.Array],
+    kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_pos: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    b, s, _ = h.shape
+    hd = cfg.head_dim_
+    q = qlinear(h, p["q"]["w"], p["q"].get("b"), rq.act).reshape(b, s, cfg.num_heads, hd)
+    k = qlinear(h, p["k"]["w"], p["k"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
+    v = qlinear(h, p["v"]["w"], p["v"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
+    if cos_sin is not None:
+        cos, sin = cos_sin
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    if kv_cache is not None:
+        ck, cv = kv_cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+        k_all, v_all = ck.astype(h.dtype), cv.astype(h.dtype)
+        new_cache = (ck, cv)
+    else:
+        k_all, v_all, new_cache = k, v, None
+    attn = _attention(q, k_all, v_all, mask, cfg, rq)
+    out = qlinear(attn.reshape(b, s, cfg.num_heads * hd), p["o"]["w"], p["o"].get("b"), rq.act)
+    return out, new_cache
+
+
+def _mlp_block(p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig) -> jax.Array:
+    if cfg.arch == "llama":
+        gate = qlinear(h, p["gate"]["w"], p["gate"].get("b"), rq.act)
+        up = qlinear(h, p["up"]["w"], p["up"].get("b"), rq.act)
+        return qlinear(jax.nn.silu(gate) * up, p["down"]["w"], p["down"].get("b"), rq.act)
+    fc1 = qlinear(h, p["fc1"]["w"], p["fc1"].get("b"), rq.act)
+    act = jax.nn.relu(fc1) if cfg.activation == "relu" else jax.nn.gelu(fc1)
+    return qlinear(act, p["fc2"]["w"], p["fc2"].get("b"), rq.act)
+
+
+def decoder_layer(
+    p: Params,
+    h: jax.Array,
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig,
+    cos_sin,
+    mask,
+    kv_cache=None,
+    cache_pos=None,
+):
+    """Pre-norm residual layer (`int_llama_layer.py:213-267`,
+    `int_opt_layer.py:230-347`)."""
+    if cfg.arch == "llama":
+        attn_in = rms_norm(h, p["ln1"]["w"], cfg.rms_norm_eps)
+    else:
+        attn_in = layer_norm(h, p["ln1"]["w"], p["ln1"]["b"], 1e-5)
+    attn_out, new_cache = _attn_block(p, attn_in, cfg, rq, cos_sin, mask, kv_cache, cache_pos)
+    h = h + attn_out
+    if cfg.arch == "llama":
+        mlp_in = rms_norm(h, p["ln2"]["w"], cfg.rms_norm_eps)
+    else:
+        mlp_in = layer_norm(h, p["ln2"]["w"], p["ln2"]["b"], 1e-5)
+    h = h + _mlp_block(p, mlp_in, cfg, rq)
+    return h, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+OPT_POS_OFFSET = 2  # OPT's learned positions are offset by 2 (HF convention)
+
+
+def embed(params: Params, tokens: jax.Array, cfg: ModelConfig, positions: jax.Array) -> jax.Array:
+    h = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.arch == "opt":
+        h = h + jnp.take(params["pos_embed"], positions + OPT_POS_OFFSET, axis=0)
+    return h.astype(jnp.dtype(cfg.dtype))
+
+
+def final_norm(params: Params, h: jax.Array, cfg: ModelConfig) -> jax.Array:
+    if cfg.arch == "llama":
+        return rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
+    return layer_norm(h, params["norm"]["w"], params["norm"]["b"], 1e-5)
+
+
+def lm_head(params: Params, h: jax.Array, cfg: ModelConfig) -> jax.Array:
+    w = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return qlinear(h, w)
+
+
+def forward_hidden(
+    params: Params,
+    tokens: jax.Array,  # [B, S]
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> jax.Array:
+    """Full-sequence causal forward to final hidden states (no lm_head) —
+    the trunk the PPL loop drives (`main.py:127-136`)."""
+    b, s = tokens.shape
+    positions = jnp.arange(s)[None, :]
+    h = embed(params, tokens, cfg, positions)
+    cos_sin = (
+        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+        if cfg.arch == "llama"
+        else None
+    )
+    mask = causal_mask(s)
+
+    def body(h, layer_p):
+        h, _ = decoder_layer(layer_p, h, cfg, rq, cos_sin, mask)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    return final_norm(params, h, cfg)
+
+
+def forward_logits(
+    params: Params,
+    tokens: jax.Array,
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> jax.Array:
+    return lm_head(params, forward_hidden(params, tokens, cfg, rq), cfg)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: ModelConfig, batch: int, max_len: int, dtype=None) -> Dict[str, jax.Array]:
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def decode_step(
+    params: Params,
+    cache: Dict[str, jax.Array],
+    tokens: jax.Array,  # [B, S_step] (S_step=1 for decode, >1 for prefill)
+    pos: jax.Array,  # scalar int32: write offset into the cache
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One prefill/decode step against the preallocated KV cache.
+
+    Returns (logits [B, S_step, V], updated cache)."""
+    b, s = tokens.shape
+    max_len = cache["k"].shape[2]
+    positions = pos + jnp.arange(s)[None, :]
+    h = embed(params, tokens, cfg, positions)
+    cos_sin = (
+        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+        if cfg.arch == "llama"
+        else None
+    )
+    # mask over the whole cache: key j valid iff j <= pos + i (ring not yet
+    # wrapped; long-context wrap handled by the paged variant later)
+    qi = pos + jnp.arange(s)[:, None]
+    kj = jnp.arange(max_len)[None, :]
+    mask = jnp.where(kj <= qi, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def body(h, xs):
+        layer_p, ck, cv = xs
+        h, new_kv = decoder_layer(layer_p, h, cfg, rq, cos_sin, mask, (ck, cv), pos)
+        return h, new_kv
+
+    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+    h = final_norm(params, h, cfg)
+    logits = lm_head(params, h, cfg)
+    return logits, {"k": new_k, "v": new_v}

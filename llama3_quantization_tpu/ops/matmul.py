@@ -1,0 +1,80 @@
+"""Quantized matmul dispatch.
+
+Replaces the reference's `QuantLinear`/`QuantMatMul` modules
+(`/root/reference/quant/int_linear.py:48-65`, `quant/int_matmul.py:31-43`)
+with functions. Two execution backends for quantized weights:
+
+- "xla":    dequantize codes -> bf16 then `x @ W`. XLA fuses the int->float
+            convert + scale into the matmul read; this is the correctness
+            reference and the fallback on CPU.
+- "pallas": fused dequant-matmul TPU kernel (`ops/pallas_qmatmul.py`) that
+            streams packed bytes from HBM and unpacks in VMEM — the TPU
+            equivalent of AutoGPTQ's qlinear_cuda (SURVEY.md §2.6 item 1).
+
+The backend is a process-global knob (not a pytree field) so the same param
+pytree runs anywhere.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.qtensor import QuantizedTensor, dequantize
+from ..quant.quantizer import QuantSpec, fake_quant_dynamic
+
+_BACKEND = "xla"
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(name)
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+@contextlib.contextmanager
+def backend(name: str):
+    global _BACKEND
+    prev = _BACKEND
+    set_backend(name)
+    try:
+        yield
+    finally:
+        _BACKEND = prev
+
+
+def qmatmul(x: jax.Array, w, out_dtype=None) -> jax.Array:
+    """`x @ w` where `w` is a jax.Array or a QuantizedTensor `[K, N]`."""
+    if isinstance(w, QuantizedTensor):
+        if _BACKEND == "pallas" and x.ndim >= 2:
+            from .pallas_qmatmul import fused_dequant_matmul
+
+            return fused_dequant_matmul(x, w, out_dtype=out_dtype)
+        wd = dequantize(w)
+        return jnp.matmul(x.astype(wd.dtype), wd).astype(out_dtype or x.dtype)
+    return jnp.matmul(x, w.astype(x.dtype)).astype(out_dtype or x.dtype)
+
+
+def qlinear(
+    x: jax.Array,
+    w,
+    bias: Optional[jax.Array] = None,
+    act_spec: Optional[QuantSpec] = None,
+) -> jax.Array:
+    """Linear layer with optional dynamic activation fake-quant on the input
+    (the reference's `QuantLinear.forward` input path,
+    `quant/int_linear.py:55-60`)."""
+    if act_spec is not None and act_spec.enabled:
+        x = fake_quant_dynamic(x, act_spec)
+    y = qmatmul(x, w)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

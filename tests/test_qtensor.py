@@ -1,0 +1,67 @@
+"""Tests of packing and QuantizedTensor round-trips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llama3_quantization_tpu.quant import (
+    QuantSpec,
+    QuantizedTensor,
+    fake_quant_dynamic,
+    quantize_rtn,
+    dequantize,
+    pack_subbyte,
+    unpack_subbyte,
+)
+
+
+@pytest.mark.parametrize("bits,gs", [(4, 32), (4, None), (2, 32), (8, 32), (3, 32)])
+def test_pack_unpack_roundtrip(rng, bits, gs):
+    k, n = 64, 16
+    q = rng.integers(0, 2**bits, (k, n)).astype(np.uint8)
+    packed = pack_subbyte(jnp.asarray(q), bits, gs)
+    back = np.asarray(unpack_subbyte(packed, bits, k, gs))
+    np.testing.assert_array_equal(back, q)
+    if bits in (2, 4):
+        assert packed.shape == (k * bits // 8, n)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+@pytest.mark.parametrize("pack", [False, True])
+@pytest.mark.parametrize("sym", [False, True])
+def test_rtn_matches_fake_quant(rng, bits, pack, sym):
+    """Real-quant store + dequant == the reference's dynamic fake-quant."""
+    k, n = 64, 24
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    spec = QuantSpec(n_bits=bits, group_size=32, symmetric=sym, disable_zero_point=sym)
+    qt = quantize_rtn(jnp.asarray(w), spec, pack=pack)
+    dq = np.asarray(dequantize(qt, jnp.float32))
+    # fake-quant reference path operates on the [N, K] view
+    want = np.asarray(fake_quant_dynamic(jnp.asarray(w.T), spec)).T
+    np.testing.assert_allclose(dq, want, rtol=1e-4, atol=1e-5)
+
+
+def test_qtensor_is_pytree(rng):
+    w = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+    qt = quantize_rtn(w, QuantSpec(n_bits=4, group_size=32), pack=True)
+    leaves = jax.tree_util.tree_leaves(qt)
+    assert len(leaves) == 3  # data, scale, zero
+
+    @jax.jit
+    def f(qt, x):
+        return x @ dequantize(qt, jnp.float32)
+
+    x = jnp.ones((2, 64), jnp.float32)
+    y = f(qt, x)
+    assert y.shape == (2, 16)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(x) @ np.asarray(dequantize(qt, jnp.float32)), rtol=1e-5
+    )
+
+
+def test_storage_size(rng):
+    w = jnp.asarray(rng.standard_normal((128, 32)).astype(np.float32))
+    qt = quantize_rtn(w, QuantSpec(n_bits=4, group_size=64), pack=True)
+    assert qt.data.dtype == jnp.uint8 and qt.data.shape == (64, 32)
+    assert qt.scale.shape == (2, 32)
