@@ -1,0 +1,204 @@
+"""Calibration / perplexity data pipelines.
+
+Semantically faithful port of the reference's `datautils.py` — identical
+sampling RNG (python `random` with the same seeds and call order), identical
+"\n\n" joins and window math — because the ≤0.05 PPL parity target demands
+the *same* token windows, not approximately similar ones (SURVEY.md §7
+"Hard parts" (3)).
+
+Environment note: this container has zero egress, so `datasets.load_dataset`
+only works against a local HF cache. Loaders raise a clear error when no
+corpus source is available; tests use `SyntheticTokenizer`/synthetic corpora.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer adapters — the loaders only need `encode(text) -> np.ndarray[int]`
+# ---------------------------------------------------------------------------
+
+
+class HFTokenizer:
+    """transformers AutoTokenizer adapter (the reference always uses
+    `AutoTokenizer.from_pretrained(model, use_fast=False)`,
+    `datautils.py:40`)."""
+
+    def __init__(self, name_or_path: str, use_fast: bool = False):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(name_or_path, use_fast=use_fast)
+
+    def encode(self, text: str) -> np.ndarray:
+        return np.asarray(self.tok(text)["input_ids"], dtype=np.int32)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self.tok.decode(list(ids))
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tok)
+
+
+class ByteTokenizer:
+    """UTF-8 byte fallback tokenizer (offline tests; vocab 256 + BOS)."""
+
+    vocab_size = 257
+    bos_id = 256
+
+    def encode(self, text: str) -> np.ndarray:
+        return np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int32)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return bytes(int(i) % 256 for i in ids).decode("utf-8", errors="replace")
+
+
+class SyntheticTokenizer:
+    """Deterministic fake corpus tokenizer for tests: hashes words to ids."""
+
+    def __init__(self, vocab_size: int = 512):
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str) -> np.ndarray:
+        ids = [hash(w) % self.vocab_size for w in text.split()]
+        return np.asarray(ids, dtype=np.int32)
+
+    def decode(self, ids):
+        return " ".join(f"w{i}" for i in ids)
+
+
+# ---------------------------------------------------------------------------
+# Corpus access
+# ---------------------------------------------------------------------------
+
+
+def _load_hf_text(dataset: str, subset: Optional[str], split: str, field: str) -> List[str]:
+    try:
+        from datasets import load_dataset
+
+        ds = load_dataset(dataset, subset, split=split, trust_remote_code=True)
+        return list(ds[field])
+    except Exception as e:  # offline / missing cache
+        raise RuntimeError(
+            f"corpus {dataset}/{subset}:{split} unavailable (offline container?): {e}"
+        ) from e
+
+
+def _sample_windows(
+    trainenc: np.ndarray, nsamples: int, seed: int, seqlen: int
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """The reference's calibration sampler (`datautils.py:44-52`): python
+    `random.randint` (inclusive bounds!) over the concatenated token stream;
+    targets are the input with all but the last position masked to -100."""
+    random.seed(seed)
+    loader = []
+    for _ in range(nsamples):
+        i = random.randint(0, trainenc.shape[0] - seqlen - 1)
+        inp = trainenc[i : i + seqlen][None, :]
+        tar = inp.copy()
+        tar[:, :-1] = -100
+        loader.append((inp, tar))
+    return loader
+
+
+def get_wikitext2(nsamples, seed, seqlen, tokenizer, train_text=None, test_text=None):
+    """`datautils.get_wikitext2` (`datautils.py:35-53`). `*_text` overrides
+    allow offline injection of the corpus."""
+    if train_text is None:
+        train_text = "\n\n".join(
+            _load_hf_text("wikitext", "wikitext-2-raw-v1", "train", "text")
+        )
+    if test_text is None:
+        test_text = "\n\n".join(
+            _load_hf_text("wikitext", "wikitext-2-raw-v1", "test", "text")
+        )
+    trainenc = tokenizer.encode(train_text)
+    testenc = tokenizer.encode(test_text)[None, :]
+    return _sample_windows(trainenc, nsamples, seed, seqlen), testenc
+
+
+def get_ptb(nsamples, seed, seqlen, tokenizer, train_text=None, test_text=None):
+    """`datautils.get_ptb` (`datautils.py:56-77`) — note the reference uses
+    the *validation* split as its PTB test stream."""
+    if train_text is None:
+        train_text = "\n\n".join(
+            _load_hf_text("ptb_text_only", "penn_treebank", "train", "sentence")
+        )
+    if test_text is None:
+        test_text = "\n\n".join(
+            _load_hf_text("ptb_text_only", "penn_treebank", "validation", "sentence")
+        )
+    trainenc = tokenizer.encode(train_text)
+    testenc = tokenizer.encode(test_text)[None, :]
+    return _sample_windows(trainenc, nsamples, seed, seqlen), testenc
+
+
+def get_c4(nsamples, seed, seqlen, tokenizer, train_docs=None, val_docs=None):
+    """`datautils.get_c4` (`datautils.py:80-121`): per-document resampling
+    until a document longer than seqlen is hit; val = 256 fixed-seed windows
+    hstacked into one stream."""
+    if train_docs is None:
+        train_docs = _load_hf_text(
+            "allenai/c4", None, "train", "text"
+        )  # pragma: no cover - needs cache
+    if val_docs is None:
+        val_docs = _load_hf_text("allenai/c4", None, "validation", "text")  # pragma: no cover
+
+    random.seed(seed)
+    trainloader = []
+    for _ in range(nsamples):
+        while True:
+            i = random.randint(0, len(train_docs) - 1)
+            trainenc = tokenizer.encode(train_docs[i])
+            if trainenc.shape[0] > seqlen:
+                break
+        i = random.randint(0, trainenc.shape[0] - seqlen - 1)
+        inp = trainenc[i : i + seqlen][None, :]
+        tar = inp.copy()
+        tar[:, :-1] = -100
+        trainloader.append((inp, tar))
+
+    random.seed(0)
+    val_windows = []
+    for _ in range(256):
+        while True:
+            i = random.randint(0, len(val_docs) - 1)
+            tmp = tokenizer.encode(val_docs[i])
+            if tmp.shape[0] > seqlen:
+                break
+        i = random.randint(0, tmp.shape[0] - seqlen - 1)
+        val_windows.append(tmp[i : i + seqlen][None, :])
+    valenc = np.hstack(val_windows)
+    return trainloader, valenc
+
+
+def get_loaders(
+    name: str,
+    nsamples: int = 128,
+    seed: int = 0,
+    seqlen: int = 2048,
+    tokenizer=None,
+    **overrides,
+):
+    """Dispatcher mirroring `datautils.get_loaders` (`datautils.py:178-199`).
+
+    `overrides` lets callers inject offline corpora
+    (train_text/test_text/train_docs/val_docs).
+    """
+    if "wikitext2" in name:
+        return get_wikitext2(nsamples, seed, seqlen, tokenizer, **overrides)
+    if "ptb" in name:
+        return get_ptb(nsamples, seed, seqlen, tokenizer, **overrides)
+    if "c4" in name:
+        return get_c4(nsamples, seed, seqlen, tokenizer, **overrides)
+    if "mix" in name:
+        w_tr, _ = get_wikitext2(nsamples // 3, seed, seqlen, tokenizer, **overrides)
+        p_tr, _ = get_ptb(nsamples // 3, seed, seqlen, tokenizer, **overrides)
+        c_tr, _ = get_c4(nsamples // 3, seed, seqlen, tokenizer, **overrides)
+        return w_tr + p_tr + c_tr, None
+    raise ValueError(f"unknown dataset {name}")

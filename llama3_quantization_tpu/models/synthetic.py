@@ -1,0 +1,94 @@
+"""Synthetic quantized-model construction (benchmarks without checkpoints).
+
+This zero-egress environment cannot download Llama-3 weights, so throughput
+benchmarks build models with *random packed codes + scales directly* — the
+serving memory/compute profile of a real W4/W8 checkpoint without ever
+materializing 16 GB of bf16 weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.pack import pack_factor
+from ..quant.qtensor import QuantizedTensor
+from ..quant.quantizer import QuantSpec
+from .configs import ModelConfig
+from .params import linear_names
+
+
+def _rand_qtensor(key, k: int, n: int, spec: QuantSpec, layers: int, pack: bool = True):
+    gs = spec.group_size or k
+    g = k // gs
+    f = pack_factor(spec.n_bits) if pack else 1
+    kd, ks, kz = jax.random.split(key, 3)
+    if f > 1:
+        data = jax.random.randint(kd, (layers, k // f, n), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    else:
+        data = jax.random.randint(kd, (layers, k, n), 0, 2**spec.n_bits, dtype=jnp.int32).astype(
+            jnp.uint8
+        )
+    scale = (
+        jax.random.uniform(ks, (layers, g, n), jnp.float32, 0.5, 1.5)
+        * (2.0 / jnp.sqrt(k) / (2**spec.n_bits))
+    )
+    zero = jnp.full((layers, g, n), float(2 ** (spec.n_bits - 1)), jnp.float32)
+    return QuantizedTensor(
+        data=data,
+        scale=scale,
+        zero=zero,
+        bits=spec.n_bits,
+        group_size=spec.group_size,
+        sym=False,
+        k=k,
+        n=n,
+        packed=f > 1,
+        out_dtype=jnp.bfloat16,
+    )
+
+
+def init_quantized_params(
+    cfg: ModelConfig, spec: QuantSpec, key=None, pack: bool = True, dtype=jnp.bfloat16
+):
+    """Random params with all decoder linears already real-quantized."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim_
+    L = cfg.num_layers
+    shapes = {
+        "q": (d, cfg.num_heads * hd),
+        "k": (d, cfg.num_kv_heads * hd),
+        "v": (d, cfg.num_kv_heads * hd),
+        "o": (cfg.num_heads * hd, d),
+    }
+    if cfg.arch == "llama":
+        shapes.update({"gate": (d, i), "up": (d, i), "down": (i, d)})
+    else:
+        shapes.update({"fc1": (d, i), "fc2": (i, d)})
+    keys = jax.random.split(key, len(shapes) + 4)
+    layers = {}
+    for ki, (name, (kk, nn)) in zip(keys, shapes.items()):
+        entry = {"w": _rand_qtensor(ki, kk, nn, spec, L, pack)}
+        if cfg.arch == "opt":
+            entry["b"] = jnp.zeros((L, nn), dtype)
+        layers[name] = entry
+    if cfg.arch == "llama":
+        layers["ln1"] = {"w": jnp.ones((L, d), dtype)}
+        layers["ln2"] = {"w": jnp.ones((L, d), dtype)}
+    else:
+        layers["ln1"] = {"w": jnp.ones((L, d), dtype), "b": jnp.zeros((L, d), dtype)}
+        layers["ln2"] = {"w": jnp.ones((L, d), dtype), "b": jnp.zeros((L, d), dtype)}
+    params = {
+        "embed": jax.random.normal(keys[-1], (cfg.vocab_size, d), dtype) * 0.02,
+        "layers": layers,
+        "norm": {"w": jnp.ones((d,), dtype)}
+        if cfg.arch == "llama"
+        else {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+    }
+    if cfg.arch == "opt":
+        params["pos_embed"] = (
+            jax.random.normal(keys[-2], (cfg.max_position_embeddings + 2, d), dtype) * 0.02
+        )
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jax.random.normal(keys[-3], (d, cfg.vocab_size), dtype) * 0.02
+    return params

@@ -231,10 +231,13 @@ OPT_POS_OFFSET = 2  # OPT's learned positions are offset by 2 (HF convention)
 
 
 def embed(params: Params, tokens: jax.Array, cfg: ModelConfig, positions: jax.Array) -> jax.Array:
+    """Token (+ learned position, OPT) embedding. Activations follow the
+    *parameter* dtype (bf16 in production, fp32 in CPU tests) — `cfg.dtype`
+    only controls initialization."""
     h = jnp.take(params["embed"], tokens, axis=0)
     if cfg.arch == "opt":
         h = h + jnp.take(params["pos_embed"], positions + OPT_POS_OFFSET, axis=0)
-    return h.astype(jnp.dtype(cfg.dtype))
+    return h
 
 
 def final_norm(params: Params, h: jax.Array, cfg: ModelConfig) -> jax.Array:

@@ -1,0 +1,13 @@
+"""GSPMD distribution: device mesh, param shardings, sharded execution.
+
+The reference's only "distribution" is single-process multi-GPU layer
+placement with hook-based activation shipping
+(`/root/reference/parallel_utils.py`, SURVEY.md §2.7). The TPU-native
+replacement is first-class SPMD: one `jax.sharding.Mesh` with `dp`/`tp`
+axes, parameter PartitionSpecs (packed quantized weights tensor-sharded on
+the feature axis, scales sharded congruently), and jitted programs in which
+XLA inserts the all-reduces.
+"""
+
+from .mesh import make_mesh  # noqa: F401
+from .sharding import model_pspecs, shard_params, make_sharded_forward  # noqa: F401

@@ -1,0 +1,127 @@
+"""Parameter PartitionSpecs and sharded execution helpers.
+
+Megatron-style tensor parallelism for the transformer linears:
+- column-parallel (output-feature sharded on `tp`): q/k/v, gate/up, fc1
+- row-parallel (input-feature sharded on `tp`):     o, down, fc2
+so each attention+MLP pair needs exactly one all-reduce, which XLA inserts
+from the shardings. Quantized weights shard the same axes; grouped scales /
+zeros shard congruently (group axis follows the contraction axis).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.configs import ModelConfig
+from ..quant.qtensor import QuantizedTensor
+
+#: per-linear shard axis: "col" shards the output (N) axis, "row" the input
+#: (K) axis of the [K, N] weight.
+_LINEAR_KIND = {
+    "q": "col",
+    "k": "col",
+    "v": "col",
+    "o": "row",
+    "gate": "col",
+    "up": "col",
+    "down": "row",
+    "fc1": "col",
+    "fc2": "row",
+}
+
+
+def _weight_spec(value, kind: str, stacked: bool):
+    """Spec for one linear weight (array or QuantizedTensor), with an
+    optional leading layer-stack axis (never sharded)."""
+    lead = (None,) if stacked else ()
+    if isinstance(value, QuantizedTensor):
+        if kind == "col":
+            data = P(*lead, None, "tp")
+            scale = P(*lead, None, "tp")
+        else:  # row: K axis sharded -> packed data axis 0 and group axis shard
+            data = P(*lead, "tp", None)
+            scale = P(*lead, "tp", None)
+        return QuantizedTensor(
+            data=data,
+            scale=scale,
+            zero=None if value.zero is None else scale,
+            bits=value.bits,
+            group_size=value.group_size,
+            sym=value.sym,
+            k=value.k,
+            n=value.n,
+            packed=value.packed,
+            out_dtype=value.out_dtype,
+        )
+    if kind == "col":
+        return P(*lead, None, "tp")
+    return P(*lead, "tp", None)
+
+
+def _bias_spec(kind: str, stacked: bool):
+    lead = (None,) if stacked else ()
+    return P(*lead, "tp") if kind == "col" else P(*lead, None)
+
+
+def model_pspecs(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
+    """Same-structure pytree of PartitionSpecs for a model param pytree."""
+    specs: Dict[str, Any] = {}
+    specs["embed"] = P(None, None)  # replicated (gathered once per step)
+    if "pos_embed" in params:
+        specs["pos_embed"] = P(None, None)
+    if "lm_head" in params:
+        specs["lm_head"] = P(None, "tp")
+    specs["norm"] = {k: P(None) for k in params["norm"]}
+    layer_specs: Dict[str, Any] = {}
+    for name, entry in params["layers"].items():
+        if name in _LINEAR_KIND:
+            kind = _LINEAR_KIND[name]
+            e: Dict[str, Any] = {"w": _weight_spec(entry["w"], kind, stacked=True)}
+            if "b" in entry:
+                e["b"] = _bias_spec(kind, stacked=True)
+            layer_specs[name] = e
+        else:  # norms: [L, D] (+ bias)
+            layer_specs[name] = {k: P(None, None) for k in entry}
+    specs["layers"] = layer_specs
+    return specs
+
+
+def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+    """Place a param pytree onto the mesh per `model_pspecs`."""
+    specs = model_pspecs(params, cfg)
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_s, _ = jax.tree_util.tree_flatten(
+        specs, is_leaf=lambda x: isinstance(x, P)
+    )
+    placed = [
+        jax.device_put(p, NamedSharding(mesh, s)) for p, s in zip(flat_p, flat_s)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+def kv_cache_pspecs(cache):
+    """KV cache [L, B, S, Hkv, D]: batch on dp, kv-heads on tp."""
+    return {k: P(None, "dp", None, "tp", None) for k in cache}
+
+
+def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, rq=None):
+    """jitted logits fn with dp-sharded batch and tp-sharded weights."""
+    from ..models.transformer import NO_QUANT, forward_logits
+
+    rq = rq or NO_QUANT
+
+    @jax.jit
+    def fwd(params, tokens):
+        tokens = jax.lax.with_sharding_constraint(
+            tokens, NamedSharding(mesh, P("dp", None))
+        )
+        logits = forward_logits(params, tokens, cfg, rq)
+        return jax.lax.with_sharding_constraint(
+            logits, NamedSharding(mesh, P("dp", None, "tp"))
+        )
+
+    return fwd

@@ -1,0 +1,174 @@
+"""Layer-streaming calibration: the TPU version of the reference's Catcher.
+
+The reference captures first-layer inputs with a hook module and then walks
+decoder layers one at a time on GPU (`/root/reference/quant/omniquant.py:
+119-144,195-338`, `llama.py:32-187`). Here the same streaming schedule is
+expressed functionally: activations for all calibration samples are kept on
+device as one array, and each layer is (1) instrumented to expose its linear
+inputs, (2) quantized, (3) re-run quantized to produce the next layer's
+stream (quantized-input propagation, `llama.py:135-144`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.configs import ModelConfig
+from ..models.params import linear_names
+from ..models.transformer import (
+    NO_QUANT,
+    RuntimeQuantConfig,
+    causal_mask,
+    decoder_layer,
+    embed,
+    layer_norm,
+    rms_norm,
+    rope_cos_sin,
+)
+from ..ops.matmul import qlinear
+from .gptq import HessianState, gptq_quantize_weight, hessian_init, hessian_update
+from .quantizer import QuantSpec
+
+
+def layer_linear_inputs(
+    p: Dict[str, Any],
+    h: jax.Array,
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig,
+    cos_sin,
+    mask,
+) -> Dict[str, jax.Array]:
+    """One instrumented decoder-layer forward returning the input activation
+    of every linear (the hook-capture of `llama.py:106-121`)."""
+    from ..models.transformer import _attention
+
+    b, s, _ = h.shape
+    hd = cfg.head_dim_
+    out: Dict[str, jax.Array] = {}
+    if cfg.arch == "llama":
+        attn_in = rms_norm(h, p["ln1"]["w"], cfg.rms_norm_eps)
+    else:
+        attn_in = layer_norm(h, p["ln1"]["w"], p["ln1"]["b"], 1e-5)
+    out["q"] = out["k"] = out["v"] = attn_in
+    q = qlinear(attn_in, p["q"]["w"], p["q"].get("b"), rq.act).reshape(b, s, cfg.num_heads, hd)
+    k = qlinear(attn_in, p["k"]["w"], p["k"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
+    v = qlinear(attn_in, p["v"]["w"], p["v"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
+    if cos_sin is not None:
+        from ..models.transformer import apply_rope
+
+        cos, sin = cos_sin
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    attn = _attention(q, k, v, mask, cfg, rq).reshape(b, s, cfg.num_heads * hd)
+    out["o"] = attn
+    attn_out = qlinear(attn, p["o"]["w"], p["o"].get("b"), rq.act)
+    h = h + attn_out
+    if cfg.arch == "llama":
+        mlp_in = rms_norm(h, p["ln2"]["w"], cfg.rms_norm_eps)
+        out["gate"] = out["up"] = mlp_in
+        gate = qlinear(mlp_in, p["gate"]["w"], p["gate"].get("b"), rq.act)
+        up = qlinear(mlp_in, p["up"]["w"], p["up"].get("b"), rq.act)
+        out["down"] = jax.nn.silu(gate) * up
+    else:
+        mlp_in = layer_norm(h, p["ln2"]["w"], p["ln2"]["b"], 1e-5)
+        out["fc1"] = mlp_in
+        fc1 = qlinear(mlp_in, p["fc1"]["w"], p["fc1"].get("b"), rq.act)
+        out["fc2"] = jax.nn.relu(fc1) if cfg.activation == "relu" else jax.nn.gelu(fc1)
+    return out
+
+
+def _layer_slice(layers, l: int):
+    return jax.tree_util.tree_map(lambda a: a[l], layers)
+
+
+def _stack_layers(layer_list):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layer_list)
+
+
+def embed_calibration(params, cfg: ModelConfig, tokens: jax.Array):
+    """tokens [n, S] -> (h [n, S, D], cos_sin, mask)."""
+    n, s = tokens.shape
+    positions = jnp.arange(s)[None, :]
+    h = embed(params, tokens, cfg, positions)
+    cos_sin = (
+        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+        if cfg.arch == "llama"
+        else None
+    )
+    return h, cos_sin, causal_mask(s)
+
+
+def gptq_quantize_model(
+    params,
+    cfg: ModelConfig,
+    calib_tokens: np.ndarray,  # [n, S]
+    spec: QuantSpec,
+    blocksize: int = 128,
+    percdamp: float = 0.01,
+    actorder: bool = False,
+    pack: bool = False,
+    batch_size: int = 8,
+    rq: RuntimeQuantConfig = NO_QUANT,
+    progress: Optional[Callable[[int, int, Dict[str, float]], None]] = None,
+):
+    """Sequential GPTQ over all decoder layers (`llama.py llama_sequential`,
+    `/root/reference/llama.py:32-187`).
+
+    Pure function: returns a new params pytree with every decoder linear
+    replaced by a GPTQ-quantized `QuantizedTensor`; embeddings/norms/lm_head
+    untouched (reference quantizes only decoder-layer Linears).
+    """
+    tokens = jnp.asarray(calib_tokens, jnp.int32)
+    n = tokens.shape[0]
+    h, cos_sin, mask = embed_calibration(params, cfg, tokens)
+
+    capture = jax.jit(
+        lambda p, hb: layer_linear_inputs(p, hb, cfg, rq, cos_sin, mask)
+    )
+    run_layer = jax.jit(
+        lambda p, hb: decoder_layer(p, hb, cfg, rq, cos_sin, mask)[0]
+    )
+
+    names = linear_names(cfg)
+    new_layers = []
+    for l in range(cfg.num_layers):
+        p_l = _layer_slice(params["layers"], l)
+        hstate: Dict[str, HessianState] = {
+            name: hessian_init(p_l[name]["w"].shape[0]) for name in names
+        }
+        for b0 in range(0, n, batch_size):
+            caps = capture(p_l, h[b0 : b0 + batch_size])
+            for name in names:
+                hstate[name] = hessian_update(hstate[name], caps[name])
+        q_l = dict(p_l)
+        errs = {}
+        for name in names:
+            entry = dict(q_l[name])
+            qt, err = gptq_quantize_weight(
+                entry["w"],
+                hstate[name].H,
+                spec,
+                blocksize=blocksize,
+                actorder=actorder,
+                percdamp=percdamp,
+                pack=pack,
+            )
+            errs[name] = float(err)
+            entry["w"] = qt
+            q_l[name] = entry
+        # quantized-input propagation for the next layer
+        h_parts = [
+            run_layer(q_l, h[b0 : b0 + batch_size]) for b0 in range(0, n, batch_size)
+        ]
+        h = jnp.concatenate(h_parts, axis=0)
+        new_layers.append(q_l)
+        if progress:
+            progress(l + 1, cfg.num_layers, errs)
+
+    out = dict(params)
+    out["layers"] = _stack_layers(new_layers)
+    return out

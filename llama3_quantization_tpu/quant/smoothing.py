@@ -1,0 +1,133 @@
+"""Scale/shift migration algebra (SmoothQuant / AWQ / OmniQuant-LET).
+
+Functional equivalent of the reference's `models/transformation.py`: move a
+per-channel scale s (and shift δ) across an algebraically-neutral boundary
+so activation outliers shrink while weights absorb the range:
+
+    norm(x) @ W  ==  (norm(x)/s) @ (s ⊙ W)            (norm -> linears)
+    (x @ Wv) @ Wo ==  (x @ Wv/s) @ (s ⊙ Wo)           (v_proj -> o_proj)
+    (q @ s)(k / s)ᵀ == q kᵀ                            (q_proj <-> k_proj)
+
+All weights use the framework's `[K, N]` layout, so "per input channel"
+scales broadcast as `scale[:, None]` and "per output channel" as
+`scale[None, :]`. Every function is pure: takes entries, returns new ones.
+Reference: `models/transformation.py:24-114`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .quantizer import clamp_ste
+
+#: the reference clamps migrated scales into a safe fp16 range through an
+#: STE truncation (`models/transformation.py:5-20` + usage at :30-33)
+SCALE_MIN = 1e-5
+SCALE_MAX = 1e4
+
+
+def sanitize_scale(s: jax.Array) -> jax.Array:
+    """STE-clamped positive scale (gradient flows through the clamp)."""
+    return clamp_ste(jnp.abs(s), SCALE_MIN, SCALE_MAX)
+
+
+def fold_norm_linears(
+    norm: Dict[str, jax.Array],
+    linears: List[Dict[str, jax.Array]],
+    scale: jax.Array,  # [K] per-channel
+    shift: Optional[jax.Array] = None,  # [K]
+) -> Tuple[Dict[str, jax.Array], List[Dict[str, jax.Array]]]:
+    """Migrate (scale, shift) from a norm into the linears it feeds
+    (`smooth_ln_fcs_*`, transformation.py:24-44,71-88).
+
+    norm': w/s (bias' = (b - δ)/s); linear': W' = s ⊙ W, b' = b + δ @ W.
+    """
+    s = sanitize_scale(scale)
+    new_norm = dict(norm)
+    new_norm["w"] = (norm["w"] / s).astype(norm["w"].dtype)
+    if "b" in norm:
+        b = norm["b"] - (shift if shift is not None else 0.0)
+        new_norm["b"] = (b / s).astype(norm["b"].dtype)
+    new_linears = []
+    for lin in linears:
+        w = lin["w"]
+        nl = dict(lin)
+        nl["w"] = (w * s[:, None].astype(w.dtype)).astype(w.dtype)
+        if shift is not None:
+            delta = (shift.astype(jnp.float32) @ w.astype(jnp.float32)).astype(w.dtype)
+            nl["b"] = (lin.get("b", 0.0) + delta).astype(w.dtype)
+        new_linears.append(nl)
+    return new_norm, new_linears
+
+
+def fold_fc_fc(
+    fc1: Dict[str, jax.Array],  # producer: out channels scaled down
+    fc2: Dict[str, jax.Array],  # consumer: in channels scaled up
+    scale: jax.Array,  # [N1] == [K2]
+    shift: Optional[jax.Array] = None,
+) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Migrate scale between two chained linears (v_proj -> o_proj;
+    `smooth_fc_fc_*`, transformation.py:46-60,90-105)."""
+    s = sanitize_scale(scale)
+    n1 = dict(fc1)
+    n1["w"] = (fc1["w"] / s[None, :].astype(fc1["w"].dtype)).astype(fc1["w"].dtype)
+    if "b" in fc1 or shift is not None:
+        b1 = fc1.get("b", jnp.zeros(fc1["w"].shape[1], fc1["w"].dtype))
+        b1 = (b1 - (shift if shift is not None else 0.0)) / s
+        n1["b"] = b1.astype(fc1["w"].dtype)
+    n2 = dict(fc2)
+    n2["w"] = (fc2["w"] * s[:, None].astype(fc2["w"].dtype)).astype(fc2["w"].dtype)
+    if shift is not None:
+        delta = (shift.astype(jnp.float32) @ fc2["w"].astype(jnp.float32)).astype(
+            fc2["w"].dtype
+        )
+        n2["b"] = (fc2.get("b", 0.0) + delta).astype(fc2["w"].dtype)
+    return n1, n2
+
+
+def fold_q_k(
+    q: Dict[str, jax.Array],
+    k: Dict[str, jax.Array],
+    scale: jax.Array,  # [Nq] per output channel of q_proj
+) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Migrate a per-output-channel scale between q_proj and k_proj
+    (`smooth_q_k_*`, transformation.py:62-69,107-114). With GQA the k scale
+    is the per-kv-head reduction of the q scale — the reference models have
+    matched head counts here (scale applied per head_dim column repeated);
+    we apply q/s and k*s with s laid out per flattened head column, so Nq
+    must equal Nk (MHA) or s must be head-shared (GQA-safe)."""
+    s = sanitize_scale(scale)
+    nq = dict(q)
+    nq["w"] = (q["w"] / s[None, :].astype(q["w"].dtype)).astype(q["w"].dtype)
+    if "b" in q:
+        nq["b"] = (q["b"] / s).astype(q["b"].dtype)
+    nk = dict(k)
+    sk = s if k["w"].shape[1] == q["w"].shape[1] else _gqa_reduce(s, k["w"].shape[1])
+    nk["w"] = (k["w"] * sk[None, :].astype(k["w"].dtype)).astype(k["w"].dtype)
+    if "b" in k:
+        nk["b"] = (k["b"] * sk).astype(k["b"].dtype)
+    return nq, nk
+
+
+def _gqa_reduce(s: jax.Array, nk: int) -> jax.Array:
+    """Reduce a per-q-column scale to kv columns by averaging the q heads
+    that share each kv head (keeps q·kᵀ invariant only approximately; exact
+    invariance requires head-shared scales, which callers should use)."""
+    rep = s.shape[0] // nk
+    hd = nk  # flattened layout [H*D]; regroup as [H_kv, rep, D] mean over rep
+    return s.reshape(-1, rep, 1).mean(axis=1).reshape(nk) if rep > 1 else s
+
+
+def smoothquant_scale(
+    act_absmax: jax.Array,  # [K] per-channel activation |max|
+    w_absmax: jax.Array,  # [K] per-input-channel weight |max| (over outs)
+    alpha: float = 0.5,
+) -> jax.Array:
+    """SmoothQuant migration strength `s = act^α / w^(1-α)`
+    (`quant/omniquant.py:230-252` init formula)."""
+    a = jnp.clip(act_absmax.astype(jnp.float32), SCALE_MIN, None)
+    w = jnp.clip(w_absmax.astype(jnp.float32), SCALE_MIN, None)
+    return jnp.clip((a**alpha) / (w ** (1 - alpha)), SCALE_MIN, SCALE_MAX)

@@ -1,0 +1,215 @@
+"""Tests for SmoothQuant / AWQ / HQQ / OmniQuant transforms."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llama3_quantization_tpu.models import (
+    TINY_LLAMA,
+    TINY_OPT,
+    forward_logits,
+    init_params,
+    quantize_model_rtn,
+)
+from llama3_quantization_tpu.quant import QuantSpec, dequantize, quantize_rtn
+from llama3_quantization_tpu.quant.awq import awq_quantize_model, awq_search_alpha
+from llama3_quantization_tpu.quant.hqq import hqq_quantize_model, hqq_quantize_weight
+from llama3_quantization_tpu.quant.omniquant import OmniConfig, omniquant_model
+from llama3_quantization_tpu.quant.quantizer import fake_quant_dynamic
+from llama3_quantization_tpu.quant.smoothing import (
+    fold_fc_fc,
+    fold_norm_linears,
+    fold_q_k,
+    smoothquant_scale,
+)
+from llama3_quantization_tpu.quant.smoothquant import smoothquant_model
+
+
+# ---------------------------------------------------------------------------
+# smoothing algebra is fp-neutral
+# ---------------------------------------------------------------------------
+
+
+def _rms(x, w, b=None):
+    y = x / np.sqrt((x**2).mean(-1, keepdims=True) + 1e-5) * w
+    return y + b if b is not None else y
+
+
+def test_fold_norm_linears_fp_neutral(rng):
+    d, n = 16, 24
+    x = rng.standard_normal((8, d)).astype(np.float32)
+    norm = {"w": jnp.asarray(rng.standard_normal(d).astype(np.float32))}
+    lin = {"w": jnp.asarray(rng.standard_normal((d, n)).astype(np.float32))}
+    scale = jnp.asarray(np.exp(rng.standard_normal(d)).astype(np.float32))
+    n2, (l2,) = fold_norm_linears(norm, [lin], scale)
+    before = _rms(x, np.asarray(norm["w"])) @ np.asarray(lin["w"])
+    # RMSNorm is scale-equivariant only per-call: folding divides the norm
+    # weight and multiplies the linear rows, so rms(x)*w/s @ (s*W) == before
+    after = _rms(x, np.asarray(n2["w"])) @ np.asarray(l2["w"])
+    np.testing.assert_allclose(after, before, rtol=2e-4, atol=2e-5)
+
+
+def test_fold_fc_fc_fp_neutral(rng):
+    k, m, n = 12, 16, 8
+    x = rng.standard_normal((5, k)).astype(np.float32)
+    fc1 = {"w": jnp.asarray(rng.standard_normal((k, m)).astype(np.float32)),
+           "b": jnp.asarray(rng.standard_normal(m).astype(np.float32))}
+    fc2 = {"w": jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))}
+    scale = jnp.asarray(np.exp(rng.standard_normal(m)).astype(np.float32))
+    f1, f2 = fold_fc_fc(fc1, fc2, scale)
+    before = (x @ np.asarray(fc1["w"]) + np.asarray(fc1["b"])) @ np.asarray(fc2["w"])
+    after = (x @ np.asarray(f1["w"]) + np.asarray(f1["b"])) @ np.asarray(f2["w"])
+    np.testing.assert_allclose(after, before, rtol=2e-4, atol=2e-5)
+
+
+def test_fold_q_k_score_neutral(rng):
+    d, n = 12, 8
+    x = rng.standard_normal((5, d)).astype(np.float32)
+    q = {"w": jnp.asarray(rng.standard_normal((d, n)).astype(np.float32))}
+    k = {"w": jnp.asarray(rng.standard_normal((d, n)).astype(np.float32))}
+    scale = jnp.asarray(np.exp(rng.standard_normal(n)).astype(np.float32))
+    q2, k2 = fold_q_k(q, k, scale)
+    before = (x @ np.asarray(q["w"])) @ (x @ np.asarray(k["w"])).T
+    after = (x @ np.asarray(q2["w"])) @ (x @ np.asarray(k2["w"])).T
+    np.testing.assert_allclose(after, before, rtol=2e-4, atol=2e-4)
+
+
+def test_smoothing_reduces_act_quant_error(rng):
+    """The SmoothQuant effect: with outlier activation channels, migrating
+    range into weights shrinks W8A8 matmul error."""
+    t, k, n = 64, 32, 16
+    x = rng.standard_normal((t, k)).astype(np.float32)
+    x[:, :4] *= 50.0  # outlier channels
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    ref = x @ w
+    a8 = QuantSpec(n_bits=8)
+    w8 = QuantSpec(n_bits=8)
+
+    def quant_err(xs, ws):
+        xq = np.asarray(fake_quant_dynamic(jnp.asarray(xs), a8))
+        wq = np.asarray(fake_quant_dynamic(jnp.asarray(ws.T), w8)).T
+        return np.mean((xq @ wq - ref) ** 2)
+
+    s = np.asarray(
+        smoothquant_scale(
+            jnp.asarray(np.abs(x).max(0)), jnp.asarray(np.abs(w).max(1)), 0.5
+        )
+    )
+    err_plain = quant_err(x, w)
+    err_smooth = quant_err(x / s, w * s[:, None])
+    assert err_smooth < err_plain * 0.5, (err_smooth, err_plain)
+
+
+# ---------------------------------------------------------------------------
+# model-level transforms
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cfg", [TINY_LLAMA, TINY_OPT], ids=["llama", "opt"])
+def test_smoothquant_model_fp_neutral(cfg):
+    """Folding alone (no quantization) must not change model outputs."""
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (4, 16))
+    toks = jnp.asarray(calib[:2])
+    sp = smoothquant_model(params, cfg, calib, alpha=0.5)
+    out_fp = forward_logits(params, toks, cfg)
+    out_sm = forward_logits(sp, toks, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out_sm), np.asarray(out_fp), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_awq_search_improves_over_identity(rng):
+    t, k, n = 128, 32, 16
+    x = rng.standard_normal((t, k)).astype(np.float32)
+    x[:, :3] *= 30.0
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    spec = QuantSpec(n_bits=3, group_size=16)
+    s = np.asarray(awq_search_alpha(jnp.asarray(x), jnp.asarray(w), spec))
+    ref = x @ w
+
+    def err(scale):
+        ws = w * scale[:, None]
+        wq = np.asarray(fake_quant_dynamic(jnp.asarray(ws.T), spec)).T
+        return np.mean(((x / scale[None, :]) @ wq - ref) ** 2)
+
+    assert err(s) <= err(np.ones(k)) * 1.001
+
+
+def test_awq_model_runs_and_quantizes():
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (4, 16))
+    spec = QuantSpec(n_bits=4, group_size=32)
+    qp = awq_quantize_model(params, cfg, calib, spec, n_grid=6, sample_tokens=64)
+    out = forward_logits(qp, jnp.asarray(calib[:2]), cfg)
+    assert bool(jnp.isfinite(out).all())
+    from llama3_quantization_tpu.quant import QuantizedTensor
+
+    assert isinstance(qp["layers"]["q"]["w"], QuantizedTensor)
+
+
+# ---------------------------------------------------------------------------
+# HQQ
+# ---------------------------------------------------------------------------
+
+
+def test_hqq_beats_rtn_reconstruction(rng):
+    """On heavy-tailed weights HQQ's lp-shrinkage zero-point optimization
+    should reduce weighted reconstruction error vs RTN."""
+    k, n = 64, 32
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    w *= np.exp(rng.standard_normal((k, n)) * 1.0).astype(np.float32)  # heavy tails
+    spec = QuantSpec(n_bits=3, group_size=32)
+    qt_h = hqq_quantize_weight(jnp.asarray(w), spec, iters=25)
+    qt_r = quantize_rtn(jnp.asarray(w), spec)
+    e_h = np.abs(np.asarray(dequantize(qt_h, jnp.float32)) - w)
+    e_r = np.abs(np.asarray(dequantize(qt_r, jnp.float32)) - w)
+    # lp objective: compare p-norm error
+    assert (e_h**0.7).mean() < (e_r**0.7).mean()
+
+
+def test_hqq_model_runs():
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = hqq_quantize_model(params, cfg, QuantSpec(n_bits=4, group_size=32), iters=10)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    fp = forward_logits(params, toks, cfg)
+    out = forward_logits(qp, toks, cfg)
+    assert float(jnp.mean(jnp.abs(out - fp))) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# OmniQuant LWC
+# ---------------------------------------------------------------------------
+
+
+def test_omniquant_improves_over_rtn():
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (4, 16))
+    toks = jnp.asarray(calib)
+    spec = QuantSpec(n_bits=2, group_size=32)
+    fp = forward_logits(params, toks, cfg)
+
+    ocfg = OmniConfig(wspec=QuantSpec(n_bits=2, group_size=32, lwc=True), epochs=8, batch_size=4)
+    qp_omni = omniquant_model(params, cfg, calib, ocfg)
+    qp_rtn = quantize_model_rtn(params, cfg, spec)
+    err_omni = float(jnp.mean((forward_logits(qp_omni, toks, cfg) - fp) ** 2))
+    err_rtn = float(jnp.mean((forward_logits(qp_rtn, toks, cfg) - fp) ** 2))
+    assert err_omni < err_rtn, (err_omni, err_rtn)
+
+
+def test_omniquant_epochs0_is_rtn():
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 8))
+    spec_lwc = QuantSpec(n_bits=4, group_size=32, lwc=True)
+    qp = omniquant_model(params, cfg, calib, OmniConfig(wspec=spec_lwc, epochs=0))
+    toks = jnp.asarray(calib)
+    out = forward_logits(qp, toks, cfg)
+    # epochs=0 keeps init logits (sigmoid(4)≈0.982 clipping) — near-RTN
+    qp_rtn = quantize_model_rtn(params, cfg, QuantSpec(n_bits=4, group_size=32))
+    out_rtn = forward_logits(qp_rtn, toks, cfg)
+    assert float(jnp.mean(jnp.abs(out - out_rtn))) < 0.05

@@ -1,0 +1,174 @@
+"""GPTQ tests: solver vs a direct NumPy transcription of the published
+algorithm, and end-to-end improvement over RTN on a tiny model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llama3_quantization_tpu.quant import QuantSpec, dequantize
+from llama3_quantization_tpu.quant.calibration import gptq_quantize_model
+from llama3_quantization_tpu.quant.gptq import (
+    gptq_find_params,
+    gptq_quantize_weight,
+    gptq_solve,
+    hessian_init,
+    hessian_update,
+)
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracle: straight port of the published GPTQ column loop (unblocked)
+# ---------------------------------------------------------------------------
+
+
+def np_find_params(w, n_bits, sym=False):
+    maxq = 2**n_bits - 1
+    xmin = np.minimum(w.min(1), 0)
+    xmax = np.maximum(w.max(1), 0)
+    if sym:
+        xmax = np.maximum(np.abs(xmin), xmax)
+        xmin = np.where(xmin < 0, -xmax, xmin)
+    deg = (xmin == 0) & (xmax == 0)
+    xmin[deg], xmax[deg] = -1, 1
+    scale = (xmax - xmin) / maxq
+    zero = np.full_like(scale, (maxq + 1) / 2) if sym else np.round(-xmin / scale)
+    return scale, zero
+
+
+def np_gptq(W, H, n_bits, group_size=None, percdamp=0.01):
+    """Unblocked column-by-column GPTQ with error feedback."""
+    W = W.astype(np.float64).copy()
+    H = H.astype(np.float64).copy()
+    R, K = W.shape
+    gs = group_size or K
+    maxq = 2**n_bits - 1
+    dead = np.diag(H) == 0
+    H[dead, dead] = 1
+    W[:, dead] = 0
+    damp = percdamp * np.mean(np.diag(H))
+    H[np.diag_indices(K)] += damp
+    Hinv_full = np.linalg.inv(H)
+    # upper-Cholesky factor U with Hinv = U^T U (np returns L with A = L L^T,
+    # so U = L^T)
+    Hinv = np.linalg.cholesky(Hinv_full).T
+    Q = np.zeros_like(W)
+    scales = np.zeros((R, K // gs))
+    zeros = np.zeros((R, K // gs))
+    s = z = None
+    loss = 0.0
+    for c in range(K):
+        if c % gs == 0:
+            s, z = np_find_params(W[:, c : c + gs], n_bits)
+            scales[:, c // gs] = s
+            zeros[:, c // gs] = z
+        w = W[:, c]
+        d = Hinv[c, c]
+        q = np.clip(np.round(w / s) + z, 0, maxq)
+        dq = s * (q - z)
+        err = (w - dq) / d
+        loss += np.sum((w - dq) ** 2 / d**2) / 2
+        W[:, c + 1 :] -= np.outer(err, Hinv[c, c + 1 :])
+        Q[:, c] = q
+    return Q, scales, zeros, loss
+
+
+@pytest.mark.parametrize("gs", [None, 16, 64])
+def test_gptq_solver_matches_numpy_oracle(rng, gs):
+    R, K = 24, 64
+    X = rng.standard_normal((256, K)).astype(np.float32)
+    H = (2 / 256) * X.T @ X
+    W = rng.standard_normal((R, K)).astype(np.float32)
+    codes, scales, zeros, g_idx, loss = gptq_solve(
+        jnp.asarray(W), jnp.asarray(H), n_bits=4, group_size=gs, blocksize=16
+    )
+    Q_np, s_np, z_np, loss_np = np_gptq(W, H, 4, gs)
+    # codes match the oracle (tiny fp reassociation can flip borderline
+    # rounds; demand >99% exact agreement and matching loss)
+    agree = (np.asarray(codes) == Q_np).mean()
+    assert agree > 0.99, f"only {agree:.3f} of codes agree"
+    np.testing.assert_allclose(np.asarray(scales), s_np, rtol=1e-4, atol=1e-6)
+    assert abs(float(loss) - loss_np) / max(loss_np, 1e-9) < 0.05
+
+
+def test_gptq_beats_rtn_on_correlated_inputs(rng):
+    """The whole point of GPTQ: on correlated activations, proxy loss
+    E|x(W-Wq)|^2 is lower than RTN's."""
+    R, K, T = 32, 64, 512
+    base = rng.standard_normal((T, 8)).astype(np.float32)
+    mix = rng.standard_normal((8, K)).astype(np.float32)
+    X = base @ mix + 0.1 * rng.standard_normal((T, K)).astype(np.float32)
+    H = (2 / T) * X.T @ X
+    W = rng.standard_normal((R, K)).astype(np.float32)
+    spec = QuantSpec(n_bits=3, group_size=16)
+
+    qt, err = gptq_quantize_weight(jnp.asarray(W.T), jnp.asarray(H), spec, blocksize=16)
+    W_gptq = np.asarray(dequantize(qt, jnp.float32)).T
+
+    from llama3_quantization_tpu.quant import quantize_rtn
+
+    qt_rtn = quantize_rtn(jnp.asarray(W.T), QuantSpec(n_bits=3, group_size=16))
+    W_rtn = np.asarray(dequantize(qt_rtn, jnp.float32)).T
+
+    e_gptq = np.mean((X @ (W - W_gptq).T) ** 2)
+    e_rtn = np.mean((X @ (W - W_rtn).T) ** 2)
+    assert e_gptq < e_rtn * 0.9, (e_gptq, e_rtn)
+
+
+def test_hessian_streaming_matches_batch(rng):
+    K = 32
+    xs = [rng.standard_normal((2, 8, K)).astype(np.float32) for _ in range(4)]
+    st = hessian_init(K)
+    for x in xs:
+        st = hessian_update(st, jnp.asarray(x))
+    allx = np.concatenate([x.reshape(-1, K) for x in xs])
+    n = sum(x.shape[0] for x in xs)
+    H_ref = (2 / n) * allx.T @ allx
+    np.testing.assert_allclose(np.asarray(st.H), H_ref, rtol=1e-4, atol=1e-5)
+    assert st.nsamples == n
+
+
+def test_gptq_model_improves_over_rtn():
+    """End-to-end: GPTQ W3 PPL <= RTN W3 PPL on a tiny model with a
+    self-generated (predictable) stream."""
+    from functools import partial
+
+    from llama3_quantization_tpu.eval.ppl import compute_ppl
+    from llama3_quantization_tpu.models import (
+        TINY_LLAMA,
+        decode_step,
+        init_kv_cache,
+        init_params,
+        quantize_model_rtn,
+    )
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    SEQ = 32
+    total = SEQ * 2
+    toks = jax.random.randint(jax.random.PRNGKey(5), (1, 4), 0, cfg.vocab_size)
+    cache = init_kv_cache(cfg, 1, total, dtype=jnp.float32)
+    step = jax.jit(partial(decode_step, cfg=cfg))
+    logits, cache = decode_step(params, cache, toks, jnp.int32(0), cfg)
+    out = [np.asarray(toks)]
+    nxt = jnp.argmax(logits[:, -1:, :], axis=-1)
+    for pos in range(4, total):
+        out.append(np.asarray(nxt))
+        logits, cache = step(params, cache, nxt, jnp.int32(pos))
+        nxt = jnp.argmax(logits[:, -1:, :], axis=-1)
+    stream = np.concatenate(out, axis=1)
+
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (8, SEQ))
+    spec = QuantSpec(n_bits=3, group_size=32)
+    qp_gptq = gptq_quantize_model(params, cfg, calib, spec, blocksize=32)
+    qp_rtn = quantize_model_rtn(params, cfg, spec)
+    ppl_gptq = compute_ppl(qp_gptq, cfg, stream, seqlen=SEQ)
+    ppl_rtn = compute_ppl(qp_rtn, cfg, stream, seqlen=SEQ)
+    assert np.isfinite(ppl_gptq)
+    assert ppl_gptq < ppl_rtn * 1.02, (ppl_gptq, ppl_rtn)
+
+
+def test_find_params_degenerate_rows():
+    w = jnp.zeros((4, 8))
+    s, z = gptq_find_params(w, 4)
+    assert np.all(np.asarray(s) > 0)

@@ -1,0 +1,60 @@
+"""Pallas fused dequant-matmul: bit-accuracy vs the XLA dequant path.
+
+Runs in interpreter mode on CPU (the kernel itself is exercised on real TPU
+by bench.py; interpret mode checks the same program logic).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llama3_quantization_tpu.ops.pallas_qmatmul import fused_dequant_matmul
+from llama3_quantization_tpu.quant import QuantSpec, dequantize, quantize_rtn
+
+
+def _ref(x, qt):
+    w = dequantize(qt, jnp.float32)
+    return np.asarray(x, dtype=np.float32) @ np.asarray(w)
+
+
+@pytest.mark.parametrize("bits,pack", [(4, True), (2, True), (8, False), (4, False)])
+@pytest.mark.parametrize("m", [1, 8, 33])
+def test_fused_matches_dequant(rng, bits, pack, m):
+    k, n, gs = 256, 128, 64
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    qt = quantize_rtn(jnp.asarray(w), QuantSpec(n_bits=bits, group_size=gs), pack=pack)
+    out = fused_dequant_matmul(jnp.asarray(x), qt, out_dtype=jnp.float32, interpret=True)
+    ref = _ref(x, qt)
+    # kernel uses bf16 operands on the MXU; tolerance is bf16-level
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2 * np.abs(ref).max() / 10)
+
+
+def test_fused_batched_shape(rng):
+    k, n = 128, 128
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    qt = quantize_rtn(jnp.asarray(w), QuantSpec(n_bits=4, group_size=64), pack=True)
+    x = jnp.asarray(rng.standard_normal((2, 5, k)).astype(np.float32))
+    out = fused_dequant_matmul(x, qt, out_dtype=jnp.float32, interpret=True)
+    assert out.shape == (2, 5, n)
+    ref = _ref(np.asarray(x).reshape(-1, k), qt).reshape(2, 5, n)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=0.1)
+
+
+def test_backend_switch(rng):
+    from llama3_quantization_tpu.ops import matmul as mm
+
+    k, n = 128, 128
+    qt = quantize_rtn(
+        jnp.asarray(rng.standard_normal((k, n)).astype(np.float32)),
+        QuantSpec(n_bits=4, group_size=64),
+        pack=True,
+    )
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    y_xla = mm.qmatmul(x, qt)
+    assert mm.get_backend() == "xla"
+    with mm.backend("pallas"):
+        assert mm.get_backend() == "pallas"
+    y2 = mm.qmatmul(x, qt)
+    np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y2), rtol=1e-5)
