@@ -1,0 +1,205 @@
+"""Unified CLI — the `main.py` equivalent (`/root/reference/main.py:202-420`).
+
+    python -m llama3_quantization_tpu.cli \
+        --model /path/to/Meta-Llama-3-8B --quant_method gptq \
+        --wbits 4 --group_size 128 --calib_dataset wikitext2 \
+        --eval_ppl --tasks piqa,arc_easy
+
+Flag names follow the reference so run scripts translate 1:1. Differences:
+one driver covers all methods (no separate llama.py/autogptq.py/
+quantizehqq.py), models load from local checkpoints only (zero-egress), and
+`--net tiny-llama`-style named configs enable checkpoint-free smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("llama3_quantization_tpu")
+    p.add_argument("--model", type=str, default=None, help="local HF checkpoint dir")
+    p.add_argument("--net", type=str, default=None, help="named config (tiny-llama, opt-125m, …)")
+    p.add_argument("--quant_method", default="rtn",
+                   choices=["rtn", "gptq", "awq", "smoothquant", "hqq", "omniquant", "none"])
+    p.add_argument("--wbits", type=int, default=4)
+    p.add_argument("--abits", type=int, default=16)
+    p.add_argument("--group_size", type=int, default=None)
+    p.add_argument("--symmetric", action="store_true")
+    p.add_argument("--disable_zero_point", action="store_true")
+    p.add_argument("--calib_dataset", default="wikitext2",
+                   choices=["wikitext2", "ptb", "c4", "mix", "synthetic"])
+    p.add_argument("--nsamples", type=int, default=128)
+    p.add_argument("--seqlen", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--eval_ppl", action="store_true")
+    p.add_argument("--ppl_datasets", default="wikitext2,c4,ptb")
+    p.add_argument("--tasks", default="")
+    p.add_argument("--num_fewshot", type=int, default=0)
+    p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=8)
+    # omniquant
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--lwc", action="store_true")
+    p.add_argument("--let", action="store_true")
+    p.add_argument("--lwc_lr", type=float, default=1e-2)
+    p.add_argument("--let_lr", type=float, default=5e-3)
+    p.add_argument("--aug_loss", action="store_true")
+    # gptq
+    p.add_argument("--percdamp", type=float, default=0.01)
+    p.add_argument("--act_order", action="store_true")
+    p.add_argument("--blocksize", type=int, default=128)
+    # hqq
+    p.add_argument("--hqq_iters", type=int, default=20)
+    # distribution
+    p.add_argument("--tp", type=int, default=None, help="tensor-parallel size")
+    p.add_argument("--dp", type=int, default=None, help="data-parallel size")
+    # io
+    p.add_argument("--save_dir", default=None)
+    p.add_argument("--output_json", default=None)
+    p.add_argument("--real_quant", action="store_true", default=True)
+    return p
+
+
+def load_model(args):
+    import jax
+
+    from .models import NAMED_CONFIGS, init_params
+    from .models.hf_loader import from_hf_checkpoint
+
+    if args.model:
+        return from_hf_checkpoint(args.model)
+    if args.net:
+        cfg = NAMED_CONFIGS[args.net]
+        import jax.numpy as jnp
+
+        params = init_params(cfg, jax.random.PRNGKey(args.seed), dtype=jnp.float32)
+        return params, cfg
+    raise SystemExit("pass --model <dir> or --net <named-config>")
+
+
+def get_calib(args, tokenizer, vocab_size: int) -> np.ndarray:
+    if args.calib_dataset == "synthetic" or tokenizer is None:
+        rng = np.random.default_rng(args.seed)
+        return rng.integers(0, vocab_size, (args.nsamples, args.seqlen))
+    from .eval.data import get_loaders
+
+    loader, _ = get_loaders(
+        args.calib_dataset, nsamples=args.nsamples, seed=args.seed,
+        seqlen=args.seqlen, tokenizer=tokenizer,
+    )
+    return np.concatenate([inp for inp, _ in loader], axis=0)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    t0 = time.time()
+    params, cfg = load_model(args)
+    print(f"[cli] model ready ({cfg.arch}, {cfg.num_layers}L) in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    if args.seqlen > cfg.max_position_embeddings:
+        # reference pins seqlen to the model's position table
+        # (`models/LMClass.py:34,43`)
+        print(f"[cli] seqlen {args.seqlen} > max_position_embeddings "
+              f"{cfg.max_position_embeddings}; clamping", file=sys.stderr)
+        args.seqlen = cfg.max_position_embeddings
+
+    tokenizer = None
+    if args.model:
+        from .eval.data import HFTokenizer
+
+        try:
+            tokenizer = HFTokenizer(args.model)
+        except Exception as e:
+            print(f"[cli] tokenizer unavailable: {e}", file=sys.stderr)
+
+    from .models.transformer import RuntimeQuantConfig
+    from .quant.quantizer import QuantSpec
+
+    rq = RuntimeQuantConfig(
+        act=QuantSpec(n_bits=args.abits) if args.abits < 16 else None
+    )
+
+    if args.quant_method not in ("none",) and args.wbits < 16:
+        spec = QuantSpec(
+            n_bits=args.wbits,
+            group_size=args.group_size,
+            symmetric=args.symmetric,
+            disable_zero_point=args.disable_zero_point,
+        )
+        calib = None
+        if args.quant_method in ("gptq", "awq", "smoothquant", "omniquant"):
+            calib = get_calib(args, tokenizer, cfg.vocab_size)
+        from .api import quantize
+
+        kw = {}
+        if args.quant_method == "gptq":
+            kw = dict(blocksize=args.blocksize, percdamp=args.percdamp, actorder=args.act_order)
+        elif args.quant_method == "omniquant":
+            kw = dict(epochs=args.epochs, lwc_lr=args.lwc_lr, aug_loss=args.aug_loss)
+        elif args.quant_method == "hqq":
+            kw = dict(iters=args.hqq_iters)
+        t0 = time.time()
+        params = quantize(params, cfg, args.quant_method, spec, calib, **kw)
+        print(f"[cli] {args.quant_method} W{args.wbits}"
+              f"{'g'+str(args.group_size) if args.group_size else ''} "
+              f"in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.tp or args.dp:
+        from .parallel import make_mesh, shard_params
+
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        params = shard_params(params, mesh, cfg)
+        print(f"[cli] sharded over mesh {dict(mesh.shape)}", file=sys.stderr)
+
+    results = {}
+    if args.eval_ppl:
+        from .eval.data import get_loaders
+        from .eval.ppl import eval_ppl_suite
+
+        streams = {}
+        for ds in args.ppl_datasets.split(","):
+            if tokenizer is None:
+                rng = np.random.default_rng(0)
+                streams[ds] = rng.integers(0, cfg.vocab_size, (1, args.seqlen * 4))
+            else:
+                _, testenc = get_loaders(ds, seed=args.seed, seqlen=args.seqlen,
+                                         tokenizer=tokenizer)
+                streams[ds] = np.asarray(testenc)
+        limit = None if args.limit == -1 else args.limit
+        results.update(
+            eval_ppl_suite(params, cfg, streams, seqlen=args.seqlen, rq=rq, limit=limit)
+        )
+        for k, v in results.items():
+            print(f"[cli] {k} ppl = {v:.4f}", file=sys.stderr)
+
+    if args.tasks:
+        from .eval.data import ByteTokenizer
+        from .eval.harness import JAXLM, make_table, simple_evaluate
+
+        lm = JAXLM(params, cfg, tokenizer or ByteTokenizer(), rq=rq,
+                   batch_size=args.batch_size)
+        t_res = simple_evaluate(
+            lm, tasks=args.tasks, num_fewshot=args.num_fewshot,
+            limit=None if args.limit == -1 else args.limit,
+        )
+        results.update(t_res["results"])
+        print(make_table(t_res), file=sys.stderr)
+
+    if args.save_dir:
+        from .models.hf_loader import save_checkpoint
+
+        save_checkpoint(params, cfg, args.save_dir)
+        print(f"[cli] saved to {args.save_dir}", file=sys.stderr)
+
+    print(json.dumps(results, default=str))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Aggregation metrics + bootstrap stderr (`/root/reference/lm_eval/metrics.py`)."""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Callable, List, Tuple
+
+
+def mean(arr) -> float:
+    return sum(arr) / len(arr)
+
+
+def median(arr) -> float:
+    arr = sorted(arr)
+    return arr[len(arr) // 2]
+
+
+def perplexity(items) -> float:
+    return math.exp(-mean(items))
+
+
+def weighted_mean(items: List[Tuple[float, float]]) -> float:
+    a, b = zip(*items)
+    return sum(a) / sum(b)
+
+
+def weighted_perplexity(items: List[Tuple[float, float]]) -> float:
+    return math.exp(-weighted_mean(items))
+
+
+def bits_per_byte(items: List[Tuple[float, float]]) -> float:
+    return -weighted_mean(items) / math.log(2)
+
+
+def matthews_corrcoef(items) -> float:
+    golds, preds = zip(*items)
+    tp = sum(1 for g, p in zip(golds, preds) if g == 1 and p == 1)
+    tn = sum(1 for g, p in zip(golds, preds) if g == 0 and p == 0)
+    fp = sum(1 for g, p in zip(golds, preds) if g == 0 and p == 1)
+    fn = sum(1 for g, p in zip(golds, preds) if g == 1 and p == 0)
+    denom = math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return ((tp * tn) - (fp * fn)) / denom if denom else 0.0
+
+
+def f1_score(items) -> float:
+    golds, preds = zip(*items)
+    tp = sum(1 for g, p in zip(golds, preds) if g == 1 and p == 1)
+    fp = sum(1 for g, p in zip(golds, preds) if g == 0 and p == 1)
+    fn = sum(1 for g, p in zip(golds, preds) if g == 1 and p == 0)
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+
+
+def acc_all(items) -> float:
+    """Question-level accuracy for multi-span tasks (ReCoRD/MultiRC style):
+    every span must be correct (`lm_eval/metrics.py:48-90`)."""
+    question_scoring: dict = {}
+    for correct, doc in items:
+        key = (doc.get("idx", {}).get("paragraph", 0), doc.get("idx", {}).get("question", 0))
+        question_scoring.setdefault(key, []).append(correct)
+    return mean([int(all(v)) for v in question_scoring.values()])
+
+
+def bootstrap_stderr(f: Callable, xs, iters: int = 1000) -> float:
+    """Bootstrap standard error of metric f over xs
+    (`lm_eval/metrics.py:192-253`; single-process — the reference uses a
+    multiprocessing pool, unnecessary at these sizes)."""
+    rnd = random.Random(1234)
+    res = []
+    n = len(xs)
+    for _ in range(min(iters, 2000)):
+        res.append(f([rnd.choice(xs) for _ in range(n)]))
+    mu = mean(res)
+    return math.sqrt(sum((r - mu) ** 2 for r in res) / max(len(res) - 1, 1))
+
+
+def stderr_for_metric(metric: Callable, bootstrap_iters: int = 1000):
+    if metric in (mean, acc_all):
+        return lambda xs: bootstrap_stderr(metric, xs, bootstrap_iters)
+    bootstrappable = {
+        median,
+        matthews_corrcoef,
+        f1_score,
+        perplexity,
+        weighted_perplexity,
+        bits_per_byte,
+    }
+    if metric in bootstrappable:
+        return lambda xs: bootstrap_stderr(metric, xs, bootstrap_iters)
+    return None

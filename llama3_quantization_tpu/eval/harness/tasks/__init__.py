@@ -1,0 +1,43 @@
+"""Task registry (`/root/reference/lm_eval/tasks/__init__.py:86-353`).
+
+Covers the reference study's benchmark set — the five CommonSenseQA tasks
+(`new_scripts/evaluate_*.sh`: piqa, arc_easy, arc_challenge, hellaswag,
+winogrande), wikitext, MMLU (hendrycksTest-*), plus boolq/lambada/gsm8k —
+with the same prompt formats, so scores are comparable. All tasks accept
+`data={split: [docs]}` for offline operation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from .arc import ARCChallenge, ARCEasy
+from .boolq import BoolQ
+from .gsm8k import GSM8K
+from .hellaswag import HellaSwag
+from .hendrycks_test import SUBJECTS, create_mmlu_task
+from .lambada import Lambada
+from .piqa import PiQA
+from .winogrande import Winogrande
+from .wikitext import WikiText
+
+TASK_REGISTRY = {
+    "piqa": PiQA,
+    "arc_easy": ARCEasy,
+    "arc_challenge": ARCChallenge,
+    "hellaswag": HellaSwag,
+    "winogrande": Winogrande,
+    "wikitext": WikiText,
+    "boolq": BoolQ,
+    "lambada_openai": Lambada,
+    "gsm8k": GSM8K,
+    **{f"hendrycksTest-{sub}": create_mmlu_task(sub) for sub in SUBJECTS},
+}
+
+
+def get_task_dict(task_name_list: List[str], task_data: Optional[Dict] = None):
+    task_data = task_data or {}
+    return {
+        name: TASK_REGISTRY[name](data=task_data.get(name))
+        for name in task_name_list
+    }

@@ -1,0 +1,187 @@
+"""IR benchmarking: BM25 first stage + UPR cross-encoder reranking.
+
+Native replacement for `/root/reference/benchmark_beir.py`: the reference
+drives an external Elasticsearch BM25 server (`:348-355`) and reranks with
+a UPR prompt through HF internals (`QLlamaUPRModel`, `:211-266`). Here the
+first stage is an in-process Okapi BM25 index (no server), and UPR scoring
+runs through the framework's jitted forward — score = −mean CE of the query
+tokens conditioned on "{header} {passage} {instruction}", identical prompt
+semantics. Padding is applied only *after* the scored region (right pad,
+causal attention), so no attention-mask plumbing is needed.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+DEFAULT_HEADER = "Passage: "
+DEFAULT_INSTRUCTION = "Please write a question based on this passage."
+
+
+# ---------------------------------------------------------------------------
+# BM25 (Okapi) — replaces the Elasticsearch dependency
+# ---------------------------------------------------------------------------
+
+
+def _tokenize(text: str) -> List[str]:
+    import re
+
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+class BM25Index:
+    def __init__(self, corpus: Dict[str, str], k1: float = 0.9, b: float = 0.4):
+        self.k1, self.b = k1, b
+        self.doc_ids = list(corpus.keys())
+        self.doc_toks = [_tokenize(corpus[d]) for d in self.doc_ids]
+        self.doc_len = np.asarray([len(t) for t in self.doc_toks], dtype=np.float32)
+        self.avgdl = float(self.doc_len.mean()) if len(self.doc_len) else 0.0
+        self.tf: List[Counter] = [Counter(t) for t in self.doc_toks]
+        df: Counter = Counter()
+        for t in self.doc_toks:
+            df.update(set(t))
+        n = len(self.doc_ids)
+        self.idf = {
+            w: math.log(1 + (n - c + 0.5) / (c + 0.5)) for w, c in df.items()
+        }
+
+    def search(self, query: str, top_k: int = 100) -> Dict[str, float]:
+        q_toks = _tokenize(query)
+        scores = np.zeros(len(self.doc_ids), dtype=np.float32)
+        for w in q_toks:
+            idf = self.idf.get(w)
+            if idf is None:
+                continue
+            tf = np.asarray([t[w] for t in self.tf], dtype=np.float32)
+            denom = tf + self.k1 * (1 - self.b + self.b * self.doc_len / max(self.avgdl, 1e-9))
+            scores += idf * tf * (self.k1 + 1) / np.maximum(denom, 1e-9)
+        top = np.argsort(-scores)[:top_k]
+        return {self.doc_ids[i]: float(scores[i]) for i in top if scores[i] > 0}
+
+
+# ---------------------------------------------------------------------------
+# UPR cross-encoder scoring
+# ---------------------------------------------------------------------------
+
+
+class UPRReranker:
+    """−mean-CE(query | passage+instruction) scorer
+    (`benchmark_beir.py:225-266`)."""
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        rq=None,
+        header: str = DEFAULT_HEADER,
+        instruction: str = DEFAULT_INSTRUCTION,
+        max_length: int = 2048,
+    ):
+        import jax
+        from functools import partial
+
+        from ..models.transformer import NO_QUANT, forward_logits
+
+        self.params, self.cfg, self.tok = params, cfg, tokenizer
+        self.header, self.instruction = header, instruction
+        self.max_length = max_length
+        self._fwd = jax.jit(partial(forward_logits, cfg=cfg, rq=rq or NO_QUANT))
+
+    def _bucket(self, n: int) -> int:
+        b = 32
+        while b < n:
+            b *= 2
+        return b
+
+    def score_pairs(self, pairs: Sequence[Tuple[str, str]], batch_size: int = 8) -> List[float]:
+        """pairs of (query, passage) -> scores (higher = better match)."""
+        import jax.numpy as jnp
+
+        items = []
+        for qi, (query, passage) in enumerate(pairs):
+            ctx = self.tok.encode(f"{self.header}{passage} {self.instruction}")
+            tgt = self.tok.encode(query)
+            seq = (list(ctx) + list(tgt))[-self.max_length :]
+            n_tgt = min(len(tgt), len(seq) - 1)
+            items.append((qi, seq, n_tgt))
+        # group by bucketed length to limit recompiles
+        items.sort(key=lambda it: len(it[1]))
+        scores = [0.0] * len(pairs)
+        for start in range(0, len(items), batch_size):
+            chunk = items[start : start + batch_size]
+            maxlen = self._bucket(max(len(seq) for _, seq, _ in chunk))
+            batch = np.zeros((len(chunk), maxlen), dtype=np.int32)
+            for i, (_, seq, _) in enumerate(chunk):
+                batch[i, : len(seq)] = seq
+            logits = np.asarray(
+                self._fwd(self.params, jnp.asarray(batch)), dtype=np.float32
+            )
+            logp = logits - np.log(
+                np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)
+            ) - logits.max(-1, keepdims=True)
+            for i, (qi, seq, n_tgt) in enumerate(chunk):
+                L = len(seq)
+                pos = np.arange(L - n_tgt - 1, L - 1)
+                toks = np.asarray(seq[L - n_tgt :])
+                scores[qi] = float(np.mean(logp[i][pos, toks]))  # -mean CE
+        return scores
+
+    def rerank(
+        self,
+        corpus: Dict[str, str],
+        queries: Dict[str, str],
+        first_stage: Dict[str, Dict[str, float]],
+        top_k: int = 100,
+        batch_size: int = 8,
+    ) -> Dict[str, Dict[str, float]]:
+        """BEIR `Rerank(...).rerank` flow (`benchmark_beir.py:358-361`)."""
+        out: Dict[str, Dict[str, float]] = {}
+        for qid, cands in first_stage.items():
+            ranked = sorted(cands.items(), key=lambda kv: -kv[1])[:top_k]
+            pairs = [(queries[qid], corpus[did]) for did, _ in ranked]
+            scores = self.score_pairs(pairs, batch_size=batch_size)
+            out[qid] = {did: s for (did, _), s in zip(ranked, scores)}
+        return out
+
+
+# ---------------------------------------------------------------------------
+# trec-style metrics (beir's EvaluateRetrieval.evaluate equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _dcg(rels: List[float]) -> float:
+    return sum(r / math.log2(i + 2) for i, r in enumerate(rels))
+
+
+def evaluate_retrieval(
+    qrels: Dict[str, Dict[str, int]],
+    results: Dict[str, Dict[str, float]],
+    k_values: Sequence[int] = (1, 3, 5, 10, 100),
+) -> Dict[str, float]:
+    """NDCG@k / MAP@k / Recall@k / P@k over all queries
+    (`benchmark_beir.py:363-369`)."""
+    metrics: Dict[str, List[float]] = defaultdict(list)
+    for qid, rel in qrels.items():
+        ranked = sorted(results.get(qid, {}).items(), key=lambda kv: -kv[1])
+        gains = [rel.get(did, 0) for did, _ in ranked]
+        n_rel = sum(1 for v in rel.values() if v > 0)
+        for k in k_values:
+            top = gains[:k]
+            ideal = sorted(rel.values(), reverse=True)[:k]
+            idcg = _dcg([v for v in ideal if v > 0])
+            metrics[f"NDCG@{k}"].append(_dcg(top) / idcg if idcg > 0 else 0.0)
+            hits = sum(1 for g in top if g > 0)
+            metrics[f"P@{k}"].append(hits / k)
+            metrics[f"Recall@{k}"].append(hits / n_rel if n_rel else 0.0)
+            ap, seen = 0.0, 0
+            for i, g in enumerate(top):
+                if g > 0:
+                    seen += 1
+                    ap += seen / (i + 1)
+            metrics[f"MAP@{k}"].append(ap / min(n_rel, k) if n_rel else 0.0)
+    return {m: float(np.mean(v)) for m, v in metrics.items()}

@@ -1,0 +1,184 @@
+"""HF checkpoint -> parameter pytree loader.
+
+The reference loads models through `AutoModelForCausalLM`
+(`/root/reference/models/LMClass.py:40-43`); here checkpoints are read
+directly from safetensors/torch shards into the framework's stacked-layer
+pytree — no torch module tree, no HF model class, and weights land
+pre-transposed to the `[in, out]` matmul layout.
+
+Zero-egress note: only local checkpoint directories are supported
+(`from_hf_checkpoint("/path/to/Meta-Llama-3-8B")`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import ModelConfig
+
+
+def config_from_hf(path: str) -> ModelConfig:
+    """Translate a HF config.json into a ModelConfig."""
+    with open(os.path.join(path, "config.json")) as f:
+        raw = json.load(f)
+    mt = raw.get("model_type", "llama")
+    if mt == "llama":
+        return ModelConfig(
+            arch="llama",
+            vocab_size=raw["vocab_size"],
+            hidden_size=raw["hidden_size"],
+            intermediate_size=raw["intermediate_size"],
+            num_layers=raw["num_hidden_layers"],
+            num_heads=raw["num_attention_heads"],
+            num_kv_heads=raw.get("num_key_value_heads", raw["num_attention_heads"]),
+            max_position_embeddings=raw.get("max_position_embeddings", 8192),
+            rope_theta=raw.get("rope_theta", 10000.0),
+            rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
+            tie_word_embeddings=raw.get("tie_word_embeddings", False),
+        )
+    if mt == "opt":
+        return ModelConfig(
+            arch="opt",
+            vocab_size=raw["vocab_size"],
+            hidden_size=raw["hidden_size"],
+            intermediate_size=raw["ffn_dim"],
+            num_layers=raw["num_hidden_layers"],
+            num_heads=raw["num_attention_heads"],
+            num_kv_heads=raw["num_attention_heads"],
+            max_position_embeddings=raw["max_position_embeddings"],
+            activation="relu",
+            tie_word_embeddings=raw.get("tie_word_embeddings", True),
+            do_layer_norm_before=raw.get("do_layer_norm_before", True),
+        )
+    raise ValueError(f"unsupported model_type {mt}")
+
+
+def _load_tensors(path: str) -> Dict[str, np.ndarray]:
+    """Read all weight shards (safetensors preferred, torch .bin fallback)."""
+    tensors: Dict[str, np.ndarray] = {}
+    st_files = sorted(
+        f for f in os.listdir(path) if f.endswith(".safetensors")
+    )
+    if st_files:
+        from safetensors import safe_open
+
+        for fname in st_files:
+            with safe_open(os.path.join(path, fname), framework="numpy") as f:
+                for key in f.keys():
+                    tensors[key] = f.get_tensor(key)
+        return tensors
+    bin_files = sorted(f for f in os.listdir(path) if f.endswith(".bin"))
+    if not bin_files:
+        raise FileNotFoundError(f"no safetensors/bin shards in {path}")
+    import torch
+
+    for fname in bin_files:
+        sd = torch.load(os.path.join(path, fname), map_location="cpu", weights_only=True)
+        for key, val in sd.items():
+            tensors[key] = val.to(torch.float32).numpy()
+    return tensors
+
+
+# HF parameter name templates per arch: ours -> (template, transpose)
+_LLAMA_LAYER = {
+    "q": ("model.layers.{i}.self_attn.q_proj.weight", True),
+    "k": ("model.layers.{i}.self_attn.k_proj.weight", True),
+    "v": ("model.layers.{i}.self_attn.v_proj.weight", True),
+    "o": ("model.layers.{i}.self_attn.o_proj.weight", True),
+    "gate": ("model.layers.{i}.mlp.gate_proj.weight", True),
+    "up": ("model.layers.{i}.mlp.up_proj.weight", True),
+    "down": ("model.layers.{i}.mlp.down_proj.weight", True),
+    "ln1.w": ("model.layers.{i}.input_layernorm.weight", False),
+    "ln2.w": ("model.layers.{i}.post_attention_layernorm.weight", False),
+}
+_OPT_LAYER = {
+    "q": ("model.decoder.layers.{i}.self_attn.q_proj.weight", True),
+    "k": ("model.decoder.layers.{i}.self_attn.k_proj.weight", True),
+    "v": ("model.decoder.layers.{i}.self_attn.v_proj.weight", True),
+    "o": ("model.decoder.layers.{i}.self_attn.out_proj.weight", True),
+    "fc1": ("model.decoder.layers.{i}.fc1.weight", True),
+    "fc2": ("model.decoder.layers.{i}.fc2.weight", True),
+    "q.b": ("model.decoder.layers.{i}.self_attn.q_proj.bias", False),
+    "k.b": ("model.decoder.layers.{i}.self_attn.k_proj.bias", False),
+    "v.b": ("model.decoder.layers.{i}.self_attn.v_proj.bias", False),
+    "o.b": ("model.decoder.layers.{i}.self_attn.out_proj.bias", False),
+    "fc1.b": ("model.decoder.layers.{i}.fc1.bias", False),
+    "fc2.b": ("model.decoder.layers.{i}.fc2.bias", False),
+    "ln1.w": ("model.decoder.layers.{i}.self_attn_layer_norm.weight", False),
+    "ln1.b": ("model.decoder.layers.{i}.self_attn_layer_norm.bias", False),
+    "ln2.w": ("model.decoder.layers.{i}.final_layer_norm.weight", False),
+    "ln2.b": ("model.decoder.layers.{i}.final_layer_norm.bias", False),
+}
+
+
+def from_hf_checkpoint(
+    path: str, cfg: Optional[ModelConfig] = None, dtype=jnp.bfloat16
+) -> tuple:
+    """Load (params, cfg) from a local HF checkpoint directory."""
+    cfg = cfg or config_from_hf(path)
+    raw = _load_tensors(path)
+
+    def get(name, transpose=False):
+        t = raw[name].astype(np.float32)
+        return jnp.asarray(t.T if transpose else t, dtype)
+
+    L = cfg.num_layers
+    table = _LLAMA_LAYER if cfg.arch == "llama" else _OPT_LAYER
+
+    layers: Dict[str, Any] = {}
+    for ours, (tmpl, tr) in table.items():
+        stacked = jnp.stack([get(tmpl.format(i=i), tr) for i in range(L)])
+        if "." in ours:
+            top, sub = ours.split(".")
+            layers.setdefault(top, {})[sub] = stacked
+        else:
+            layers.setdefault(ours, {})["w"] = stacked
+
+    params: Dict[str, Any] = {"layers": layers}
+    if cfg.arch == "llama":
+        params["embed"] = get("model.embed_tokens.weight")
+        params["norm"] = {"w": get("model.norm.weight")}
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = get("lm_head.weight", transpose=True)
+    else:
+        params["embed"] = get("model.decoder.embed_tokens.weight")
+        params["pos_embed"] = get("model.decoder.embed_positions.weight")
+        ln_key = "model.decoder.final_layer_norm"
+        params["norm"] = {"w": get(f"{ln_key}.weight"), "b": get(f"{ln_key}.bias")}
+        if not cfg.tie_word_embeddings and "lm_head.weight" in raw:
+            params["lm_head"] = get("lm_head.weight", transpose=True)
+    return params, cfg
+
+
+def save_checkpoint(params, cfg: ModelConfig, path: str) -> None:
+    """Persist a (possibly quantized) param pytree with metadata — the
+    framework-native analogue of the reference's `save_pretrained` fake-
+    quant export (`main.py:399-414`). Uses jax.numpy savez of flattened
+    leaves + a JSON treedef manifest."""
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    np.savez(
+        os.path.join(path, "params.npz"),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+    )
+    import dataclasses as dc
+
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump({"treedef": str(treedef), "config": dc.asdict(cfg)}, f)
+
+
+def load_checkpoint(path: str, params_like) -> Any:
+    """Restore leaves into the structure of `params_like` (same treedef)."""
+    import jax
+
+    data = np.load(os.path.join(path, "params.npz"))
+    leaves, treedef = jax.tree_util.tree_flatten(params_like)
+    new_leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -174,7 +174,13 @@ def _attn_block(
         cos, sin = cos_sin
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-    if kv_cache is not None:
+    if kv_cache is not None and len(kv_cache) == 4:
+        # int8 quantized ring buffer (ops/kvcache.py)
+        from ..ops.kvcache import cache_read, cache_update
+
+        new_cache = cache_update(kv_cache, k, v, cache_pos)
+        k_all, v_all = cache_read(new_cache, h.dtype)
+    elif kv_cache is not None:
         ck, cv = kv_cache
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
@@ -234,9 +240,16 @@ def embed(params: Params, tokens: jax.Array, cfg: ModelConfig, positions: jax.Ar
     """Token (+ learned position, OPT) embedding. Activations follow the
     *parameter* dtype (bf16 in production, fp32 in CPU tests) — `cfg.dtype`
     only controls initialization."""
-    h = jnp.take(params["embed"], tokens, axis=0)
+    h = jnp.take(params["embed"], tokens, axis=0, mode="clip")
     if cfg.arch == "opt":
-        h = h + jnp.take(params["pos_embed"], positions + OPT_POS_OFFSET, axis=0)
+        if positions.shape[-1] > cfg.max_position_embeddings:
+            raise ValueError(
+                f"sequence length {positions.shape[-1]} exceeds "
+                f"max_position_embeddings={cfg.max_position_embeddings}"
+            )
+        # mode="clip": jnp.take's default OOB mode is "fill" (NaN), which
+        # would silently poison logits for dynamic decode positions
+        h = h + jnp.take(params["pos_embed"], positions + OPT_POS_OFFSET, axis=0, mode="clip")
     return h
 
 
@@ -291,7 +304,15 @@ def forward_logits(
 # ---------------------------------------------------------------------------
 
 
-def init_kv_cache(cfg: ModelConfig, batch: int, max_len: int, dtype=None) -> Dict[str, jax.Array]:
+def init_kv_cache(
+    cfg: ModelConfig, batch: int, max_len: int, dtype=None, quantized: bool = False
+) -> Dict[str, jax.Array]:
+    """Preallocated KV cache; `quantized=True` -> int8 codes + per-token-head
+    scales (ops/kvcache.py), halving decode HBM traffic."""
+    if quantized:
+        from ..ops.kvcache import init_quantized_kv_cache
+
+        return init_quantized_kv_cache(cfg, batch, max_len)
     dtype = dtype or jnp.dtype(cfg.dtype)
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
@@ -309,7 +330,8 @@ def decode_step(
 
     Returns (logits [B, S_step, V], updated cache)."""
     b, s = tokens.shape
-    max_len = cache["k"].shape[2]
+    cache_keys = sorted(cache.keys())  # ("k","v") or ("k_q","k_s","v_q","v_s")
+    max_len = cache[cache_keys[0]].shape[2]
     positions = pos + jnp.arange(s)[None, :]
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
@@ -324,11 +346,14 @@ def decode_step(
     mask = jnp.where(kj <= qi, 0.0, -jnp.inf).astype(jnp.float32)
 
     def body(h, xs):
-        layer_p, ck, cv = xs
-        h, new_kv = decoder_layer(layer_p, h, cfg, rq, cos_sin, mask, (ck, cv), pos)
+        layer_p = xs[0]
+        layer_cache = tuple(xs[1:])
+        h, new_kv = decoder_layer(layer_p, h, cfg, rq, cos_sin, mask, layer_cache, pos)
         return h, new_kv
 
-    h, (new_k, new_v) = jax.lax.scan(body, h, (params["layers"], cache["k"], cache["v"]))
+    h, new_cache = jax.lax.scan(
+        body, h, (params["layers"], *(cache[k] for k in cache_keys))
+    )
     h = final_norm(params, h, cfg)
     logits = lm_head(params, h, cfg)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, dict(zip(cache_keys, new_cache))

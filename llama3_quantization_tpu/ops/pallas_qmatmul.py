@@ -13,13 +13,21 @@ speedup.
 Layout contract (from `quant/pack.py`): within each group of `gs` rows,
 packed byte row j of the group holds values {s·(gs/f)+j : s < f} in bit
 fields s·bits. Unpack = concat over s of ((b >> s·bits) & mask) along the
-row axis, group-locally. K tiles are therefore multiples of gs.
+row axis, group-locally; K tiles are therefore multiples of gs.
+
+Mosaic tiling constraints shape the schedule:
+- scale/zero arrays are too thin for per-k-step (bk/gs, bn) blocks (the
+  (8, 128) sublane rule), so they ride along with the FULL group axis and
+  are sliced in-kernel at offsets that are provable multiples of 8 — hence
+  K tiles are exactly 8 groups (group axis zero-padded to a multiple of 8),
+  or the whole K when there are fewer than 8 groups.
+- Zero-padding K is sound: the padded x columns are 0, so whatever the
+  padded codes dequantize to contributes nothing.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,13 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.pack import pack_factor
 from ..quant.qtensor import QuantizedTensor
 
+#: groups per K tile when the group axis is split (sublane alignment)
+GROUPS_PER_TILE = 8
+
 
 def _unpack_block(pk_i32: jax.Array, bits: int, groups: int, gs: int, bn: int) -> jax.Array:
-    """Unpack an int32 view of packed bytes [bk/f, bn] -> codes [bk, bn].
-
-    pk_i32 is reshaped group-locally: (groups, gs/f, bn); each bit-field s
-    contributes the sub-block of rows [s·gs/f, (s+1)·gs/f) of its group.
-    """
+    """Unpack an int32 view of packed bytes [bk/f, bn] -> codes [bk, bn]."""
     f = 8 // bits
     mask = (1 << bits) - 1
     sub = gs // f
@@ -44,7 +51,9 @@ def _unpack_block(pk_i32: jax.Array, bits: int, groups: int, gs: int, bn: int) -
     return jnp.concatenate(parts, axis=1).reshape(groups * gs, bn)
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, nsteps):
+def _qmm_kernel(
+    x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, nsteps, packed
+):
     """Grid = (m_tiles, n_tiles, k_tiles); k innermost, accumulated."""
     j = pl.program_id(2)
 
@@ -52,19 +61,24 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, nsteps)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    f = pack_factor(bits)
+    f = pack_factor(bits) if packed else 1
     bn = w_ref.shape[-1]
-    if f > 1:
-        bk = w_ref.shape[0] * f
-        groups = bk // gs
+    bk = w_ref.shape[0] * f
+    groups = bk // gs
+    if packed and f > 1:
         codes = _unpack_block(w_ref[:].astype(jnp.int32), bits, groups, gs, bn)
     else:
-        bk = w_ref.shape[0]
-        groups = bk // gs
         codes = w_ref[:].astype(jnp.int32)
     codes = codes.reshape(groups, gs, bn).astype(jnp.float32)
-    scale = s_ref[:].reshape(groups, 1, bn)
-    zero = z_ref[:].reshape(groups, 1, bn)
+    if nsteps == 1:
+        scale = s_ref[:].reshape(groups, 1, bn)
+        zero = z_ref[:].reshape(groups, 1, bn)
+    else:
+        # groups == GROUPS_PER_TILE == 8 here, so the offset is provably
+        # sublane-aligned
+        off = pl.multiple_of(j * groups, GROUPS_PER_TILE)
+        scale = s_ref[pl.ds(off, groups), :].reshape(groups, 1, bn)
+        zero = z_ref[pl.ds(off, groups), :].reshape(groups, 1, bn)
     w = ((codes - zero) * scale).reshape(groups * gs, bn).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
@@ -75,8 +89,8 @@ def _qmm_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, nsteps)
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
-    pad = (-x.shape[axis]) % mult
+def _pad_axis(x: jax.Array, axis: int, target: int) -> jax.Array:
+    pad = target - x.shape[axis]
     if pad == 0:
         return x
     cfg = [(0, 0)] * x.ndim
@@ -85,31 +99,22 @@ def _pad_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bits", "gs", "k", "bm", "bn", "bk", "out_dtype", "interpret")
+    jax.jit,
+    static_argnames=("bits", "gs", "packed", "bm", "bn", "bk", "out_dtype", "interpret"),
 )
 def _fused_qmm(
-    x2d: jax.Array,  # [M, K]
-    data: jax.Array,  # [K/f, N] packed or [K, N] codes
-    scale: jax.Array,  # [G, N]
-    zero: jax.Array,  # [G, N]
-    bits: int,
-    gs: int,
-    k: int,
-    bm: int,
-    bn: int,
-    bk: int,
-    out_dtype,
-    interpret: bool = False,
+    x2d, data, scale, zero, bits, gs, packed, bm, bn, bk, out_dtype, interpret=False
 ):
-    m, n = x2d.shape[0], data.shape[-1]
-    f = pack_factor(bits)
-    xp = _pad_to(_pad_to(x2d, 0, bm), 1, bk)
-    mp, kp = xp.shape
-    if kp != k:  # K must already be tile-aligned (enforced by caller)
-        raise ValueError(f"K={k} not a multiple of bk={bk}")
-    grid = (mp // bm, n // bn, k // bk)
+    m = x2d.shape[0]
+    n = data.shape[-1]
+    f = pack_factor(bits) if packed else 1
+    k_pad = data.shape[0] * f
+    xp = _pad_axis(x2d, 0, -(-m // bm) * bm)
+    xp = _pad_axis(xp, 1, k_pad)
+    mp = xp.shape[0]
+    grid = (mp // bm, n // bn, k_pad // bk)
     kernel = functools.partial(
-        _qmm_kernel, bits=bits, gs=gs, nsteps=grid[2]
+        _qmm_kernel, bits=bits, gs=gs, nsteps=grid[2], packed=packed
     )
     out = pl.pallas_call(
         kernel,
@@ -117,8 +122,12 @@ def _fused_qmm(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, h, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // f, bn), lambda i, h, j: (j, h), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // gs, bn), lambda i, h, j: (j, h), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // gs, bn), lambda i, h, j: (j, h), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k_pad // gs, bn), lambda i, h, j: (0, h), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k_pad // gs, bn), lambda i, h, j: (0, h), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, h, j: (i, h), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
@@ -127,8 +136,8 @@ def _fused_qmm(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * n * k,
-            bytes_accessed=data.size * data.dtype.itemsize + mp * k * 2 + mp * n * 2,
+            flops=2 * mp * n * k_pad,
+            bytes_accessed=data.size * data.dtype.itemsize + mp * k_pad * 2 + mp * n * 2,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -136,17 +145,8 @@ def _fused_qmm(
     return out[:m]
 
 
-def _choose_tiles(m: int, k: int, n: int, gs: int, f: int):
-    bm = 128 if m >= 128 else max(8, 1 << (m - 1).bit_length())
-    # K tile: multiple of gs, at least 2 sublane tiles of packed bytes
-    bk = gs
-    while bk < min(k, 512):
-        bk *= 2
-    bk = min(bk, k)
-    while k % bk:
-        bk //= 2
-    bn = 256 if n % 256 == 0 else (128 if n % 128 == 0 else n)
-    return bm, bn, bk
+def _choose_bm(m: int) -> int:
+    return 128 if m >= 128 else max(8, 1 << (m - 1).bit_length())
 
 
 def fused_dequant_matmul(
@@ -154,27 +154,58 @@ def fused_dequant_matmul(
     qt: QuantizedTensor,
     out_dtype=None,
     interpret: bool = False,
-) -> jax.Array:
+):
     """Public entry: `x @ dequant(qt)` with x of any leading shape."""
     if qt.zero is None:
         raise NotImplementedError("pallas path requires zero-point storage")
     gs = qt.group_size or qt.k
-    if qt.k % gs:
-        raise ValueError("K must be a multiple of group_size")
     out_dtype = out_dtype or x.dtype
     lead = x.shape[:-1]
     x2d = x.reshape(-1, qt.k)
-    f = pack_factor(qt.bits) if qt.packed else 1
-    bm, bn, bk = _choose_tiles(x2d.shape[0], qt.k, qt.n, gs, f)
+    m = x2d.shape[0]
+
+    data, scale, zero = qt.data, qt.scale, qt.zero
+    packed = qt.packed
+    f = pack_factor(qt.bits) if packed else 1
+
+    if not packed and gs > 512 and qt.k % 512 == 0:
+        # unpacked codes have no group-local layout, so large/whole-axis
+        # groups can be re-tiled into 512-row synthetic groups (scales
+        # replicated) to keep VMEM tiles small
+        rep = gs // 512
+        gs = 512
+        scale = jnp.repeat(scale, rep, axis=0)
+        zero = jnp.repeat(zero, rep, axis=0)
+
+    g = qt.k // gs
+    if g < GROUPS_PER_TILE:
+        bk = qt.k  # single K step; full group axis in VMEM
+    else:
+        g_pad = -(-g // GROUPS_PER_TILE) * GROUPS_PER_TILE
+        k_pad = g_pad * gs
+        data = _pad_axis(data, 0, k_pad // f)
+        scale = _pad_axis(scale, 0, g_pad)
+        zero = _pad_axis(zero, 0, g_pad)
+        # pad scale with 1s to avoid 0*0 NaN-adjacent corner in dequant
+        if g_pad != g:
+            ones = jnp.zeros((g_pad - g, scale.shape[1]), scale.dtype) + 1.0
+            scale = scale.at[g:].set(ones)
+        bk = GROUPS_PER_TILE * gs
+
+    bn = 256 if qt.n % 256 == 0 else (128 if qt.n % 128 == 0 else qt.n)
+    # VMEM guard: f32 unpacked tile + bf16 weight tile
+    while bk * bn * 6 > 6 * 1024 * 1024 and bn > 128:
+        bn //= 2
+
     out = _fused_qmm(
         x2d,
-        qt.data,
-        qt.scale,
-        qt.zero,
-        bits=qt.bits if qt.packed else 8,
+        data,
+        scale,
+        zero,
+        bits=qt.bits,
         gs=gs,
-        k=qt.k,
-        bm=bm,
+        packed=packed,
+        bm=_choose_bm(m),
         bn=bn,
         bk=bk,
         out_dtype=out_dtype,

@@ -1,0 +1,168 @@
+"""Harness plumbing tests with DummyLM + a real JAXLM on tiny models,
+using injected (offline) task documents."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llama3_quantization_tpu.eval.harness import (
+    DummyLM,
+    JAXLM,
+    make_table,
+    simple_evaluate,
+)
+from llama3_quantization_tpu.eval.harness.base import Request, rf
+from llama3_quantization_tpu.eval.harness.lm import (
+    get_rolling_token_windows,
+    make_disjoint_window,
+)
+from llama3_quantization_tpu.eval.harness.tasks import TASK_REGISTRY
+
+
+PIQA_DOCS = [
+    {"goal": f"do thing {i}", "sol1": f"option a{i}", "sol2": f"option b{i}", "label": i % 2}
+    for i in range(6)
+]
+ARC_DOCS = [
+    {
+        "id": str(i),
+        "question": f"what is {i}+{i}?",
+        "choices": {"text": [str(i), str(2 * i), str(3 * i)], "label": ["A", "B", "C"]},
+        "answerKey": "B",
+    }
+    for i in range(5)
+]
+WINO_DOCS = [
+    {
+        "sentence": f"The trophy{i} doesn't fit in the case because _ is too big.",
+        "option1": "the trophy",
+        "option2": "the case",
+        "answer": "1",
+    }
+    for i in range(4)
+]
+BOOLQ_DOCS = [
+    {"passage": f"Fact {i} is stated.", "question": f"is fact {i} stated", "label": i % 2}
+    for i in range(4)
+]
+MMLU_DOCS = [
+    {"question": f"Q{i}", "choices": ["w", "x", "y", "z"], "answer": i % 4} for i in range(4)
+]
+
+TASK_DATA = {
+    "piqa": {"train": PIQA_DOCS, "validation": PIQA_DOCS},
+    "arc_easy": {"train": ARC_DOCS, "validation": ARC_DOCS, "test": ARC_DOCS},
+    "winogrande": {"train": WINO_DOCS, "validation": WINO_DOCS},
+    "boolq": {"train": BOOLQ_DOCS, "validation": BOOLQ_DOCS},
+    "hendrycksTest-anatomy": {"test": MMLU_DOCS, "validation": MMLU_DOCS, "dev": MMLU_DOCS},
+    "wikitext": {"train": ["doc one text here"], "test": ["a b c d e f g h i j k l"]},
+}
+
+
+def test_registry_has_study_tasks():
+    for name in ["piqa", "arc_easy", "arc_challenge", "hellaswag", "winogrande", "wikitext"]:
+        assert name in TASK_REGISTRY
+    assert sum(1 for k in TASK_REGISTRY if k.startswith("hendrycksTest-")) == 57
+
+
+def test_request_promises():
+    r = rf.loglikelihood("ctx", "cont")
+    assert r[0].index == 0 and r[1].index == 1
+    with pytest.raises(NotImplementedError):
+        Request("bogus", ())
+
+
+def test_rolling_windows():
+    toks = list(range(10))
+    windows = [
+        make_disjoint_window(w)
+        for w in get_rolling_token_windows(toks, prefix_token=-1, max_seq_len=4, context_len=1)
+    ]
+    # all tokens predicted exactly once
+    predicted = [t for _, pred in windows for t in pred]
+    assert predicted == toks
+    assert windows[0][0][0] == -1  # first window starts with prefix token
+
+
+def test_dummy_eval_all_tasks():
+    lm = DummyLM()
+    res = simple_evaluate(
+        lm,
+        tasks=["piqa", "arc_easy", "winogrande", "boolq", "hendrycksTest-anatomy"],
+        task_data=TASK_DATA,
+        bootstrap_iters=10,
+    )
+    for t in ["piqa", "arc_easy", "winogrande", "boolq", "hendrycksTest-anatomy"]:
+        assert "acc" in res["results"][t]
+    table = make_table(res)
+    assert "piqa" in table
+
+
+def test_pattern_expansion():
+    lm = DummyLM()
+    res = simple_evaluate(
+        lm,
+        tasks="hendrycksTest-anatomy",
+        task_data=TASK_DATA,
+        bootstrap_iters=10,
+    )
+    assert "hendrycksTest-anatomy" in res["results"]
+
+
+def test_unknown_task_raises():
+    with pytest.raises(KeyError):
+        simple_evaluate(DummyLM(), tasks=["nope_task"])
+
+
+@pytest.fixture(scope="module")
+def jaxlm():
+    from llama3_quantization_tpu.eval.data import ByteTokenizer
+    from llama3_quantization_tpu.models import TINY_LLAMA, init_params
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_LLAMA, vocab_size=300)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return JAXLM(params, cfg, ByteTokenizer(), batch_size=4, max_length=128)
+
+
+def test_jaxlm_loglikelihood_consistency(jaxlm):
+    """Sum of per-token logprobs must match direct forward computation."""
+    from llama3_quantization_tpu.models.transformer import forward_logits
+
+    ctx, cont = "hello wor", "ld"
+    (ll, greedy), = jaxlm.loglikelihood([(ctx, cont)])
+    ids = jaxlm.tok_encode(ctx + cont)
+    toks = jnp.asarray(np.asarray(ids[:-1], dtype=np.int32)[None, :])
+    logits = np.asarray(forward_logits(jaxlm.params, toks, jaxlm.cfg), dtype=np.float64)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    n_cont = len(jaxlm.tok_encode(cont))
+    want = sum(logp[0, len(ids) - 1 - n_cont + i, ids[len(ids) - n_cont + i]] for i in range(n_cont))
+    assert abs(ll - want) < 1e-2
+
+
+def test_jaxlm_rolling(jaxlm):
+    (ll,) = jaxlm.loglikelihood_rolling(["some long text to score here"])
+    assert np.isfinite(ll) and ll < 0
+
+
+def test_jaxlm_greedy_until(jaxlm):
+    (out,) = jaxlm.greedy_until([("abc", ["\x00"])])
+    assert isinstance(out, str)
+
+
+def test_jaxlm_batch_order_stability(jaxlm):
+    """Reorderer must restore original order across a mixed-length batch."""
+    reqs = [("a" * (3 + 5 * i), "zz") for i in range(7)]
+    res = jaxlm.loglikelihood(reqs)
+    res_single = [jaxlm.loglikelihood([r])[0] for r in reqs]
+    for (ll_a, _), (ll_b, _) in zip(res, res_single):
+        assert abs(ll_a - ll_b) < 1e-2
+
+
+def test_full_eval_with_jaxlm(jaxlm):
+    res = simple_evaluate(
+        jaxlm, tasks=["piqa", "wikitext"], task_data=TASK_DATA, bootstrap_iters=10
+    )
+    assert 0 <= res["results"]["piqa"]["acc"] <= 1
+    assert res["results"]["wikitext"]["word_perplexity"] > 0

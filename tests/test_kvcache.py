@@ -1,0 +1,55 @@
+"""Quantized KV cache tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llama3_quantization_tpu.models import (
+    TINY_LLAMA,
+    decode_step,
+    forward_logits,
+    init_kv_cache,
+    init_params,
+)
+from llama3_quantization_tpu.ops.kvcache import kv_dequantize, kv_quantize
+
+
+def test_kv_quant_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 4, 16)).astype(np.float32))
+    codes, scale = kv_quantize(x)
+    back = np.asarray(kv_dequantize(codes, scale, jnp.float32))
+    # symmetric int8: rel error bounded by 1/254 of per-vector absmax
+    absmax = np.abs(np.asarray(x)).max(-1, keepdims=True)
+    assert np.all(np.abs(back - np.asarray(x)) <= absmax / 127 + 1e-6)
+
+
+def test_quantized_cache_decode_close_to_fp():
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    full = forward_logits(params, toks, cfg)
+
+    qcache = init_kv_cache(cfg, 2, 32, quantized=True)
+    logits, qcache = decode_step(params, qcache, toks[:, :8], jnp.int32(0), cfg)
+    for i in range(8, 16):
+        logits, qcache = decode_step(params, qcache, toks[:, i : i + 1], jnp.int32(i), cfg)
+    # int8 KV adds bounded noise; last-token logits stay close
+    err = float(jnp.max(jnp.abs(logits[:, 0] - full[:, -1])))
+    fp_cache = init_kv_cache(cfg, 2, 32, dtype=jnp.float32)
+    logits_fp, fp_cache = decode_step(params, fp_cache, toks[:, :8], jnp.int32(0), cfg)
+    for i in range(8, 16):
+        logits_fp, fp_cache = decode_step(params, fp_cache, toks[:, i : i + 1], jnp.int32(i), cfg)
+    err_fp = float(jnp.max(jnp.abs(logits_fp[:, 0] - full[:, -1])))
+    assert err_fp < 1e-3  # fp cache is exact
+    assert err < 0.1  # int8 cache close
+    assert err > err_fp  # but not exact
+
+
+def test_quantized_cache_memory_halved():
+    cfg = TINY_LLAMA
+    qc = init_kv_cache(cfg, 1, 64, quantized=True)
+    fc = init_kv_cache(cfg, 1, 64, dtype=jnp.bfloat16)
+    q_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in qc.values())
+    f_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in fc.values())
+    # int8 codes + f32 scales (1/16 of D=16 head dim overhead -> 1.25x int8)
+    assert q_bytes < f_bytes * 0.7

@@ -1,0 +1,93 @@
+"""NF4 codebook + IR-QLoRA ICQ tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llama3_quantization_tpu.quant.irqlora import (
+    ICQWeight,
+    _block_entropy,
+    ice_lora_apply,
+    icq_dequantize,
+    icq_search,
+)
+from llama3_quantization_tpu.quant.nf4 import (
+    DYNAMIC_FP8_MAP,
+    NF4_CODE,
+    nf4_codes,
+    nf4_dequantize,
+    nf4_quantize,
+    quantize_to_codebook,
+)
+
+
+def test_nf4_code_is_sorted_sym():
+    code = np.asarray(NF4_CODE)
+    assert code[0] == -1 and code[-1] == 1 and code[7] == 0
+    assert np.all(np.diff(code) > 0)
+
+
+def test_codebook_roundtrip_exact():
+    """Codebook values themselves must quantize to themselves."""
+    idx = quantize_to_codebook(NF4_CODE, NF4_CODE)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(16))
+
+
+def test_nf4_quantize_error_bounded(rng):
+    w = rng.standard_normal((64, 128)).astype(np.float32) * 0.1
+    t = nf4_quantize(jnp.asarray(w), double_quant=False)
+    back = np.asarray(nf4_dequantize(t))
+    assert back.shape == w.shape
+    # error bounded by half the largest codebook gap times blockwise absmax
+    blocks = w.reshape(-1, 64)
+    absmax = np.abs(blocks).max(1, keepdims=True)
+    gap = np.diff(np.asarray(NF4_CODE)).max() / 2
+    assert np.all(np.abs(back.reshape(-1, 64) - blocks) <= absmax * gap + 1e-6)
+
+
+def test_nf4_double_quant_close_to_single(rng):
+    w = rng.standard_normal((256, 64)).astype(np.float32)
+    t1 = nf4_quantize(jnp.asarray(w), double_quant=False)
+    t2 = nf4_quantize(jnp.asarray(w), double_quant=True)
+    d1 = np.asarray(nf4_dequantize(t1))
+    d2 = np.asarray(nf4_dequantize(t2))
+    # double-quantized absmax adds small extra error only
+    e1 = np.abs(d1 - w).mean()
+    e2 = np.abs(d2 - w).mean()
+    assert e2 < e1 * 1.2
+
+
+def test_icq_improves_entropy(rng):
+    # biased weights: ICQ's tau shift should increase code entropy vs tau=0
+    w = (rng.standard_normal((4 * 256 * 64,)) * 0.2 + 0.3).astype(np.float32)
+    wj = jnp.asarray(w)
+    q = icq_search(wj, tau_n=10)
+    ent_icq = float(_block_entropy(q.codes).mean())
+    from llama3_quantization_tpu.quant.irqlora import _nf4_block_quant
+
+    codes0, _ = _nf4_block_quant(wj.reshape(-1, 64))
+    ent0 = float(_block_entropy(codes0).mean())
+    assert ent_icq >= ent0 - 1e-6
+
+
+def test_icq_reconstruction_reasonable(rng):
+    w = rng.standard_normal((256 * 64 * 2,)).astype(np.float32)
+    q = icq_search(jnp.asarray(w), tau_n=5)
+    back = np.asarray(icq_dequantize(q)).reshape(-1)
+    corr = np.corrcoef(back, w)[0, 1]
+    assert corr > 0.98
+
+
+def test_ice_lora_apply_shapes(rng):
+    k, n, r = 64, 256, 8  # numel must be a multiple of 256*64 (ICQ block2)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    q = icq_search(jnp.asarray(w.reshape(-1)), tau_n=3)
+    q = ICQWeight(q.codes, q.absmax, q.tau_codes, q.tau_absmax, (k, n))
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    la = jnp.asarray(rng.standard_normal((k, r)).astype(np.float32) * 0.01)
+    lb = jnp.zeros((r, n), jnp.float32)
+    out = ice_lora_apply(x, q, la, lb, jnp.float32(0.0), jnp.float32(0.0))
+    assert out.shape == (4, n)
+    # zero LoRA + zero scales == pure base path
+    base = np.asarray(x) @ np.asarray(icq_dequantize(q))
+    np.testing.assert_allclose(np.asarray(out), base, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,94 @@
+"""BM25 + UPR reranking + STS evaluation tests (tiny model, synthetic data)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llama3_quantization_tpu.eval.retrieval import (
+    BM25Index,
+    UPRReranker,
+    evaluate_retrieval,
+)
+from llama3_quantization_tpu.eval.sts import STSEncoder, evaluate_sts, spearman
+from llama3_quantization_tpu.eval.data import ByteTokenizer
+from llama3_quantization_tpu.models import TINY_LLAMA, init_params
+
+CORPUS = {
+    "d1": "the cat sat on the mat with a fluffy tail",
+    "d2": "quantum computing uses qubits for superposition",
+    "d3": "cats are small furry animals that purr",
+    "d4": "stock markets fell sharply on tuesday morning",
+}
+
+
+def test_bm25_ranks_topically():
+    idx = BM25Index(CORPUS)
+    res = idx.search("furry cat animals", top_k=4)
+    assert set(res) and max(res, key=res.get) in ("d3", "d1")
+    assert res.get("d3", 0) > res.get("d4", 0.0)
+
+
+def test_bm25_empty_query_terms():
+    idx = BM25Index(CORPUS)
+    assert idx.search("zzzunknownzzz") == {}
+
+
+def test_evaluate_retrieval_perfect_and_random():
+    qrels = {"q1": {"d1": 1, "d3": 1}}
+    perfect = {"q1": {"d1": 10.0, "d3": 9.0, "d2": 1.0, "d4": 0.5}}
+    res = evaluate_retrieval(qrels, perfect, k_values=(1, 3))
+    assert res["NDCG@3"] == pytest.approx(1.0)
+    assert res["Recall@3"] == pytest.approx(1.0)
+    bad = {"q1": {"d2": 10.0, "d4": 9.0, "d1": 1.0, "d3": 0.5}}
+    res_bad = evaluate_retrieval(qrels, bad, k_values=(1, 3))
+    assert res_bad["NDCG@3"] < res["NDCG@3"]
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_LLAMA, vocab_size=300)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return params, cfg, ByteTokenizer()
+
+
+def test_upr_rerank_pipeline(tiny_setup):
+    params, cfg, tok = tiny_setup
+    reranker = UPRReranker(params, cfg, tok, max_length=256)
+    idx = BM25Index(CORPUS)
+    queries = {"q1": "cat animal"}
+    first = {"q1": idx.search(queries["q1"], top_k=4)}
+    out = reranker.rerank(CORPUS, queries, first, top_k=3)
+    assert set(out["q1"]).issubset(set(CORPUS))
+    assert all(np.isfinite(v) for v in out["q1"].values())
+    # scores are -mean CE -> negative
+    assert all(v < 0 for v in out["q1"].values())
+
+
+def test_upr_score_order_stability(tiny_setup):
+    """Batched scoring must equal per-pair scoring."""
+    params, cfg, tok = tiny_setup
+    rr = UPRReranker(params, cfg, tok, max_length=256)
+    pairs = [("cat", CORPUS["d1"]), ("qubit machine", CORPUS["d2"]), ("cat", CORPUS["d3"])]
+    batched = rr.score_pairs(pairs, batch_size=3)
+    single = [rr.score_pairs([p], batch_size=1)[0] for p in pairs]
+    np.testing.assert_allclose(batched, single, rtol=1e-4, atol=1e-4)
+
+
+def test_spearman_basic():
+    assert spearman([1, 2, 3], [10, 20, 30]) == pytest.approx(1.0)
+    assert spearman([1, 2, 3], [30, 20, 10]) == pytest.approx(-1.0)
+
+
+def test_sts_encoder_and_eval(tiny_setup):
+    params, cfg, tok = tiny_setup
+    demo = [("a cat", "a feline", 4.5), ("stock", "market", 3.0)]
+    enc = STSEncoder(params, cfg, tok, demonstration_set=demo, max_length=256)
+    pairs = [("the cat", "a cat"), ("the cat", "stock market")]
+    res = evaluate_sts(enc, pairs, [5.0, 0.0])
+    assert -1.0 <= res["spearman_cosine"] <= 1.0
+    assert res["n_pairs"] == 2
+    embs = enc.encode(["hello", "hello"])
+    np.testing.assert_allclose(embs[0], embs[1], rtol=1e-5)
