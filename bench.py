@@ -75,35 +75,36 @@ def main():
     params = jax.block_until_ready(params)
     log(f"params built in {time.time()-t0:.1f}s")
 
+    from llama3_quantization_tpu.models.transformer import greedy_generate
+
     cache = init_kv_cache(cfg, 1, cache_len)
     step = jax.jit(partial(decode_step, cfg=cfg), donate_argnums=(1,))
+    gen = jax.jit(
+        partial(greedy_generate, cfg=cfg, n_steps=decode_steps), donate_argnums=(1,)
+    )
 
     tok = jnp.zeros((1, 1), jnp.int32)
     t0 = time.time()
     logits, cache = step(params, cache, tok, jnp.int32(0))
-    jax.block_until_ready(logits)
+    _ = float(logits[0, 0, 0])
     log(f"first decode step (compile) in {time.time()-t0:.1f}s")
 
-    # warmup
-    pos = 1
-    for _ in range(5):
-        logits, cache = step(params, cache, tok, jnp.int32(pos))
-        pos += 1
-    _ = float(logits[0, 0, 0])
-
-    # Timing fetches a scalar from the logits every step: on this tunneled
-    # backend `block_until_ready` alone returns before execution finishes,
-    # producing impossible (>speed-of-light) rates. The per-step host
-    # round-trip is included in the measurement — i.e. this reports
-    # end-to-end greedy-decode latency, which is what serving sees.
+    # On-device generation loop: n tokens per dispatch, ONE host round-trip
+    # per batch of steps (a scalar fetch forces real completion — this
+    # backend's block_until_ready returns early, yielding impossible
+    # >speed-of-light rates if trusted).
+    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
     t0 = time.time()
-    for _ in range(decode_steps):
-        logits, cache = step(params, cache, tok, jnp.int32(pos))
-        pos += 1
-        _ = float(logits[0, 0, 0])
+    toks, cache = gen(params, cache, nxt, jnp.int32(1))
+    _ = int(toks[0, -1])
+    log(f"generate loop (compile+run) in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    toks, cache = gen(params, cache, nxt, jnp.int32(1 + decode_steps))
+    _ = int(toks[0, -1])
     dt = time.time() - t0
     tok_s = decode_steps / dt
-    log(f"{decode_steps} steps in {dt:.3f}s -> {tok_s:.2f} tok/s (with per-step fetch)")
+    log(f"{decode_steps} generated tokens in {dt:.3f}s -> {tok_s:.2f} tok/s")
 
     if cfg_name == "llama3-8b":
         bpt = model_bytes_per_token(cfg, spec, cache_len)

@@ -18,7 +18,7 @@ class ModelConfig:
     ReLU MLP, LayerNorm, absolute pos offset) via `arch`.
     """
 
-    arch: str = "llama"  # "llama" | "opt"
+    arch: str = "llama"  # "llama" | "opt" | "falcon"
     vocab_size: int = 128256
     hidden_size: int = 4096
     intermediate_size: int = 14336
@@ -32,7 +32,9 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     # OPT specifics
     do_layer_norm_before: bool = True
-    activation: str = "silu"  # "silu" (llama) | "relu" (opt)
+    activation: str = "silu"  # "silu" (llama) | "relu" (opt) | "gelu" (falcon)
+    #: Falcon-style parallel attention+MLP off one shared layernorm
+    parallel_block: bool = False
     # numerics
     dtype: str = "bfloat16"
 
@@ -43,6 +45,14 @@ class ModelConfig:
     @property
     def kv_repeat(self) -> int:
         return self.num_heads // self.num_kv_heads
+
+    @property
+    def uses_rope(self) -> bool:
+        return self.arch in ("llama", "falcon")
+
+    @property
+    def rms_norms(self) -> bool:
+        return self.arch == "llama"
 
 
 # ---------------------------------------------------------------------------
@@ -126,11 +136,57 @@ TINY_OPT = ModelConfig(
     tie_word_embeddings=True,
 )
 
+FALCON_7B = ModelConfig(
+    arch="falcon",
+    vocab_size=65024,
+    hidden_size=4544,
+    intermediate_size=4 * 4544,
+    num_layers=32,
+    num_heads=71,
+    num_kv_heads=1,  # multi-query attention
+    rope_theta=10000.0,
+    max_position_embeddings=2048,
+    activation="gelu",
+    parallel_block=True,
+    tie_word_embeddings=False,
+)
+
+TINY_FALCON = ModelConfig(
+    arch="falcon",
+    vocab_size=512,
+    hidden_size=64,
+    intermediate_size=256,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=1,
+    rope_theta=10000.0,
+    max_position_embeddings=256,
+    activation="gelu",
+    parallel_block=True,
+)
+
+MIXTRAL_8X7B_DENSE_PROXY = ModelConfig(
+    # The reference supports Mixtral only as LWC fake-quant of its Linears
+    # with the router excluded (`quant/omniquant.py:198-206`); until the MoE
+    # block lands, this dense proxy covers shape/bandwidth planning.
+    arch="llama",
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    rope_theta=1e6,
+    max_position_embeddings=32768,
+)
+
 NAMED_CONFIGS = {
     "llama3-8b": LLAMA3_8B,
     "llama3-70b": LLAMA3_70B,
     "llama2-7b": LLAMA2_7B,
     "opt-125m": OPT_125M,
+    "falcon-7b": FALCON_7B,
     "tiny-llama": TINY_LLAMA,
     "tiny-opt": TINY_OPT,
+    "tiny-falcon": TINY_FALCON,
 }

@@ -41,6 +41,22 @@ def config_from_hf(path: str) -> ModelConfig:
             rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
             tie_word_embeddings=raw.get("tie_word_embeddings", False),
         )
+    if mt in ("falcon", "RefinedWeb", "RefinedWebModel"):
+        n_heads = raw.get("num_attention_heads", raw.get("n_head"))
+        return ModelConfig(
+            arch="falcon",
+            vocab_size=raw["vocab_size"],
+            hidden_size=raw["hidden_size"],
+            intermediate_size=4 * raw["hidden_size"],
+            num_layers=raw.get("num_hidden_layers", raw.get("n_layer")),
+            num_heads=n_heads,
+            num_kv_heads=raw.get("num_kv_heads", 1 if raw.get("multi_query", True) else n_heads),
+            max_position_embeddings=raw.get("max_position_embeddings", 2048),
+            rope_theta=raw.get("rope_theta", 10000.0),
+            activation="gelu",
+            parallel_block=raw.get("parallel_attn", True),
+            tie_word_embeddings=raw.get("tie_word_embeddings", False),
+        )
     if mt == "opt":
         return ModelConfig(
             arch="opt",
@@ -116,6 +132,40 @@ _OPT_LAYER = {
 }
 
 
+def _falcon_layers(raw, cfg: ModelConfig, dtype) -> Dict[str, Any]:
+    """Falcon shards: split the fused query_key_value projection
+    ([ (H + 2·Hkv)·hd, D ] rows: H query heads then Hkv k and Hkv v heads)
+    into the framework's separate q/k/v entries."""
+    L, hd = cfg.num_layers, cfg.head_dim_
+    nq = cfg.num_heads * hd
+    nkv = cfg.num_kv_heads * hd
+    qs, ks, vs, os_, f1, f2, ln_w, ln_b = [], [], [], [], [], [], [], []
+    for i in range(L):
+        pre = f"transformer.h.{i}"
+        qkv = raw[f"{pre}.self_attention.query_key_value.weight"].astype(np.float32)
+        qs.append(qkv[:nq].T)
+        ks.append(qkv[nq : nq + nkv].T)
+        vs.append(qkv[nq + nkv : nq + 2 * nkv].T)
+        os_.append(raw[f"{pre}.self_attention.dense.weight"].astype(np.float32).T)
+        f1.append(raw[f"{pre}.mlp.dense_h_to_4h.weight"].astype(np.float32).T)
+        f2.append(raw[f"{pre}.mlp.dense_4h_to_h.weight"].astype(np.float32).T)
+        ln_w.append(raw[f"{pre}.input_layernorm.weight"].astype(np.float32))
+        ln_b.append(raw[f"{pre}.input_layernorm.bias"].astype(np.float32))
+
+    def stk(xs):
+        return jnp.asarray(np.stack(xs), dtype)
+
+    return {
+        "q": {"w": stk(qs)},
+        "k": {"w": stk(ks)},
+        "v": {"w": stk(vs)},
+        "o": {"w": stk(os_)},
+        "fc1": {"w": stk(f1)},
+        "fc2": {"w": stk(f2)},
+        "ln1": {"w": stk(ln_w), "b": stk(ln_b)},
+    }
+
+
 def from_hf_checkpoint(
     path: str, cfg: Optional[ModelConfig] = None, dtype=jnp.bfloat16
 ) -> tuple:
@@ -126,6 +176,16 @@ def from_hf_checkpoint(
     def get(name, transpose=False):
         t = raw[name].astype(np.float32)
         return jnp.asarray(t.T if transpose else t, dtype)
+
+    if cfg.arch == "falcon":
+        params = {
+            "layers": _falcon_layers(raw, cfg, dtype),
+            "embed": get("transformer.word_embeddings.weight"),
+            "norm": {"w": get("transformer.ln_f.weight"), "b": get("transformer.ln_f.bias")},
+        }
+        if "lm_head.weight" in raw and not cfg.tie_word_embeddings:
+            params["lm_head"] = get("lm_head.weight", transpose=True)
+        return params, cfg
 
     L = cfg.num_layers
     table = _LLAMA_LAYER if cfg.arch == "llama" else _OPT_LAYER

@@ -85,7 +85,8 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         layers["ln2"] = {"w": jnp.ones((L, d), dtype)}
     else:
         layers["ln1"] = {"w": jnp.ones((L, d), dtype), "b": jnp.zeros((L, d), dtype)}
-        layers["ln2"] = {"w": jnp.ones((L, d), dtype), "b": jnp.zeros((L, d), dtype)}
+        if not cfg.parallel_block:  # Falcon's parallel block has one shared LN
+            layers["ln2"] = {"w": jnp.ones((L, d), dtype), "b": jnp.zeros((L, d), dtype)}
 
     params: Params = {
         "embed": w((cfg.vocab_size, d), scale=0.02),

@@ -8,6 +8,8 @@ materializing 16 GB of bf16 weights.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -51,8 +53,18 @@ def _rand_qtensor(key, k: int, n: int, spec: QuantSpec, layers: int, pack: bool 
 def init_quantized_params(
     cfg: ModelConfig, spec: QuantSpec, key=None, pack: bool = True, dtype=jnp.bfloat16
 ):
-    """Random params with all decoder linears already real-quantized."""
+    """Random params with all decoder linears already real-quantized.
+
+    The whole build is one jitted program — on a remote-compile TPU
+    tunnel, eager construction costs one round-trip per array (minutes for
+    an 8B model); jitted it is one dispatch.
+    """
     key = key if key is not None else jax.random.PRNGKey(0)
+    return _init_jit(cfg, spec, key, pack, jnp.dtype(dtype))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "pack", "dtype"))
+def _init_jit(cfg: ModelConfig, spec: QuantSpec, key, pack: bool, dtype):
     d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim_
     L = cfg.num_layers
     shapes = {
@@ -77,7 +89,8 @@ def init_quantized_params(
         layers["ln2"] = {"w": jnp.ones((L, d), dtype)}
     else:
         layers["ln1"] = {"w": jnp.ones((L, d), dtype), "b": jnp.zeros((L, d), dtype)}
-        layers["ln2"] = {"w": jnp.ones((L, d), dtype), "b": jnp.zeros((L, d), dtype)}
+        if not cfg.parallel_block:
+            layers["ln2"] = {"w": jnp.ones((L, d), dtype), "b": jnp.zeros((L, d), dtype)}
     params = {
         "embed": jax.random.normal(keys[-1], (cfg.vocab_size, d), dtype) * 0.02,
         "layers": layers,

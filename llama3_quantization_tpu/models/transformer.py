@@ -20,6 +20,7 @@ Key TPU idioms (vs the reference's eager loops):
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -112,6 +113,42 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 # Attention
 # ---------------------------------------------------------------------------
 
+#: process-global switch for the Pallas flash-attention full-sequence path
+#: ("auto" = on TPU only; the eager path always serves decode and any
+#: configuration with q/k/v/p quantization hooks, which flash cannot host).
+_FLASH = "auto"
+
+
+def set_flash(mode) -> None:
+    global _FLASH
+    if mode not in (True, False, "auto"):
+        raise ValueError(mode)
+    _FLASH = mode
+
+
+def _flash_enabled(rq: RuntimeQuantConfig) -> bool:
+    if any(spec is not None for spec in (rq.q, rq.k, rq.v, rq.p)):
+        return False
+    if _FLASH == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(_FLASH)
+
+
+def _flash_attention(q, k, v, cfg: ModelConfig) -> jax.Array:
+    """Causal blockwise attention via the Pallas TPU flash kernel — the
+    full-sequence path; avoids materializing the [S, S] score matrix that
+    the reference's eager attention allocates
+    (`models/int_llama_layer.py:143-163`; SURVEY.md §5 long-context)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    b, s, h, d = q.shape
+    rep = h // k.shape[2]
+    qh = q.transpose(0, 2, 1, 3)
+    kh = jnp.repeat(k.transpose(0, 2, 1, 3), rep, axis=1)
+    vh = jnp.repeat(v.transpose(0, 2, 1, 3), rep, axis=1)
+    out = flash_attention(qh, kh, vh, causal=True, sm_scale=1.0 / math.sqrt(d))
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
 
 def _attention(
     q: jax.Array,  # [B, S, H, D]
@@ -120,11 +157,14 @@ def _attention(
     mask: Optional[jax.Array],  # [S, T] additive fp32 mask or None
     cfg: ModelConfig,
     rq: RuntimeQuantConfig,
+    allow_flash: bool = False,
 ) -> jax.Array:
     """Eager attention with the reference's quantization hook points: Q/K
     fake-quant before QK^T, probs/V before PV
     (`models/int_llama_layer.py:141-163`). GQA via head-group einsum instead
     of repeat_kv materialization."""
+    if allow_flash and q.shape[1] >= 128 and _flash_enabled(rq):
+        return _flash_attention(q, k, v, cfg)
     b, s, h, d = q.shape
     t = k.shape[1]
     rep = h // k.shape[2]
@@ -188,7 +228,9 @@ def _attn_block(
         new_cache = (ck, cv)
     else:
         k_all, v_all, new_cache = k, v, None
-    attn = _attention(q, k_all, v_all, mask, cfg, rq)
+    # flash path only for the cache-free full-sequence forward (plain
+    # causal mask); decode always uses the eager cache-masked path
+    attn = _attention(q, k_all, v_all, mask, cfg, rq, allow_flash=kv_cache is None)
     out = qlinear(attn.reshape(b, s, cfg.num_heads * hd), p["o"]["w"], p["o"].get("b"), rq.act)
     return out, new_cache
 
@@ -203,6 +245,12 @@ def _mlp_block(p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig
     return qlinear(act, p["fc2"]["w"], p["fc2"].get("b"), rq.act)
 
 
+def _norm(p_norm: Params, h: jax.Array, cfg: ModelConfig) -> jax.Array:
+    if cfg.rms_norms:
+        return rms_norm(h, p_norm["w"], cfg.rms_norm_eps)
+    return layer_norm(h, p_norm["w"], p_norm["b"], 1e-5)
+
+
 def decoder_layer(
     p: Params,
     h: jax.Array,
@@ -214,17 +262,16 @@ def decoder_layer(
     cache_pos=None,
 ):
     """Pre-norm residual layer (`int_llama_layer.py:213-267`,
-    `int_opt_layer.py:230-347`)."""
-    if cfg.arch == "llama":
-        attn_in = rms_norm(h, p["ln1"]["w"], cfg.rms_norm_eps)
-    else:
-        attn_in = layer_norm(h, p["ln1"]["w"], p["ln1"]["b"], 1e-5)
+    `int_opt_layer.py:230-347`), or Falcon's parallel attention+MLP off one
+    shared layernorm (`int_falcon_layer.py:239-317`)."""
+    if cfg.parallel_block:
+        x = _norm(p["ln1"], h, cfg)
+        attn_out, new_cache = _attn_block(p, x, cfg, rq, cos_sin, mask, kv_cache, cache_pos)
+        return h + attn_out + _mlp_block(p, x, cfg, rq), new_cache
+    attn_in = _norm(p["ln1"], h, cfg)
     attn_out, new_cache = _attn_block(p, attn_in, cfg, rq, cos_sin, mask, kv_cache, cache_pos)
     h = h + attn_out
-    if cfg.arch == "llama":
-        mlp_in = rms_norm(h, p["ln2"]["w"], cfg.rms_norm_eps)
-    else:
-        mlp_in = layer_norm(h, p["ln2"]["w"], p["ln2"]["b"], 1e-5)
+    mlp_in = _norm(p["ln2"], h, cfg)
     h = h + _mlp_block(p, mlp_in, cfg, rq)
     return h, new_cache
 
@@ -277,7 +324,7 @@ def forward_hidden(
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
         rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
-        if cfg.arch == "llama"
+        if cfg.uses_rope
         else None
     )
     mask = causal_mask(s)
@@ -336,7 +383,7 @@ def decode_step(
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
         rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
-        if cfg.arch == "llama"
+        if cfg.uses_rope
         else None
     )
     # mask over the whole cache: key j valid iff j <= pos + i (ring not yet
@@ -357,3 +404,32 @@ def decode_step(
     h = final_norm(params, h, cfg)
     logits = lm_head(params, h, cfg)
     return logits, dict(zip(cache_keys, new_cache))
+
+
+def greedy_generate(
+    params: Params,
+    cache: Dict[str, jax.Array],
+    first_token: jax.Array,  # [B, 1] (e.g. last prefill argmax)
+    pos0: jax.Array,  # scalar: cache position of first_token
+    n_steps: int,
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """On-device greedy decode loop: `n_steps` tokens in ONE dispatch via
+    `lax.scan` (the reference's per-token python loop,
+    `llama.py:409-464`, pays a host round-trip per token — on a remote
+    TPU that dominates; this is the serving-shaped decode).
+
+    Returns (tokens [B, n_steps], final cache)."""
+
+    def body(carry, _):
+        tok, pos, cache = carry
+        logits, cache = decode_step(params, cache, tok, pos, cfg, rq)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        return (nxt, pos + 1, cache), nxt[:, 0]
+
+    (_, _, cache), toks = jax.lax.scan(
+        body, (first_token.astype(jnp.int32), jnp.int32(pos0), cache), None,
+        length=n_steps,
+    )
+    return toks.T, cache

@@ -49,10 +49,9 @@ def layer_linear_inputs(
     b, s, _ = h.shape
     hd = cfg.head_dim_
     out: Dict[str, jax.Array] = {}
-    if cfg.arch == "llama":
-        attn_in = rms_norm(h, p["ln1"]["w"], cfg.rms_norm_eps)
-    else:
-        attn_in = layer_norm(h, p["ln1"]["w"], p["ln1"]["b"], 1e-5)
+    from ..models.transformer import _norm
+
+    attn_in = _norm(p["ln1"], h, cfg)
     out["q"] = out["k"] = out["v"] = attn_in
     q = qlinear(attn_in, p["q"]["w"], p["q"].get("b"), rq.act).reshape(b, s, cfg.num_heads, hd)
     k = qlinear(attn_in, p["k"]["w"], p["k"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
@@ -66,15 +65,17 @@ def layer_linear_inputs(
     attn = _attention(q, k, v, mask, cfg, rq).reshape(b, s, cfg.num_heads * hd)
     out["o"] = attn
     attn_out = qlinear(attn, p["o"]["w"], p["o"].get("b"), rq.act)
-    h = h + attn_out
+    if cfg.parallel_block:
+        mlp_in = attn_in  # Falcon: MLP reads the same shared-LN output
+    else:
+        h = h + attn_out
+        mlp_in = _norm(p["ln2"], h, cfg)
     if cfg.arch == "llama":
-        mlp_in = rms_norm(h, p["ln2"]["w"], cfg.rms_norm_eps)
         out["gate"] = out["up"] = mlp_in
         gate = qlinear(mlp_in, p["gate"]["w"], p["gate"].get("b"), rq.act)
         up = qlinear(mlp_in, p["up"]["w"], p["up"].get("b"), rq.act)
         out["down"] = jax.nn.silu(gate) * up
     else:
-        mlp_in = layer_norm(h, p["ln2"]["w"], p["ln2"]["b"], 1e-5)
         out["fc1"] = mlp_in
         fc1 = qlinear(mlp_in, p["fc1"]["w"], p["fc1"].get("b"), rq.act)
         out["fc2"] = jax.nn.relu(fc1) if cfg.activation == "relu" else jax.nn.gelu(fc1)
@@ -96,7 +97,7 @@ def embed_calibration(params, cfg: ModelConfig, tokens: jax.Array):
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
         rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
-        if cfg.arch == "llama"
+        if cfg.uses_rope
         else None
     )
     return h, cos_sin, causal_mask(s)

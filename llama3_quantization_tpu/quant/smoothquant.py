@@ -83,19 +83,35 @@ def smooth_layer(
     p = dict(p_l)
     mlp_in = ["gate", "up"] if cfg.arch == "llama" else ["fc1"]
 
-    # norm1 -> q/k/v
-    s1 = smoothquant_scale(layer_stats["q"]["absmax"], _w_absmax_in([p[m] for m in ("q", "k", "v")]), alpha)
-    shift1 = layer_stats["q"]["mean"] if use_shift else None
-    p["ln1"], qkv = fold_norm_linears(p["ln1"], [p["q"], p["k"], p["v"]], s1, shift1)
-    p["q"], p["k"], p["v"] = qkv
+    if cfg.parallel_block:
+        # Falcon: one shared LN feeds q/k/v AND the MLP input — fold once
+        # across all of them
+        group = ["q", "k", "v"] + mlp_in
+        s1 = smoothquant_scale(
+            layer_stats["q"]["absmax"], _w_absmax_in([p[m] for m in group]), alpha
+        )
+        shift1 = layer_stats["q"]["mean"] if use_shift else None
+        p["ln1"], outs = fold_norm_linears(p["ln1"], [p[m] for m in group], s1, shift1)
+        for m, e in zip(group, outs):
+            p[m] = e
+    else:
+        # norm1 -> q/k/v
+        s1 = smoothquant_scale(
+            layer_stats["q"]["absmax"], _w_absmax_in([p[m] for m in ("q", "k", "v")]), alpha
+        )
+        shift1 = layer_stats["q"]["mean"] if use_shift else None
+        p["ln1"], qkv = fold_norm_linears(p["ln1"], [p["q"], p["k"], p["v"]], s1, shift1)
+        p["q"], p["k"], p["v"] = qkv
 
-    # norm2 -> mlp input linears
-    key2 = mlp_in[0]
-    s2 = smoothquant_scale(layer_stats[key2]["absmax"], _w_absmax_in([p[m] for m in mlp_in]), alpha)
-    shift2 = layer_stats[key2]["mean"] if use_shift else None
-    p["ln2"], outs = fold_norm_linears(p["ln2"], [p[m] for m in mlp_in], s2, shift2)
-    for m, e in zip(mlp_in, outs):
-        p[m] = e
+        # norm2 -> mlp input linears
+        key2 = mlp_in[0]
+        s2 = smoothquant_scale(
+            layer_stats[key2]["absmax"], _w_absmax_in([p[m] for m in mlp_in]), alpha
+        )
+        shift2 = layer_stats[key2]["mean"] if use_shift else None
+        p["ln2"], outs = fold_norm_linears(p["ln2"], [p[m] for m in mlp_in], s2, shift2)
+        for m, e in zip(mlp_in, outs):
+            p[m] = e
 
     # v -> o: per o-input channel (== v output channel for MHA). With GQA
     # the o input is the repeated-v layout, so stats and weight ranges are

@@ -1,0 +1,85 @@
+"""On-device generation loop + MMLU rollup + profiling utils tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llama3_quantization_tpu.models import (
+    TINY_LLAMA,
+    decode_step,
+    init_kv_cache,
+    init_params,
+)
+from llama3_quantization_tpu.models.transformer import greedy_generate
+
+
+def test_greedy_generate_matches_python_loop():
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 4), 0, cfg.vocab_size)
+    N = 12
+
+    # python-loop reference
+    cache = init_kv_cache(cfg, 2, 32, dtype=jnp.float32)
+    logits, cache = decode_step(params, cache, prompt, jnp.int32(0), cfg)
+    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    ref = []
+    pos = 4
+    tok = nxt
+    for _ in range(N):
+        logits, cache = decode_step(params, cache, tok, jnp.int32(pos), cfg)
+        out = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        ref.append(np.asarray(out))
+        tok = out[:, None]
+        pos += 1
+
+    # scanned loop
+    cache2 = init_kv_cache(cfg, 2, 32, dtype=jnp.float32)
+    logits2, cache2 = decode_step(params, cache2, prompt, jnp.int32(0), cfg)
+    nxt2 = jnp.argmax(logits2[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+    toks, _ = greedy_generate(params, cache2, nxt2, jnp.int32(4), N, cfg)
+    got = np.asarray(toks)  # [B, N] tokens generated AFTER nxt2
+    # scan emits argmax of each step's logits: step i consumes token i,
+    # emits token i+1 -> got[:, i] == ref[i]
+    for i in range(N):
+        np.testing.assert_array_equal(got[:, i], ref[i])
+
+
+def test_greedy_generate_quantized_cache():
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    cache = init_kv_cache(cfg, 1, 32, quantized=True)
+    tok = jnp.zeros((1, 1), jnp.int32)
+    toks, cache = greedy_generate(params, cache, tok, jnp.int32(0), 8, cfg)
+    assert toks.shape == (1, 8)
+    assert bool((toks >= 0).all()) and bool((toks < cfg.vocab_size).all())
+
+
+def test_mmlu_rollup():
+    from llama3_quantization_tpu.eval.mmlu_categories import mmlu_rollup
+
+    res = {
+        "hendrycksTest-anatomy": {"acc": 0.5},
+        "hendrycksTest-college_physics": {"acc": 0.7},
+        "hendrycksTest-philosophy": {"acc": 0.9},
+        "other_task": {"acc": 0.1},
+    }
+    out = mmlu_rollup(res)
+    assert out["mmlu_average"] == (0.5 + 0.7 + 0.9) / 3
+    assert out["mmlu_STEM"] == 0.7
+    assert out["mmlu_humanities"] == 0.9
+    assert "mmlu_other (business, health, misc.)" in out
+
+
+def test_throughput_accounting():
+    from llama3_quantization_tpu.utils.profiling import Throughput
+
+    t = Throughput(bytes_per_token=1e9, hbm_gbps=1000.0)
+    t.start()
+    import time
+
+    time.sleep(0.01)
+    t.stop(tokens=100)
+    rep = t.report()
+    assert rep["tokens"] == 100 and rep["tok_s"] > 0
+    assert 0 < rep["speed_of_light_fraction"]

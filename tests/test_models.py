@@ -15,9 +15,11 @@ from llama3_quantization_tpu.models import (
     init_params,
     quantize_model_rtn,
 )
+from llama3_quantization_tpu.models.configs import TINY_FALCON
 from llama3_quantization_tpu.quant import QuantSpec
 
-CFGS = [TINY_LLAMA, TINY_OPT]
+CFGS = [TINY_LLAMA, TINY_OPT, TINY_FALCON]
+ARCHS = ["llama", "opt", "falcon"]
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +32,7 @@ def setups():
     return out
 
 
-@pytest.mark.parametrize("arch", ["llama", "opt"])
+@pytest.mark.parametrize("arch", ARCHS)
 def test_forward_shapes_finite(setups, arch):
     cfg, params, toks = setups[arch]
     logits = forward_logits(params, toks, cfg)
@@ -38,7 +40,7 @@ def test_forward_shapes_finite(setups, arch):
     assert bool(jnp.isfinite(logits).all())
 
 
-@pytest.mark.parametrize("arch", ["llama", "opt"])
+@pytest.mark.parametrize("arch", ARCHS)
 def test_causality(setups, arch):
     """Changing a future token must not change past logits."""
     cfg, params, toks = setups[arch]
@@ -51,7 +53,7 @@ def test_causality(setups, arch):
     assert np.abs(np.asarray(logits[:, -1]) - np.asarray(logits2[:, -1])).max() > 1e-3
 
 
-@pytest.mark.parametrize("arch", ["llama", "opt"])
+@pytest.mark.parametrize("arch", ARCHS)
 def test_decode_matches_full_forward(setups, arch):
     cfg, params, toks = setups[arch]
     full = forward_logits(params, toks, cfg)
@@ -68,7 +70,7 @@ def test_decode_matches_full_forward(setups, arch):
         )
 
 
-@pytest.mark.parametrize("arch", ["llama", "opt"])
+@pytest.mark.parametrize("arch", ARCHS)
 def test_quantization_monotone_degradation(setups, arch):
     cfg, params, toks = setups[arch]
     fp = forward_logits(params, toks, cfg)

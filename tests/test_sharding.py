@@ -85,3 +85,18 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_scaling_benchmark_machinery(mesh):
+    """Scaling harness runs at 1/2/4/8 virtual devices and reports
+    efficiency relative to the single-device rate."""
+    from llama3_quantization_tpu.benchmarks import measure_scaling
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    res = measure_scaling(params, cfg, device_counts=(1, 2, 4), seq=32,
+                          batch_per_device=1, iters=2, tp_per_group=2)
+    assert 1 in res and 4 in res
+    assert res[1]["efficiency"] == 1.0
+    for n, r in res.items():
+        assert r["tok_s"] > 0
