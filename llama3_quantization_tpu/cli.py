@@ -141,7 +141,8 @@ def main(argv=None):
         if args.quant_method == "gptq":
             kw = dict(blocksize=args.blocksize, percdamp=args.percdamp, actorder=args.act_order)
         elif args.quant_method == "omniquant":
-            kw = dict(epochs=args.epochs, lwc_lr=args.lwc_lr, aug_loss=args.aug_loss)
+            kw = dict(epochs=args.epochs, lwc_lr=args.lwc_lr, aug_loss=args.aug_loss,
+                      let=args.let, let_lr=args.let_lr)
         elif args.quant_method == "hqq":
             kw = dict(iters=args.hqq_iters)
         t0 = time.time()

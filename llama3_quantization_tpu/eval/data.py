@@ -183,13 +183,40 @@ def get_loaders(
     seed: int = 0,
     seqlen: int = 2048,
     tokenizer=None,
+    cache_dir: Optional[str] = None,
     **overrides,
 ):
     """Dispatcher mirroring `datautils.get_loaders` (`datautils.py:178-199`).
 
     `overrides` lets callers inject offline corpora
-    (train_text/test_text/train_docs/val_docs).
+    (train_text/test_text/train_docs/val_docs). `cache_dir` persists the
+    tokenized loaders like the reference's `./cache` torch saves
+    (`main.py:105-116,371-383`) so reruns skip tokenization.
     """
+    if cache_dir:
+        import os
+
+        tok_id = getattr(tokenizer, "vocab_size", "x")
+        key = f"{name}_{nsamples}_{seed}_{seqlen}_{tok_id}"
+        path = os.path.join(cache_dir, f"loader_{key}.npz")
+        if os.path.exists(path):
+            z = np.load(path, allow_pickle=False)
+            n_tr = int(z["n_train"])
+            loader = [(z[f"inp_{i}"], z[f"tar_{i}"]) for i in range(n_tr)]
+            testenc = z["testenc"] if "testenc" in z else None
+            return loader, testenc
+        loader, testenc = get_loaders(
+            name, nsamples, seed, seqlen, tokenizer, cache_dir=None, **overrides
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        payload = {"n_train": np.asarray(len(loader))}
+        for i, (inp, tar) in enumerate(loader):
+            payload[f"inp_{i}"] = inp
+            payload[f"tar_{i}"] = tar
+        if testenc is not None:
+            payload["testenc"] = np.asarray(testenc)
+        np.savez(path, **payload)
+        return loader, testenc
     if "wikitext2" in name:
         return get_wikitext2(nsamples, seed, seqlen, tokenizer, **overrides)
     if "ptb" in name:

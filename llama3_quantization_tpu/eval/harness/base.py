@@ -148,6 +148,15 @@ class Task(abc.ABC):
     def fewshot_description(self) -> str:
         return ""
 
+    # --- decontamination --------------------------------------------------
+    def should_decontaminate(self) -> bool:
+        return False
+
+    def doc_to_decontamination_query(self, doc: dict) -> str:
+        raise NotImplementedError(
+            "task marks should_decontaminate but has no decontamination query"
+        )
+
     def fewshot_examples(self, k: int, rnd: random.Random):
         if self._training_docs is None:
             self._training_docs = list(self.training_docs())

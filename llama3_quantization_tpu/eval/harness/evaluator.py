@@ -34,6 +34,7 @@ def simple_evaluate(
     bootstrap_iters: int = 1000,
     description_dict: Optional[dict] = None,
     task_data: Optional[dict] = None,
+    decontamination_ngrams_path: Optional[str] = None,
 ):
     """Evaluate `lm` on tasks (names, patterns, or instances).
 
@@ -59,6 +60,7 @@ def simple_evaluate(
         limit=limit,
         bootstrap_iters=bootstrap_iters,
         description_dict=description_dict,
+        decontamination_ngrams_path=decontamination_ngrams_path,
     )
     results["config"] = {
         "num_fewshot": num_fewshot,
@@ -75,6 +77,7 @@ def evaluate(
     limit: Optional[int] = None,
     bootstrap_iters: int = 1000,
     description_dict: Optional[dict] = None,
+    decontamination_ngrams_path: Optional[str] = None,
 ):
     task_dict_items = [
         (name, task)
@@ -86,6 +89,8 @@ def evaluate(
     requests = collections.defaultdict(list)
     requests_origin = collections.defaultdict(list)
     docs = {}
+    decontaminate = decontamination_ngrams_path is not None
+    docs_for_decontamination = collections.defaultdict(list)
 
     for task_name, task in task_dict_items:
         versions[task_name] = task.VERSION
@@ -105,6 +110,10 @@ def evaluate(
         )
         for doc_id, doc in enumerate(task_docs[:limit] if limit else task_docs):
             docs[(task_name, doc_id)] = doc
+            if decontaminate and task.should_decontaminate():
+                docs_for_decontamination[task_name].append(
+                    task.doc_to_decontamination_query(doc)
+                )
             ctx = task.fewshot_context(
                 doc=doc, num_fewshot=num_fewshot, rnd=rnd, description=description
             )
@@ -124,6 +133,14 @@ def evaluate(
         for resp, (i, task_name, doc, doc_id) in zip(resps, requests_origin[reqtype]):
             process_res_queue[(task_name, doc_id)].append((i, resp))
 
+    overlaps: dict = {}
+    if decontaminate and docs_for_decontamination:
+        from ...decontamination.decontaminate import get_train_overlap
+
+        overlaps = get_train_overlap(
+            dict(docs_for_decontamination), decontamination_ngrams_path
+        )
+
     vals = collections.defaultdict(list)
     for (task_name, doc_id), per_doc_requests in process_res_queue.items():
         per_doc_requests.sort(key=lambda x: x[0])
@@ -133,14 +150,16 @@ def evaluate(
         output = task.process_results(doc, per_doc_results)
         for metric, value in output.items():
             vals[(task_name, metric)].append(value)
+            if decontaminate and doc_id not in overlaps.get(task_name, set()):
+                vals[(task_name, metric + "_decontaminate")].append(value)
 
     for (task_name, metric), items in vals.items():
         task = task_dict[task_name]
-        results[task_name][metric] = task.aggregation()[metric](items)
-        stderr = metrics_mod.stderr_for_metric(
-            task.aggregation()[metric], bootstrap_iters=bootstrap_iters
-        )
-        if stderr is not None:
+        base_metric = metric.replace("_decontaminate", "")
+        agg = task.aggregation()[base_metric]
+        results[task_name][metric] = agg(items)
+        stderr = metrics_mod.stderr_for_metric(agg, bootstrap_iters=bootstrap_iters)
+        if stderr is not None and not metric.endswith("_decontaminate"):
             results[task_name][metric + "_stderr"] = stderr(items)
 
     return {"results": dict(results), "versions": dict(versions)}

@@ -71,11 +71,17 @@ def _maybe_fq(x: jax.Array, spec: Optional[QuantSpec]) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def rms_norm(
+    x: jax.Array, weight: jax.Array, eps: float, bias: Optional[jax.Array] = None
+) -> jax.Array:
+    """RMSNorm with an optional bias — the reference's `OmniLlamaRMSNorm`
+    grows a bias so LET shifts can fold into it (`quant/omni_norm.py:40-63`)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    y = xf * jax.lax.rsqrt(var + eps)
-    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+    y = xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
@@ -247,7 +253,7 @@ def _mlp_block(p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig
 
 def _norm(p_norm: Params, h: jax.Array, cfg: ModelConfig) -> jax.Array:
     if cfg.rms_norms:
-        return rms_norm(h, p_norm["w"], cfg.rms_norm_eps)
+        return rms_norm(h, p_norm["w"], cfg.rms_norm_eps, p_norm.get("b"))
     return layer_norm(h, p_norm["w"], p_norm["b"], 1e-5)
 
 

@@ -69,17 +69,23 @@ def _qmm_kernel(
         codes = _unpack_block(w_ref[:].astype(jnp.int32), bits, groups, gs, bn)
     else:
         codes = w_ref[:].astype(jnp.int32)
-    codes = codes.reshape(groups, gs, bn).astype(jnp.float32)
+    # dequant entirely in bf16: integer codes ≤ 2^8 are exact in bf16, and
+    # the scale multiply's bf16 rounding (~2^-8 relative) is far below the
+    # quantization step — halving the VMEM intermediate lets tiles be twice
+    # as large, which is what amortizes per-tile overhead
+    codes = codes.reshape(groups, gs, bn).astype(jnp.bfloat16)
     if nsteps == 1:
         scale = s_ref[:].reshape(groups, 1, bn)
         zero = z_ref[:].reshape(groups, 1, bn)
     else:
-        # groups == GROUPS_PER_TILE == 8 here, so the offset is provably
-        # sublane-aligned
+        # groups is a multiple of GROUPS_PER_TILE == 8 here, so the offset
+        # is provably sublane-aligned
         off = pl.multiple_of(j * groups, GROUPS_PER_TILE)
         scale = s_ref[pl.ds(off, groups), :].reshape(groups, 1, bn)
         zero = z_ref[pl.ds(off, groups), :].reshape(groups, 1, bn)
-    w = ((codes - zero) * scale).reshape(groups * gs, bn).astype(jnp.bfloat16)
+    w = ((codes - zero.astype(jnp.bfloat16)) * scale.astype(jnp.bfloat16)).reshape(
+        groups * gs, bn
+    )
     acc_ref[:] += jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
@@ -100,10 +106,13 @@ def _pad_axis(x: jax.Array, axis: int, target: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "gs", "packed", "bm", "bn", "bk", "out_dtype", "interpret"),
+    static_argnames=(
+        "bits", "gs", "packed", "bm", "bn", "bk", "out_dtype", "interpret", "version"
+    ),
 )
 def _fused_qmm(
-    x2d, data, scale, zero, bits, gs, packed, bm, bn, bk, out_dtype, interpret=False
+    x2d, data, scale, zero, bits, gs, packed, bm, bn, bk, out_dtype,
+    interpret=False, version=1,
 ):
     m = x2d.shape[0]
     n = data.shape[-1]
@@ -113,8 +122,9 @@ def _fused_qmm(
     xp = _pad_axis(xp, 1, k_pad)
     mp = xp.shape[0]
     grid = (mp // bm, n // bn, k_pad // bk)
+    kernel_fn = _qmm_v2_kernel if version == 2 else _qmm_kernel
     kernel = functools.partial(
-        _qmm_kernel, bits=bits, gs=gs, nsteps=grid[2], packed=packed
+        kernel_fn, bits=bits, gs=gs, nsteps=grid[2], packed=packed
     )
     out = pl.pallas_call(
         kernel,
@@ -149,13 +159,79 @@ def _choose_bm(m: int) -> int:
     return 128 if m >= 128 else max(8, 1 << (m - 1).bit_length())
 
 
+# ---------------------------------------------------------------------------
+# v2 decode kernel: scale-after-matmul
+# ---------------------------------------------------------------------------
+#
+# y_g = s_g · (x_g @ c_g) − s_g z_g · Σ_k x_{g,k}
+#
+# so the VPU touches each weight element only for shift+mask+cast (the
+# group scale/zero apply on the [bm, bn] result — negligible), and each
+# bit-field feeds its own MXU dot against the matching static x slice —
+# no sublane concat/relayout of unpacked codes.
+
+
+def _qmm_v2_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, nsteps, packed):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    f = pack_factor(bits) if packed else 1
+    bn = w_ref.shape[-1]
+    bk = w_ref.shape[0] * f
+    groups = bk // gs
+    sub = gs // f
+    mask = (1 << bits) - 1 if packed and f > 1 else None
+
+    if nsteps == 1:
+        scale = s_ref[:]
+        zero = z_ref[:]
+    else:
+        off = pl.multiple_of(j * groups, GROUPS_PER_TILE)
+        scale = s_ref[pl.ds(off, groups), :]
+        zero = z_ref[pl.ds(off, groups), :]
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    acc = jnp.zeros_like(acc_ref)
+    for g in range(groups):
+        dot_g = jnp.zeros((x.shape[0], bn), jnp.float32)
+        xsum_g = jnp.zeros((x.shape[0], 1), jnp.float32)
+        if mask is None:
+            cg = w_ref[g * gs : (g + 1) * gs, :].astype(jnp.bfloat16)
+            xg = x[:, g * gs : (g + 1) * gs]
+            dot_g = jnp.dot(xg, cg, preferred_element_type=jnp.float32)
+            xsum_g = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        else:
+            pk = w_ref[g * sub : (g + 1) * sub, :].astype(jnp.int32)
+            for s in range(f):
+                c = ((pk >> (s * bits)) & mask).astype(jnp.bfloat16)
+                xs = x[:, g * gs + s * sub : g * gs + (s + 1) * sub]
+                dot_g += jnp.dot(xs, c, preferred_element_type=jnp.float32)
+                xsum_g += jnp.sum(xs.astype(jnp.float32), axis=1, keepdims=True)
+        sg = scale[g, :][None, :]
+        zg = zero[g, :][None, :]
+        acc += dot_g * sg - xsum_g * (zg * sg)
+    acc_ref[:] += acc
+
+    @pl.when(j == nsteps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def fused_dequant_matmul(
     x: jax.Array,
     qt: QuantizedTensor,
     out_dtype=None,
     interpret: bool = False,
+    version: int = 0,
 ):
-    """Public entry: `x @ dequant(qt)` with x of any leading shape."""
+    """Public entry: `x @ dequant(qt)` with x of any leading shape.
+
+    version 0 = auto: the scale-after-matmul v2 kernel for decode-sized M
+    (VPU-bound regime), the concat-dequant v1 kernel for prefill-sized M.
+    Override with L3Q_QMM_V=1/2."""
     if qt.zero is None:
         raise NotImplementedError("pallas path requires zero-point storage")
     gs = qt.group_size or qt.k
@@ -179,6 +255,7 @@ def fused_dequant_matmul(
 
     g = qt.k // gs
     if g < GROUPS_PER_TILE:
+        k_pad = qt.k
         bk = qt.k  # single K step; full group axis in VMEM
     else:
         g_pad = -(-g // GROUPS_PER_TILE) * GROUPS_PER_TILE
@@ -192,10 +269,26 @@ def fused_dequant_matmul(
             scale = scale.at[g:].set(ones)
         bk = GROUPS_PER_TILE * gs
 
-    bn = 256 if qt.n % 256 == 0 else (128 if qt.n % 128 == 0 else qt.n)
-    # VMEM guard: f32 unpacked tile + bf16 weight tile
-    while bk * bn * 6 > 6 * 1024 * 1024 and bn > 128:
+    bn = 512 if qt.n % 512 == 0 else (256 if qt.n % 256 == 0 else (128 if qt.n % 128 == 0 else qt.n))
+    # Grow bk toward the full (padded) K while the bf16 dequant intermediate
+    # + packed tile + codes fit the VMEM budget: fewer, larger tiles beat
+    # per-tile overhead (measured: small tiles leave ~10x on the table).
+    budget = 10 * 1024 * 1024
+
+    def tile_bytes(bk_, bn_):
+        # i32 unpack intermediate + bf16 dequant + packed bytes + x tile
+        return bk_ * bn_ * (4 + 2 + 1.0 / f) + 8 * bk_ * 2
+
+    while bk < k_pad and k_pad % (bk * 2) == 0 and tile_bytes(bk * 2, bn) <= budget:
+        bk *= 2
+    while tile_bytes(bk, bn) > budget and bn > 128:
         bn //= 2
+
+    if version == 0:
+        import os
+
+        env = os.environ.get("L3Q_QMM_V")
+        version = int(env) if env else (2 if m <= 64 else 1)
 
     out = _fused_qmm(
         x2d,
@@ -210,5 +303,6 @@ def fused_dequant_matmul(
         bk=bk,
         out_dtype=out_dtype,
         interpret=interpret,
+        version=version,
     )
     return out.reshape(*lead, qt.n)

@@ -33,6 +33,32 @@ from .qtensor import QuantizedTensor, from_codes
 from .quantizer import QuantSpec
 
 
+class Observer:
+    """Top-k worst-quantized-layer tracker (`/root/reference/gptq.py:15-53`):
+    layers ranked by GPTQ proxy error, candidates for precision upgrades."""
+
+    def __init__(self, topk: int = 32):
+        self.loss_list: list = []
+        self.topk = topk
+
+    def submit(self, name: str, layerid: int, error: float) -> None:
+        item = (name, layerid, error)
+        if len(self.loss_list) < self.topk:
+            self.loss_list.append(item)
+            return
+        min_idx = min(range(len(self.loss_list)), key=lambda i: self.loss_list[i][2])
+        if error > self.loss_list[min_idx][2]:
+            self.loss_list[min_idx] = item
+
+    def items(self):
+        return sorted(self.loss_list, key=lambda s: s[2], reverse=True)
+
+    def table(self) -> str:
+        rows = ["| layer | error |", "|---|---|"]
+        rows += [f"| {n}.{l} | {e:.4f} |" for n, l, e in self.items()]
+        return "\n".join(rows)
+
+
 # ---------------------------------------------------------------------------
 # GPTQ-for-LLaMa grid finder
 # ---------------------------------------------------------------------------

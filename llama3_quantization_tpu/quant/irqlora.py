@@ -113,6 +113,46 @@ def icq_dequantize(q: ICQWeight) -> jax.Array:
     return w.reshape(q.shape)
 
 
+def irqlora_quantize_model(
+    params,
+    cfg,
+    tau_range: float = 0.1,
+    tau_n: int = 20,
+    blocksize2: int = 256,
+):
+    """Model-level IR-QLoRA: every decoder linear ICQ-NF4-quantized.
+
+    Equivalent of `replace_to_qlora_model` + `IRQLoRALMClass`
+    (`/root/reference/irqlora.py:18-20`, `models/IRQLoRALMClass.py`): like
+    the reference (which dequantizes NF4 inside every forward,
+    irqlora.py:131-135), evaluation runs on the dequantized values — here
+    dequantized once at transform time, which is numerically identical and
+    avoids per-step LUT gathers. LoRA adapters start at zero (`lora_b=0`),
+    matching a freshly-attached PEFT adapter before finetuning.
+    """
+    from ..models.params import linear_names
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in linear_names(cfg):
+        entry = dict(layers[name])
+        w = entry["w"]  # [L, K, N]
+
+        def q_one(w_l):
+            numel = w_l.size
+            if numel % (blocksize2 * 64):
+                return w_l  # shape not blockable; keep fp (reference skips)
+            q = icq_search(w_l.reshape(-1), tau_range=tau_range, tau_n=tau_n,
+                           blocksize2=blocksize2)
+            q = ICQWeight(q.codes, q.absmax, q.tau_codes, q.tau_absmax, w_l.shape)
+            return icq_dequantize(q).astype(w_l.dtype)
+
+        entry["w"] = jax.vmap(q_one)(w)
+        layers[name] = entry
+    out["layers"] = layers
+    return out
+
+
 def ice_lora_apply(
     x: jax.Array,
     w_icq: ICQWeight,

@@ -44,15 +44,152 @@ class OmniConfig:
     wspec: QuantSpec = QuantSpec(n_bits=4, group_size=128, lwc=True)
     epochs: int = 5
     lwc_lr: float = 1e-2
-    let_lr: float = 5e-3  # reserved for joint LET training
+    let: bool = False  # joint learnable-equivalent-transformation training
+    let_lr: float = 5e-3
     weight_decay: float = 0.0
     batch_size: int = 2
     aug_loss: bool = False
     pack: bool = False
+    #: directory for resumable per-layer aux params (the reference's
+    #: `omni_parameters.pth` written after every layer, `omniquant.py:309-311`)
+    resume_dir: Optional[str] = None
 
     def __post_init__(self):
         if not self.wspec.lwc:
             object.__setattr__(self, "wspec", dataclasses.replace(self.wspec, lwc=True))
+
+
+# ---------------------------------------------------------------------------
+# LET — learnable equivalent transformation (reference `--let`:
+# smoothing scales/shifts as trainable parameters folded *temporarily*
+# during block training, `quant/utils.py:62-101` + `models/transformation.py`)
+# ---------------------------------------------------------------------------
+
+
+def init_layer_let(p_l: Dict[str, Any], cfg: ModelConfig, act_stats=None, alpha: float = 0.5):
+    """Trainable smoothing params for one layer. Scales init from the
+    SmoothQuant formula when activation stats are available (the reference's
+    act_scales init, `quant/omniquant.py:230-252`), else ones."""
+    import jax.numpy as jnp
+
+    from .smoothing import smoothquant_scale
+
+    d = p_l["q"]["w"].shape[0]
+    mlp_in = "gate" if cfg.arch == "llama" else "fc1"
+
+    def w_absmax(names):
+        return jnp.max(
+            jnp.stack(
+                [jnp.max(jnp.abs(p_l[n]["w"].astype(jnp.float32)), axis=1) for n in names]
+            ),
+            axis=0,
+        )
+
+    if act_stats is not None:
+        qkv_scale = smoothquant_scale(act_stats["q"]["absmax"], w_absmax(["q", "k", "v"]), alpha)
+        fc1_scale = smoothquant_scale(
+            act_stats[mlp_in]["absmax"], w_absmax([mlp_in]), alpha
+        )
+    else:
+        qkv_scale = jnp.ones((d,), jnp.float32)
+        fc1_scale = jnp.ones((d,), jnp.float32)
+    let = {
+        "qkv_scale": qkv_scale,
+        "qkv_shift": jnp.zeros((d,), jnp.float32),
+        "fc1_scale": fc1_scale,
+        "fc1_shift": jnp.zeros((d,), jnp.float32),
+        "out_scale": jnp.ones((p_l["v"]["w"].shape[1],), jnp.float32),
+        # q<->k scale: shared across heads AND equal within each RoPE
+        # rotation pair (dims i and i+hd/2 mix under rotation, so only
+        # pair-constant scales keep q·kᵀ exactly invariant) -> hd/2 free
+        # values, mirrored onto both halves
+        "qkt_scale": jnp.ones((cfg.head_dim_ // 2,), jnp.float32),
+    }
+    return let
+
+
+def apply_let(p_l: Dict[str, Any], let, cfg: ModelConfig):
+    """Differentiable temporary fold of the LET params
+    (`smooth_*_temporary`, transformation.py:24-69)."""
+    import jax.numpy as jnp
+
+    from .smoothing import fold_fc_fc, fold_norm_linears, fold_q_k
+    from .smoothquant import _fold_v_o_gqa
+
+    p = dict(p_l)
+    mlp_in = ["gate", "up"] if cfg.arch == "llama" else ["fc1"]
+    if cfg.parallel_block:
+        group = ["q", "k", "v"] + mlp_in
+        p["ln1"], outs = fold_norm_linears(
+            p["ln1"], [p[m] for m in group], let["qkv_scale"], let["qkv_shift"]
+        )
+        for m, e in zip(group, outs):
+            p[m] = e
+    else:
+        p["ln1"], qkv = fold_norm_linears(
+            p["ln1"], [p["q"], p["k"], p["v"]], let["qkv_scale"], let["qkv_shift"]
+        )
+        p["q"], p["k"], p["v"] = qkv
+        p["ln2"], outs = fold_norm_linears(
+            p["ln2"], [p[m] for m in mlp_in], let["fc1_scale"], let["fc1_shift"]
+        )
+        for m, e in zip(mlp_in, outs):
+            p[m] = e
+    # v -> o
+    nv = p["v"]["w"].shape[1]
+    if p["o"]["w"].shape[0] == nv:
+        p["v"], p["o"] = fold_fc_fc(p["v"], p["o"], let["out_scale"])
+    else:
+        p["v"], p["o"] = _fold_v_o_gqa(p["v"], p["o"], let["out_scale"], cfg)
+    # q <-> k: mirror the hd/2 free values across both RoPE halves, then
+    # tile over flattened head columns
+    s_head = jnp.concatenate([let["qkt_scale"], let["qkt_scale"]])
+    nq = p["q"]["w"].shape[1]
+    s_q = jnp.tile(s_head, nq // cfg.head_dim_)
+    nk = p["k"]["w"].shape[1]
+    s_k = jnp.tile(s_head, nk // cfg.head_dim_)
+    from .smoothing import sanitize_scale
+
+    sq = sanitize_scale(s_q)
+    q_new = dict(p["q"])
+    q_new["w"] = (p["q"]["w"] / sq[None, :].astype(p["q"]["w"].dtype)).astype(p["q"]["w"].dtype)
+    if "b" in q_new:
+        q_new["b"] = (q_new["b"] / sq).astype(q_new["b"].dtype)
+    sk = sanitize_scale(s_k)
+    k_new = dict(p["k"])
+    k_new["w"] = (p["k"]["w"] * sk[None, :].astype(p["k"]["w"].dtype)).astype(p["k"]["w"].dtype)
+    if "b" in k_new:
+        k_new["b"] = (k_new["b"] * sk).astype(k_new["b"].dtype)
+    p["q"], p["k"] = q_new, k_new
+    return p
+
+
+def _save_aux(resume_dir: Optional[str], layer: int, aux) -> None:
+    if not resume_dir:
+        return
+    import os
+
+    os.makedirs(resume_dir, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves(aux)
+    np.savez(
+        os.path.join(resume_dir, f"omni_layer_{layer}.npz"),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+    )
+
+
+def _load_aux(resume_dir: Optional[str], layer: int, aux_like):
+    if not resume_dir:
+        return None
+    import os
+
+    path = os.path.join(resume_dir, f"omni_layer_{layer}.npz")
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(aux_like)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    )
 
 
 def init_layer_lwc(p_l: Dict[str, Any], cfg: ModelConfig, spec: QuantSpec):
@@ -97,10 +234,22 @@ def omniquant_model(
     run_fp = jax.jit(lambda p, hb: decoder_layer(p, hb, cfg, NO_QUANT, cos_sin, mask)[0])
     run_q = jax.jit(lambda p, hb: decoder_layer(p, hb, cfg, rq, cos_sin, mask)[0])
 
-    opt = optax.adamw(ocfg.lwc_lr, weight_decay=ocfg.weight_decay)
+    # two LR groups like the reference's AdamW([{let params, let_lr},
+    # {lwc params, lwc_lr}]) (`quant/omniquant.py:257-264`)
+    opt = optax.multi_transform(
+        {
+            "lwc": optax.adamw(ocfg.lwc_lr, weight_decay=ocfg.weight_decay),
+            "let": optax.adamw(ocfg.let_lr, weight_decay=ocfg.weight_decay),
+        },
+        lambda aux: {k: k for k in aux},
+    )
 
-    def loss_fn(lwc, p_l, hq_b, target_b, hfp_b):
-        eff = apply_lwc(p_l, lwc, cfg, ocfg.wspec)
+    def apply_aux(aux, p_l):
+        eff = apply_let(p_l, aux["let"], cfg) if "let" in aux else p_l
+        return apply_lwc(eff, aux["lwc"], cfg, ocfg.wspec)
+
+    def loss_fn(aux, p_l, hq_b, target_b, hfp_b):
+        eff = apply_aux(aux, p_l)
         out = decoder_layer(eff, hq_b, cfg, rq, cos_sin, mask)[0]
         loss = jnp.mean((out.astype(jnp.float32) - target_b.astype(jnp.float32)) ** 2)
         if ocfg.aug_loss:
@@ -111,24 +260,30 @@ def omniquant_model(
         return loss
 
     @jax.jit
-    def train_step(lwc, opt_state, p_l, hq_b, target_b, hfp_b):
-        loss, grads = jax.value_and_grad(loss_fn)(lwc, p_l, hq_b, target_b, hfp_b)
-        updates, opt_state = opt.update(grads, opt_state, lwc)
-        return optax.apply_updates(lwc, updates), opt_state, loss
+    def train_step(aux, opt_state, p_l, hq_b, target_b, hfp_b):
+        loss, grads = jax.value_and_grad(loss_fn)(aux, p_l, hq_b, target_b, hfp_b)
+        updates, opt_state = opt.update(grads, opt_state, aux)
+        return optax.apply_updates(aux, updates), opt_state, loss
 
     new_layers = []
+    act_stats_l = None
     for l in range(cfg.num_layers):
         p_l = _layer_slice(params["layers"], l)
         targets = [run_fp(p_l, h_fp[b0 : b0 + bs]) for b0 in range(0, n, bs)]
 
-        lwc = init_layer_lwc(p_l, cfg, ocfg.wspec)
+        aux: Dict[str, Any] = {"lwc": init_layer_lwc(p_l, cfg, ocfg.wspec)}
+        if ocfg.let:
+            aux["let"] = init_layer_let(p_l, cfg, act_stats_l)
         last_loss = float("nan")
-        if ocfg.epochs > 0:
-            opt_state = opt.init(lwc)
+        resumed = _load_aux(ocfg.resume_dir, l, aux)
+        if resumed is not None:
+            aux = resumed
+        elif ocfg.epochs > 0:
+            opt_state = opt.init(aux)
             for _ in range(ocfg.epochs):
                 for bi, b0 in enumerate(range(0, n, bs)):
-                    lwc, opt_state, loss = train_step(
-                        lwc,
+                    aux, opt_state, loss = train_step(
+                        aux,
                         opt_state,
                         p_l,
                         h_q[b0 : b0 + bs],
@@ -136,9 +291,13 @@ def omniquant_model(
                         h_fp[b0 : b0 + bs],
                     )
                 last_loss = float(loss)
+            _save_aux(ocfg.resume_dir, l, aux)
 
-        # bake learned clipping into real-quantized weights
-        q_l = dict(p_l)
+        # fold LET permanently, then bake learned clipping into
+        # real-quantized weights (`smooth_and_quant_inplace`,
+        # quant/utils.py:112-137)
+        q_l = dict(apply_let(p_l, aux["let"], cfg)) if ocfg.let else dict(p_l)
+        lwc = aux["lwc"]
         for name in linear_names(cfg):
             entry = dict(q_l[name])
             entry["w"] = quantize_rtn(

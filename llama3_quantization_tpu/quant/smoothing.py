@@ -48,9 +48,13 @@ def fold_norm_linears(
     s = sanitize_scale(scale)
     new_norm = dict(norm)
     new_norm["w"] = (norm["w"] / s).astype(norm["w"].dtype)
-    if "b" in norm:
-        b = norm["b"] - (shift if shift is not None else 0.0)
-        new_norm["b"] = (b / s).astype(norm["b"].dtype)
+    if "b" in norm or shift is not None:
+        # a shift folded into a bias-free RMSNorm *creates* its bias (the
+        # reference's OmniLlamaRMSNorm temp bias, `quant/omni_norm.py:40-63`)
+        b = norm.get("b", jnp.zeros_like(norm["w"])) - (
+            shift if shift is not None else 0.0
+        )
+        new_norm["b"] = (b / s).astype(norm["w"].dtype)
     new_linears = []
     for lin in linears:
         w = lin["w"]

@@ -63,6 +63,27 @@ def collect_act_stats(
     return stats
 
 
+def save_act_stats(stats, path: str) -> None:
+    """Persist per-layer activation stats (the reference's offline
+    `act_scales/{net}.pt` + `act_shifts/{net}.pt` artifacts,
+    `main.py:360-364`)."""
+    payload = {}
+    for l, layer in enumerate(stats):
+        for name, d in layer.items():
+            payload[f"{l}/{name}/absmax"] = np.asarray(d["absmax"])
+            payload[f"{l}/{name}/mean"] = np.asarray(d["mean"])
+    np.savez(path, **payload)
+
+
+def load_act_stats(path: str):
+    data = np.load(path)
+    layers: dict = {}
+    for key in data.files:
+        l, name, kind = key.split("/")
+        layers.setdefault(int(l), {}).setdefault(name, {})[kind] = jnp.asarray(data[key])
+    return [layers[l] for l in sorted(layers)]
+
+
 def _w_absmax_in(entries) -> jax.Array:
     """Per-input-channel |max| across a group of [K, N] weights."""
     return jnp.max(

@@ -213,3 +213,105 @@ def test_omniquant_epochs0_is_rtn():
     qp_rtn = quantize_model_rtn(params, cfg, QuantSpec(n_bits=4, group_size=32))
     out_rtn = forward_logits(qp_rtn, toks, cfg)
     assert float(jnp.mean(jnp.abs(out - out_rtn))) < 0.05
+
+
+def test_let_fold_fp_neutral():
+    """apply_let with arbitrary scales/shifts must preserve the fp forward."""
+    from llama3_quantization_tpu.quant.omniquant import apply_let, init_layer_let
+    from llama3_quantization_tpu.quant.calibration import _layer_slice
+    from llama3_quantization_tpu.models.transformer import decoder_layer, causal_mask, rope_cos_sin
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    p0 = _layer_slice(params["layers"], 0)
+    let = init_layer_let(p0, cfg)
+    rng_np = np.random.default_rng(0)
+    let = {
+        k: jnp.asarray(np.exp(rng_np.standard_normal(v.shape) * 0.3).astype(np.float32))
+        if "scale" in k
+        else jnp.asarray(rng_np.standard_normal(v.shape).astype(np.float32) * 0.1)
+        for k, v in let.items()
+    }
+    folded = apply_let(p0, let, cfg)
+    h = jnp.asarray(rng_np.standard_normal((2, 8, cfg.hidden_size)).astype(np.float32))
+    positions = jnp.arange(8)[None, :]
+    cos_sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+    mask = causal_mask(8)
+    from llama3_quantization_tpu.models.transformer import NO_QUANT
+
+    out_ref = decoder_layer(p0, h, cfg, NO_QUANT, cos_sin, mask)[0]
+    out_fold = decoder_layer(folded, h, cfg, NO_QUANT, cos_sin, mask)[0]
+    np.testing.assert_allclose(
+        np.asarray(out_fold), np.asarray(out_ref), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_omniquant_let_trains():
+    """Joint LET+LWC at W3A8 should improve over plain LWC at the same cfg
+    (or at minimum stay finite and close)."""
+    from llama3_quantization_tpu.models.transformer import RuntimeQuantConfig
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (4, 16))
+    toks = jnp.asarray(calib)
+    fp = forward_logits(params, toks, cfg)
+    rq = RuntimeQuantConfig(act=QuantSpec(n_bits=8))
+    wspec = QuantSpec(n_bits=3, group_size=32, lwc=True)
+    qp_let = omniquant_model(
+        params, cfg, calib,
+        OmniConfig(wspec=wspec, epochs=6, batch_size=4, let=True), rq=rq,
+    )
+    err_let = float(jnp.mean((forward_logits(qp_let, toks, cfg, rq) - fp) ** 2))
+    qp_lwc = omniquant_model(
+        params, cfg, calib, OmniConfig(wspec=wspec, epochs=6, batch_size=4), rq=rq,
+    )
+    err_lwc = float(jnp.mean((forward_logits(qp_lwc, toks, cfg, rq) - fp) ** 2))
+    assert np.isfinite(err_let)
+    assert err_let < err_lwc * 1.5, (err_let, err_lwc)
+
+
+def test_omniquant_resume(tmp_path):
+    """Second run with resume_dir must reuse saved aux params (identical
+    output) without retraining."""
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 8))
+    wspec = QuantSpec(n_bits=3, group_size=32, lwc=True)
+    ocfg = OmniConfig(wspec=wspec, epochs=2, batch_size=2, resume_dir=str(tmp_path))
+    qp1 = omniquant_model(params, cfg, calib, ocfg)
+    qp2 = omniquant_model(params, cfg, calib, ocfg)  # resumes
+    toks = jnp.asarray(calib)
+    np.testing.assert_allclose(
+        np.asarray(forward_logits(qp1, toks, cfg)),
+        np.asarray(forward_logits(qp2, toks, cfg)),
+        rtol=1e-5, atol=1e-6,
+    )
+    import os
+    assert os.path.exists(tmp_path / "omni_layer_0.npz")
+
+
+def test_act_stats_save_load(tmp_path):
+    from llama3_quantization_tpu.quant.smoothquant import (
+        collect_act_stats, load_act_stats, save_act_stats, smoothquant_model,
+    )
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 8))
+    stats = collect_act_stats(params, cfg, calib)
+    path = str(tmp_path / "act_stats.npz")
+    save_act_stats(stats, path)
+    loaded = load_act_stats(path)
+    assert len(loaded) == cfg.num_layers
+    np.testing.assert_allclose(
+        np.asarray(stats[0]["q"]["absmax"]), np.asarray(loaded[0]["q"]["absmax"]), rtol=1e-6
+    )
+    # smoothquant_model accepts precomputed stats
+    sp = smoothquant_model(params, cfg, calib, act_stats=loaded)
+    toks = jnp.asarray(calib)
+    np.testing.assert_allclose(
+        np.asarray(forward_logits(sp, toks, cfg)),
+        np.asarray(forward_logits(params, toks, cfg)),
+        rtol=1e-3, atol=1e-4,
+    )

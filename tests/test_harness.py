@@ -166,3 +166,32 @@ def test_full_eval_with_jaxlm(jaxlm):
     )
     assert 0 <= res["results"]["piqa"]["acc"] <= 1
     assert res["results"]["wikitext"]["word_perplexity"] > 0
+
+
+def test_decontamination_hook(tmp_path):
+    """Docs overlapping stored training n-grams are excluded from the
+    *_decontaminate metric variants."""
+    import pickle
+
+    from llama3_quantization_tpu.decontamination import word_ngrams
+
+    # contaminate the first piqa doc's goal (> 13 words so a 13-gram exists)
+    long_goal = " ".join(f"word{i}" for i in range(20))
+    docs = [dict(PIQA_DOCS[0], goal=long_goal)] + PIQA_DOCS[1:]
+    grams = word_ngrams(long_goal, 13)
+    pkl = tmp_path / "train_grams.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(set(grams), f)
+
+    lm = DummyLM()
+    res = simple_evaluate(
+        lm,
+        tasks=["piqa"],
+        task_data={"piqa": {"train": docs, "validation": docs}},
+        bootstrap_iters=10,
+        decontamination_ngrams_path=str(pkl),
+    )
+    r = res["results"]["piqa"]
+    assert "acc_decontaminate" in r
+    # one of six docs dropped from the decontaminated aggregate
+    assert 0 <= r["acc_decontaminate"] <= 1

@@ -91,3 +91,22 @@ def test_ice_lora_apply_shapes(rng):
     # zero LoRA + zero scales == pure base path
     base = np.asarray(x) @ np.asarray(icq_dequantize(q))
     np.testing.assert_allclose(np.asarray(out), base, rtol=1e-4, atol=1e-5)
+
+
+def test_irqlora_model_transform():
+    import dataclasses
+    from llama3_quantization_tpu.models import forward_logits, init_params
+    from llama3_quantization_tpu.models.configs import TINY_LLAMA
+    from llama3_quantization_tpu.quant.irqlora import irqlora_quantize_model
+
+    # hidden=64: q/k/v/gate shapes 64x? -> numel multiples of 16384 needed;
+    # scale the tiny config up just enough
+    cfg = dataclasses.replace(TINY_LLAMA, hidden_size=128, intermediate_size=256,
+                              num_heads=4, num_kv_heads=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = irqlora_quantize_model(params, cfg, tau_n=3)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size)
+    fp = forward_logits(params, toks, cfg)
+    out = forward_logits(qp, toks, cfg)
+    err = float(jnp.mean(jnp.abs(out - fp)))
+    assert 0 < err < 1.0  # quantized but sane
