@@ -34,9 +34,10 @@ def log(*a):
 HBM_GBPS = {"v5e": 819.0, "v5": 819.0}
 
 
-def model_bytes_per_token(cfg, spec, cache_len: int) -> float:
+def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None) -> float:
     """HBM bytes touched per decode step: packed decoder weights + scales +
-    fp head/embed reads + KV cache."""
+    fp head/embed reads + KV cache. `container_bits` overrides the storage
+    width (the a8 path stores sub-byte codes in int8 containers)."""
     d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim_
     lin = (
         d * cfg.num_heads * hd
@@ -44,7 +45,7 @@ def model_bytes_per_token(cfg, spec, cache_len: int) -> float:
         + cfg.num_heads * hd * d
         + 3 * d * i
     ) * cfg.num_layers
-    w_bytes = lin * spec.n_bits / 8
+    w_bytes = lin * (container_bits or spec.n_bits) / 8
     gs = spec.group_size or 1
     scale_bytes = (lin / gs) * 8 if spec.group_size else 0  # f32 scale+zero
     lm_head = d * cfg.vocab_size * 2  # bf16
@@ -61,7 +62,9 @@ def main():
     from llama3_quantization_tpu.quant import QuantSpec
 
     cfg_name = os.environ.get("L3Q_BENCH_MODEL", "llama3-8b" if on_tpu else "tiny")
-    backend = os.environ.get("L3Q_BENCH_BACKEND", "pallas" if on_tpu else "xla")
+    # a8: weights as centered-int8 codes driving the native s8 MXU path —
+    # measured at full HBM bandwidth on v5e, vs VPU-bound dequant kernels
+    backend = os.environ.get("L3Q_BENCH_BACKEND", "a8" if on_tpu else "xla")
     cfg = LLAMA3_8B if cfg_name == "llama3-8b" else TINY_LLAMA
     spec = QuantSpec(n_bits=4, group_size=128 if cfg_name == "llama3-8b" else 32)
     cache_len = int(os.environ.get("L3Q_BENCH_CACHE", 512))
@@ -71,7 +74,13 @@ def main():
     mm.set_backend(backend)
 
     t0 = time.time()
-    params = init_quantized_params(cfg, spec, pack=True)
+    params = init_quantized_params(cfg, spec, pack=backend != "a8")
+    if backend == "a8":
+        # serving recode: per-column symmetric int8 containers -> one s8 dot
+        # per linear at HBM speed-of-light (quant/serving.py)
+        from llama3_quantization_tpu.quant.serving import recode_model_s8
+
+        params = recode_model_s8(params, cfg)
     params = jax.block_until_ready(params)
     log(f"params built in {time.time()-t0:.1f}s")
 
@@ -107,7 +116,8 @@ def main():
     log(f"{decode_steps} generated tokens in {dt:.3f}s -> {tok_s:.2f} tok/s")
 
     if cfg_name == "llama3-8b":
-        bpt = model_bytes_per_token(cfg, spec, cache_len)
+        container = 8 if backend == "a8" else None
+        bpt = model_bytes_per_token(cfg, spec, cache_len, container_bits=container)
         sol = HBM_GBPS["v5e"] * 1e9 / bpt
         log(f"bytes/token={bpt/1e9:.2f} GB, speed-of-light={sol:.1f} tok/s")
         vs = tok_s / sol

@@ -18,7 +18,7 @@ class ModelConfig:
     ReLU MLP, LayerNorm, absolute pos offset) via `arch`.
     """
 
-    arch: str = "llama"  # "llama" | "opt" | "falcon"
+    arch: str = "llama"  # "llama" | "opt" | "falcon" | "mixtral"
     vocab_size: int = 128256
     hidden_size: int = 4096
     intermediate_size: int = 14336
@@ -35,6 +35,9 @@ class ModelConfig:
     activation: str = "silu"  # "silu" (llama) | "relu" (opt) | "gelu" (falcon)
     #: Falcon-style parallel attention+MLP off one shared layernorm
     parallel_block: bool = False
+    #: Mixtral-style sparse MoE MLP
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
     # numerics
     dtype: str = "bfloat16"
 
@@ -48,11 +51,15 @@ class ModelConfig:
 
     @property
     def uses_rope(self) -> bool:
-        return self.arch in ("llama", "falcon")
+        return self.arch in ("llama", "falcon", "mixtral")
 
     @property
     def rms_norms(self) -> bool:
-        return self.arch == "llama"
+        return self.arch in ("llama", "mixtral")
+
+    @property
+    def is_moe(self) -> bool:
+        return self.arch == "mixtral"
 
 
 # ---------------------------------------------------------------------------
@@ -165,11 +172,10 @@ TINY_FALCON = ModelConfig(
     parallel_block=True,
 )
 
-MIXTRAL_8X7B_DENSE_PROXY = ModelConfig(
-    # The reference supports Mixtral only as LWC fake-quant of its Linears
-    # with the router excluded (`quant/omniquant.py:198-206`); until the MoE
-    # block lands, this dense proxy covers shape/bandwidth planning.
-    arch="llama",
+MIXTRAL_8X7B = ModelConfig(
+    # Sparse MoE: 8 experts, top-2 routing; the reference quantizes its
+    # Linears with the router excluded (`quant/omniquant.py:198-206`).
+    arch="mixtral",
     vocab_size=32000,
     hidden_size=4096,
     intermediate_size=14336,
@@ -178,6 +184,22 @@ MIXTRAL_8X7B_DENSE_PROXY = ModelConfig(
     num_kv_heads=8,
     rope_theta=1e6,
     max_position_embeddings=32768,
+    num_experts=8,
+    num_experts_per_tok=2,
+)
+
+TINY_MIXTRAL = ModelConfig(
+    arch="mixtral",
+    vocab_size=512,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=4,
+    num_kv_heads=2,
+    rope_theta=10000.0,
+    max_position_embeddings=256,
+    num_experts=4,
+    num_experts_per_tok=2,
 )
 
 NAMED_CONFIGS = {
@@ -186,6 +208,8 @@ NAMED_CONFIGS = {
     "llama2-7b": LLAMA2_7B,
     "opt-125m": OPT_125M,
     "falcon-7b": FALCON_7B,
+    "mixtral-8x7b": MIXTRAL_8X7B,
+    "tiny-mixtral": TINY_MIXTRAL,
     "tiny-llama": TINY_LLAMA,
     "tiny-opt": TINY_OPT,
     "tiny-falcon": TINY_FALCON,

@@ -23,9 +23,13 @@ Params = Dict[str, Any]
 #: the reference's per-layer named_linears, `quant/omniquant.py:170-186`)
 LLAMA_LINEARS = ("q", "k", "v", "o", "gate", "up", "down")
 OPT_LINEARS = ("q", "k", "v", "o", "fc1", "fc2")
+MOE_ATTN_LINEARS = ("q", "k", "v", "o")  # experts handled separately
+MOE_EXPERT_LINEARS = ("gate", "up", "down")
 
 
 def linear_names(cfg: ModelConfig):
+    if cfg.is_moe:
+        return MOE_ATTN_LINEARS
     return LLAMA_LINEARS if cfg.arch == "llama" else OPT_LINEARS
 
 
@@ -53,7 +57,14 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         scale = 1.0 / jnp.sqrt(shape[0])
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
-    if cfg.arch == "llama":
+    if cfg.is_moe:
+        layer_shapes = {
+            "q": (d, nh * hd),
+            "k": (d, nkv * hd),
+            "v": (d, nkv * hd),
+            "o": (nh * hd, d),
+        }
+    elif cfg.arch == "llama":
         layer_shapes = {
             "q": (d, nh * hd),
             "k": (d, nkv * hd),
@@ -80,7 +91,24 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         if cfg.arch == "opt":  # OPT linears carry biases
             entry["b"] = jnp.zeros((L, shape[1]), dtype)
         layers[name] = entry
-    if cfg.arch == "llama":
+    if cfg.is_moe:
+        # router fp (reference excludes the gate from quantization,
+        # quant/omniquant.py:198-206) + stacked experts [L, E, K, N]
+        e = cfg.num_experts
+        keys2 = jax.random.split(next(keys), 4)
+        layers["router"] = {
+            "w": jax.random.normal(keys2[0], (L, d, e), jnp.float32).astype(dtype)
+            / jnp.sqrt(d).astype(dtype)
+        }
+        def expert_stack(kk, shape):
+            ks = jax.random.split(kk, L * e)
+            return jax.vmap(lambda k: lin(k, shape))(ks).reshape(L, e, *shape)
+        layers["experts"] = {
+            "gate": {"w": expert_stack(keys2[1], (d, i))},
+            "up": {"w": expert_stack(keys2[2], (d, i))},
+            "down": {"w": expert_stack(keys2[3], (i, d))},
+        }
+    if cfg.rms_norms:
         layers["ln1"] = {"w": jnp.ones((L, d), dtype)}
         layers["ln2"] = {"w": jnp.ones((L, d), dtype)}
     else:
@@ -133,5 +161,18 @@ def quantize_model_rtn(
 
         entry["w"] = jax.vmap(q_one)(stacked)
         layers[name] = entry
+    if cfg.is_moe:
+        # experts [L, E, K, N]: quantize each expert independently (router
+        # stays fp, matching the reference's gate exclusion)
+        experts = dict(layers["experts"])
+        for name in MOE_EXPERT_LINEARS:
+            entry = dict(experts[name])
+
+            def q_one_e(w):
+                return quantize_rtn(w, weight_spec, pack=pack)
+
+            entry["w"] = jax.vmap(jax.vmap(q_one_e))(entry["w"])
+            experts[name] = entry
+        layers["experts"] = experts
     out["layers"] = layers
     return out

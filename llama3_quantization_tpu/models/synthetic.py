@@ -27,15 +27,18 @@ def _rand_qtensor(key, k: int, n: int, spec: QuantSpec, layers: int, pack: bool 
     kd, ks, kz = jax.random.split(key, 3)
     if f > 1:
         data = jax.random.randint(kd, (layers, k // f, n), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+        zero = jnp.full((layers, g, n), float(2 ** (spec.n_bits - 1)), jnp.float32)
     else:
-        data = jax.random.randint(kd, (layers, k, n), 0, 2**spec.n_bits, dtype=jnp.int32).astype(
-            jnp.uint8
+        # unpacked storage is centered signed int8 (see quant/qtensor.py)
+        half = 2 ** (spec.n_bits - 1)
+        data = jax.random.randint(kd, (layers, k, n), -half, half, dtype=jnp.int32).astype(
+            jnp.int8
         )
+        zero = jnp.zeros((layers, g, n), jnp.float32)
     scale = (
         jax.random.uniform(ks, (layers, g, n), jnp.float32, 0.5, 1.5)
         * (2.0 / jnp.sqrt(k) / (2**spec.n_bits))
     )
-    zero = jnp.full((layers, g, n), float(2 ** (spec.n_bits - 1)), jnp.float32)
     return QuantizedTensor(
         data=data,
         scale=scale,

@@ -241,7 +241,36 @@ def _attn_block(
     return out, new_cache
 
 
+def _moe_block(p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig) -> jax.Array:
+    """Mixtral sparse-MoE MLP: softmax router, top-k expert mixture.
+
+    The reference supports Mixtral via HF's module tree with its Linears
+    fake-quantized and the router excluded (`quant/omniquant.py:198-206`);
+    here experts are a stacked `[E, K, N]` axis vmapped per token-batch.
+    Compute is dense over experts with top-k routing weights masked in —
+    exact routing semantics, jit-static shapes (token-dropping/capacity
+    scheduling is a serving optimization for a later round).
+    """
+    router_logits = qlinear(h, p["router"]["w"]).astype(jnp.float32)  # [B,S,E]
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # renormalize top-k
+    # scatter top-k weights back to a dense [B,S,E] mixture matrix
+    onehot = jax.nn.one_hot(topi, cfg.num_experts, dtype=topv.dtype)  # [B,S,k,E]
+    weights = jnp.einsum("bske,bsk->bse", onehot, topv)
+
+    def expert(e_params, x):
+        gate = qlinear(x, e_params["gate"]["w"], None, rq.act)
+        up = qlinear(x, e_params["up"]["w"], None, rq.act)
+        return qlinear(jax.nn.silu(gate) * up, e_params["down"]["w"], None, rq.act)
+
+    outs = jax.vmap(expert, in_axes=(0, None))(p["experts"], h)  # [E,B,S,D]
+    return jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), weights).astype(h.dtype)
+
+
 def _mlp_block(p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig) -> jax.Array:
+    if cfg.is_moe:
+        return _moe_block(p, h, cfg, rq)
     if cfg.arch == "llama":
         gate = qlinear(h, p["gate"]["w"], p["gate"].get("b"), rq.act)
         up = qlinear(h, p["up"]["w"], p["up"].get("b"), rq.act)

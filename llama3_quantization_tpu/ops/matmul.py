@@ -31,7 +31,7 @@ _BACKEND = "xla"
 
 def set_backend(name: str) -> None:
     global _BACKEND
-    if name not in ("xla", "pallas"):
+    if name not in ("xla", "pallas", "a8"):
         raise ValueError(name)
     _BACKEND = name
 
@@ -54,6 +54,10 @@ def backend(name: str):
 def qmatmul(x: jax.Array, w, out_dtype=None) -> jax.Array:
     """`x @ w` where `w` is a jax.Array or a QuantizedTensor `[K, N]`."""
     if isinstance(w, QuantizedTensor):
+        if _BACKEND == "a8" and not w.packed:
+            from .a8_matmul import a8_matmul
+
+            return a8_matmul(x, w, out_dtype=out_dtype)
         if _BACKEND == "pallas" and x.ndim >= 2:
             from .pallas_qmatmul import fused_dequant_matmul
 

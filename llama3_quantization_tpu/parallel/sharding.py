@@ -34,10 +34,12 @@ _LINEAR_KIND = {
 }
 
 
-def _weight_spec(value, kind: str, stacked: bool):
-    """Spec for one linear weight (array or QuantizedTensor), with an
-    optional leading layer-stack axis (never sharded)."""
-    lead = (None,) if stacked else ()
+def _weight_spec(value, kind: str, stacked: bool, n_lead: int = None):
+    """Spec for one linear weight (array or QuantizedTensor), with leading
+    stack axes (layer / expert — never sharded)."""
+    if n_lead is None:
+        n_lead = 1 if stacked else 0
+    lead = (None,) * n_lead
     if isinstance(value, QuantizedTensor):
         if kind == "col":
             data = P(*lead, None, "tp")
@@ -78,7 +80,18 @@ def model_pspecs(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
     specs["norm"] = {k: P(None) for k in params["norm"]}
     layer_specs: Dict[str, Any] = {}
     for name, entry in params["layers"].items():
-        if name in _LINEAR_KIND:
+        if name == "router":  # MoE router: small, replicated, fp
+            layer_specs[name] = {"w": P(None, None, None)}
+        elif name == "experts":  # MoE experts: [L, E, K, N], expert axis whole
+            layer_specs[name] = {
+                ename: {
+                    "w": _weight_spec(
+                        eentry["w"], _LINEAR_KIND[ename], stacked=True, n_lead=2
+                    )
+                }
+                for ename, eentry in entry.items()
+            }
+        elif name in _LINEAR_KIND:
             kind = _LINEAR_KIND[name]
             e: Dict[str, Any] = {"w": _weight_spec(entry["w"], kind, stacked=True)}
             if "b" in entry:

@@ -111,10 +111,29 @@ def quantize_rtn(
     if zp is not None:
         q = q + zp.reshape(n, -1, 1)
     q = jnp.clip(q, spec.qmin, spec.qmax)
-    code_dtype = jnp.int8 if zp is None else jnp.uint8
-    codes = q.reshape(n, k).T.astype(code_dtype)  # [K, N]
     scale_gn = scale.reshape(n, -1).T  # [G, N]
     zero_gn = zp.reshape(n, -1).T if zp is not None else None
+    if not pack and zp is not None:
+        # unpacked asym storage: center codes into signed int8 (q - 2^(b-1))
+        # with the zero point shifted to match — signed codes feed the TPU's
+        # native s8 x s8 MXU path (ops/matmul.py "a8" backend) directly
+        off = 2 ** (spec.n_bits - 1)
+        codes = (q.reshape(n, k).T - off).astype(jnp.int8)
+        zero_gn = zero_gn - off
+        return QuantizedTensor(
+            data=codes,
+            scale=scale_gn,
+            zero=zero_gn,
+            bits=spec.n_bits,
+            group_size=spec.group_size,
+            sym=False,
+            k=k,
+            n=n,
+            packed=False,
+            out_dtype=w.dtype if jnp.issubdtype(w.dtype, jnp.floating) else jnp.bfloat16,
+        )
+    code_dtype = jnp.int8 if zp is None else jnp.uint8
+    codes = q.reshape(n, k).T.astype(code_dtype)  # [K, N]
     if pack and zp is not None:
         data = pack_subbyte(codes, spec.n_bits, spec.group_size)
         packed = pack_factor(spec.n_bits) > 1
@@ -158,6 +177,12 @@ def from_codes(
     if pack and zero is not None and pack_factor(spec.n_bits) > 1:
         data = pack_subbyte(codes.astype(jnp.uint8), spec.n_bits, spec.group_size)
         packed = True
+    elif zero is not None:
+        # centered signed storage (see quantize_rtn) for the s8 MXU path
+        off = 2 ** (spec.n_bits - 1)
+        data = (codes.astype(jnp.int32) - off).astype(jnp.int8)
+        zero = zero - off
+        packed = False
     else:
         data, packed = codes, False
     return QuantizedTensor(

@@ -1,0 +1,56 @@
+"""Serving recode: grouped low-bit weights -> per-column symmetric int8.
+
+Measured on v5e: one full-K `s8 @ s8` dot runs at HBM speed-of-light, but
+any per-group formulation (batched dots or VPU dequant) is 3-6x slower. So
+for serving, weights quantized with ANY algorithm/grouping are re-coded
+into per-output-column symmetric int8:
+
+    c8[:, n] = round(W_deq[:, n] / s_n),   s_n = absmax_n / 127
+
+The recode adds at most an int8-per-column rounding on top of the original
+quantization error (step ~s_n, far below a W4 g128 step), so task scores
+are preserved while decode hits the native s8 MXU path with a single
+post-matmul column scale.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.params import linear_names
+from .qtensor import QuantizedTensor, dequantize
+
+
+def recode_s8_percol(qt: QuantizedTensor) -> QuantizedTensor:
+    """Any QuantizedTensor -> per-column symmetric int8 container."""
+    w = dequantize(qt, jnp.float32)  # [K, N]
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)  # [1, N]
+    s = jnp.clip(absmax / 127.0, 1e-12, None)
+    c8 = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(
+        data=c8,
+        scale=s,  # [1, N]
+        zero=None,
+        bits=8,
+        group_size=None,
+        sym=True,
+        k=qt.k,
+        n=qt.n,
+        packed=False,
+        out_dtype=qt.out_dtype,
+    )
+
+
+def recode_model_s8(params, cfg):
+    """Recode every quantized decoder linear for s8 serving."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in linear_names(cfg):
+        entry = dict(layers[name])
+        w = entry["w"]
+        if isinstance(w, QuantizedTensor):
+            entry["w"] = jax.vmap(recode_s8_percol)(w)
+            layers[name] = entry
+    out["layers"] = layers
+    return out

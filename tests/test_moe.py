@@ -1,0 +1,88 @@
+"""Mixtral MoE tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llama3_quantization_tpu.models import forward_logits, init_params, quantize_model_rtn
+from llama3_quantization_tpu.models.configs import TINY_MIXTRAL
+from llama3_quantization_tpu.quant import QuantSpec, QuantizedTensor
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY_MIXTRAL
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    return cfg, params, toks
+
+
+def test_moe_forward(setup):
+    cfg, params, toks = setup
+    out = forward_logits(params, toks, cfg)
+    assert out.shape == (2, 16, cfg.vocab_size)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_moe_causality(setup):
+    cfg, params, toks = setup
+    a = forward_logits(params, toks, cfg)
+    toks2 = toks.at[:, -1].set((toks[:, -1] + 1) % cfg.vocab_size)
+    b = forward_logits(params, toks2, cfg)
+    np.testing.assert_allclose(np.asarray(a[:, :-1]), np.asarray(b[:, :-1]), atol=1e-5)
+
+
+def test_moe_routing_actually_sparse(setup):
+    """Zeroing a never-selected expert must not change outputs; zeroing a
+    selected one must."""
+    cfg, params, toks = setup
+    from llama3_quantization_tpu.models.transformer import NO_QUANT, _moe_block
+    from llama3_quantization_tpu.quant.calibration import _layer_slice
+
+    p0 = _layer_slice(params["layers"], 0)
+    h = jax.random.normal(jax.random.PRNGKey(3), (1, 8, cfg.hidden_size), jnp.float32)
+    base = _moe_block(p0, h, cfg, NO_QUANT)
+    # which experts get weight?
+    logits = h @ p0["router"]["w"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    topi = np.asarray(jax.lax.top_k(probs, cfg.num_experts_per_tok)[1]).ravel()
+    used = set(topi.tolist())
+    unused = [e for e in range(cfg.num_experts) if e not in used]
+    if unused:
+        e = unused[0]
+        p_mod = jax.tree_util.tree_map(lambda x: x, p0)
+        p_mod["experts"] = jax.tree_util.tree_map(
+            lambda x: x.at[e].set(0.0), p0["experts"]
+        )
+        out2 = _moe_block(p_mod, h, cfg, NO_QUANT)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(base), atol=1e-6)
+    e_used = topi[0]
+    p_mod2 = jax.tree_util.tree_map(lambda x: x, p0)
+    p_mod2["experts"] = jax.tree_util.tree_map(
+        lambda x: x.at[e_used].set(0.0), p0["experts"]
+    )
+    out3 = _moe_block(p_mod2, h, cfg, NO_QUANT)
+    assert np.abs(np.asarray(out3) - np.asarray(base)).max() > 1e-6
+
+
+def test_moe_quantization(setup):
+    cfg, params, toks = setup
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=4, group_size=32), pack=True)
+    assert isinstance(qp["layers"]["experts"]["gate"]["w"], QuantizedTensor)
+    assert not isinstance(qp["layers"]["router"]["w"], QuantizedTensor)  # router fp
+    fp = forward_logits(params, toks, cfg)
+    q = forward_logits(qp, toks, cfg)
+    err = float(jnp.mean(jnp.abs(q - fp)))
+    assert 0 < err < 1.0
+
+
+def test_moe_sharded(setup):
+    from llama3_quantization_tpu.parallel import make_mesh, make_sharded_forward, shard_params
+
+    cfg, params, toks = setup
+    mesh = make_mesh(dp=2, tp=4)
+    ref = forward_logits(params, toks, cfg)
+    sharded = shard_params(params, mesh, cfg)
+    out = make_sharded_forward(cfg, mesh)(sharded, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
