@@ -53,6 +53,35 @@ def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None) -> flo
     return w_bytes + scale_bytes + lm_head + kv
 
 
+def prefill_bench(cfg, params, cfg_name, backend):
+    """Prefill tokens/sec at S=2048 (drives the flash-attention path)."""
+    from functools import partial
+
+    from llama3_quantization_tpu.models.transformer import forward_logits
+
+    seq = int(os.environ.get("L3Q_BENCH_PREFILL_SEQ", 2048))
+    toks = jnp.zeros((1, seq), jnp.int32)
+    fwd = jax.jit(partial(forward_logits, cfg=cfg))
+    t0 = time.time()
+    out = fwd(params, toks)
+    _ = float(out[0, 0, 0])
+    log(f"prefill compile+run in {time.time()-t0:.1f}s")
+    n = 4
+    t0 = time.time()
+    for _ in range(n):
+        out = fwd(params, toks)
+    _ = float(out[0, 0, 0])
+    dt = (time.time() - t0) / n
+    tok_s = seq / dt
+    log(f"prefill S={seq}: {dt*1000:.1f} ms -> {tok_s:.0f} tok/s")
+    print(json.dumps({
+        "metric": f"prefill_tok_s_chip_{cfg_name}_{backend}",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": 0.0,
+    }))
+
+
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     from llama3_quantization_tpu.models import LLAMA3_8B, TINY_LLAMA
@@ -69,59 +98,59 @@ def main():
     spec = QuantSpec(n_bits=4, group_size=128 if cfg_name == "llama3-8b" else 32)
     cache_len = int(os.environ.get("L3Q_BENCH_CACHE", 512))
     decode_steps = int(os.environ.get("L3Q_BENCH_STEPS", 64))
+    batch = int(os.environ.get("L3Q_BENCH_BATCH", 1))
 
     log(f"bench: model={cfg_name} backend={backend} W{spec.n_bits} g{spec.group_size}")
     mm.set_backend(backend)
 
     t0 = time.time()
-    params = init_quantized_params(cfg, spec, pack=backend != "a8")
-    if backend == "a8":
-        # serving recode: per-column symmetric int8 containers -> one s8 dot
-        # per linear at HBM speed-of-light (quant/serving.py)
-        from llama3_quantization_tpu.quant.serving import recode_model_s8
-
-        params = recode_model_s8(params, cfg)
+    # a8 backend: serving-format per-column symmetric int8 weights (what
+    # quant/serving.recode_model_s8 produces from any quantized model) ->
+    # one s8 MXU dot per linear at HBM speed-of-light
+    params = init_quantized_params(
+        cfg, spec, pack=backend != "a8", percol_s8=backend == "a8"
+    )
+    if os.environ.get("L3Q_BENCH_MODE") == "prefill":
+        params = jax.block_until_ready(params)
+        log(f"params built in {time.time()-t0:.1f}s")
+        return prefill_bench(cfg, params, cfg_name, backend)
     params = jax.block_until_ready(params)
     log(f"params built in {time.time()-t0:.1f}s")
 
     from llama3_quantization_tpu.models.transformer import greedy_generate
 
-    cache = init_kv_cache(cfg, 1, cache_len)
-    step = jax.jit(partial(decode_step, cfg=cfg), donate_argnums=(1,))
+    # One program only: the on-device generation loop (n tokens per
+    # dispatch). A scalar fetch forces real completion — this backend's
+    # block_until_ready returns early, yielding impossible
+    # >speed-of-light rates if trusted.
+    cache = init_kv_cache(cfg, batch, cache_len)
     gen = jax.jit(
         partial(greedy_generate, cfg=cfg, n_steps=decode_steps), donate_argnums=(1,)
     )
-
-    tok = jnp.zeros((1, 1), jnp.int32)
+    tok = jnp.zeros((batch, 1), jnp.int32)
     t0 = time.time()
-    logits, cache = step(params, cache, tok, jnp.int32(0))
-    _ = float(logits[0, 0, 0])
-    log(f"first decode step (compile) in {time.time()-t0:.1f}s")
-
-    # On-device generation loop: n tokens per dispatch, ONE host round-trip
-    # per batch of steps (a scalar fetch forces real completion — this
-    # backend's block_until_ready returns early, yielding impossible
-    # >speed-of-light rates if trusted).
-    nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
-    t0 = time.time()
-    toks, cache = gen(params, cache, nxt, jnp.int32(1))
+    toks, cache = gen(params, cache, tok, jnp.int32(0))
     _ = int(toks[0, -1])
     log(f"generate loop (compile+run) in {time.time()-t0:.1f}s")
 
     t0 = time.time()
-    toks, cache = gen(params, cache, nxt, jnp.int32(1 + decode_steps))
+    toks, cache = gen(params, cache, toks[:, -1:], jnp.int32(decode_steps))
     _ = int(toks[0, -1])
     dt = time.time() - t0
-    tok_s = decode_steps / dt
-    log(f"{decode_steps} generated tokens in {dt:.3f}s -> {tok_s:.2f} tok/s")
+    tok_s = decode_steps * batch / dt
+    log(f"{decode_steps} steps x batch {batch} in {dt:.3f}s -> {tok_s:.2f} tok/s")
 
     if cfg_name == "llama3-8b":
         container = 8 if backend == "a8" else None
-        bpt = model_bytes_per_token(cfg, spec, cache_len, container_bits=container)
-        sol = HBM_GBPS["v5e"] * 1e9 / bpt
-        log(f"bytes/token={bpt/1e9:.2f} GB, speed-of-light={sol:.1f} tok/s")
+        bpt = model_bytes_per_token(cfg, spec, 0, container_bits=container)
+        kv_bytes = model_bytes_per_token(cfg, spec, cache_len, container_bits=container) - bpt
+        # batch decode amortizes weight reads; KV reads scale with batch
+        bpt_eff = bpt / batch + kv_bytes
+        sol = HBM_GBPS["v5e"] * 1e9 / bpt_eff
+        log(f"bytes/token={bpt_eff/1e9:.2f} GB, speed-of-light={sol:.1f} tok/s")
         vs = tok_s / sol
-        metric = f"decode_tok_s_chip_llama3_8b_w4g128_{backend}"
+        suffix = f"_b{batch}" if batch > 1 else ""
+        metric = f"decode_tok_s_chip_llama3_8b_w4g128_{backend}{suffix}"
     else:
         vs = 0.0
         metric = f"decode_tok_s_{cfg_name}_{backend}"

@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_dir", default=None)
     p.add_argument("--output_json", default=None)
     p.add_argument("--real_quant", action="store_true", default=True)
+    p.add_argument("--use_cache", default=None, help="sqlite LM response cache path")
+    p.add_argument("--decontamination_ngrams_path", default=None)
+    p.add_argument("--serving_recode", action="store_true",
+                   help="recode weights to per-column s8 + a8 backend (fast decode)")
     return p
 
 
@@ -151,6 +155,14 @@ def main(argv=None):
               f"{'g'+str(args.group_size) if args.group_size else ''} "
               f"in {time.time()-t0:.1f}s", file=sys.stderr)
 
+    if args.serving_recode:
+        from .ops import matmul as mm
+        from .quant.serving import recode_model_s8
+
+        params = recode_model_s8(params, cfg)
+        mm.set_backend("a8")
+        print("[cli] serving recode: per-column s8 weights, a8 backend", file=sys.stderr)
+
     if args.tp or args.dp:
         from .parallel import make_mesh, shard_params
 
@@ -185,12 +197,24 @@ def main(argv=None):
 
         lm = JAXLM(params, cfg, tokenizer or ByteTokenizer(), rq=rq,
                    batch_size=args.batch_size)
+        if args.use_cache:
+            from .eval.harness import CachingLM
+
+            lm = CachingLM(lm, args.use_cache)
         t_res = simple_evaluate(
             lm, tasks=args.tasks, num_fewshot=args.num_fewshot,
             limit=None if args.limit == -1 else args.limit,
+            decontamination_ngrams_path=args.decontamination_ngrams_path,
         )
         results.update(t_res["results"])
         print(make_table(t_res), file=sys.stderr)
+        if any(t.startswith("hendrycksTest") for t in args.tasks.split(",")):
+            from .eval.mmlu_categories import mmlu_rollup
+
+            roll = mmlu_rollup(t_res["results"])
+            results.update(roll)
+            for k, v in roll.items():
+                print(f"[cli] {k} = {v:.4f}", file=sys.stderr)
 
     if args.save_dir:
         from .models.hf_loader import save_checkpoint

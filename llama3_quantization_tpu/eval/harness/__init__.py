@@ -17,5 +17,16 @@ from .base import (  # noqa: F401
     rf,
 )
 from .lm import BaseLM, DummyLM, JAXLM  # noqa: F401
+from .caching import CachingLM  # noqa: F401
 from .evaluator import evaluate, simple_evaluate, make_table  # noqa: F401
 from .tasks import TASK_REGISTRY, get_task_dict  # noqa: F401
+
+#: pluggable LM adapters (`lm_eval/models/__init__.py MODEL_REGISTRY`)
+MODEL_REGISTRY = {
+    "jax": JAXLM,
+    "dummy": DummyLM,
+}
+
+
+def get_model(name: str):
+    return MODEL_REGISTRY[name]

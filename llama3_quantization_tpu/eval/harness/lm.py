@@ -71,7 +71,7 @@ def make_disjoint_window(pair):
 
 class BaseLM(LM):
     """Request engine; concrete subclasses provide tokenization +
-    `_model_logprobs`."""
+    `_score_tokens`."""
 
     batch_size: int = 8
     max_length: int = 2048
@@ -87,10 +87,14 @@ class BaseLM(LM):
     def tok_decode(self, tokens: List[int]) -> str: ...
 
     @abc.abstractmethod
-    def _model_logprobs(self, inps: np.ndarray, lengths: np.ndarray) -> tuple:
-        """inps [B, S] right-padded int tokens; returns (logprobs [B, S, V]
-        as np or device array supporting numpy indexing, greedy_tokens
-        [B, S])."""
+    def _score_tokens(
+        self, inps: np.ndarray, targets: np.ndarray, mask: np.ndarray
+    ) -> tuple:
+        """inps/targets/mask [B, S] right-padded; returns (ll_sums [B],
+        greedy_ok [B]) — summed target logprobs and whether every masked
+        target is the argmax. Device-side gather: only [B] scalars cross
+        the host boundary (a [B, S, V] logprob transfer is ~8 GB/batch at
+        Llama-3 vocab)."""
 
     @abc.abstractmethod
     def _model_generate(self, context: List[int], max_gen: int, stops: List[str]) -> str: ...
@@ -145,26 +149,27 @@ class BaseLM(LM):
         results = []
         for start in range(0, len(ordered), self.batch_size):
             chunk = ordered[start : start + self.batch_size]
-            inps, inplens, contlens, conts = [], [], [], []
-            for _, context_enc, continuation_enc in chunk:
-                seq = (context_enc + continuation_enc)[-(self.max_length + 1) :]
-                inp = seq[:-1]
-                inps.append(inp)
-                inplens.append(len(inp))
-                contlens.append(len(continuation_enc))
-                conts.append(continuation_enc)
-            maxlen = max(inplens)
-            batch = np.zeros((len(chunk), maxlen), dtype=np.int32)
-            for i, inp in enumerate(inps):
-                batch[i, : len(inp)] = inp
-            logprobs, greedy = self._model_logprobs(batch, np.asarray(inplens))
-            for i in range(len(chunk)):
-                inplen, contlen = inplens[i], contlens[i]
-                positions = np.arange(inplen - contlen, inplen)
-                toks = np.asarray(conts[i])
-                ll = float(np.sum(np.asarray(logprobs[i])[positions, toks]))
-                is_greedy = bool(np.all(np.asarray(greedy[i])[positions] == toks))
-                results.append((ll, is_greedy))
+            seqs = [
+                (list(context_enc) + list(continuation_enc))[-(self.max_length + 1) :]
+                for _, context_enc, continuation_enc in chunk
+            ]
+            contlens = [len(c[2]) for c in chunk]
+            maxlen = max(len(s) - 1 for s in seqs)
+            b = len(chunk)
+            inp = np.zeros((b, maxlen), dtype=np.int32)
+            tgt = np.zeros((b, maxlen), dtype=np.int32)
+            mask = np.zeros((b, maxlen), dtype=np.float32)
+            for i, seq in enumerate(seqs):
+                L = len(seq) - 1
+                inp[i, :L] = seq[:-1]
+                tgt[i, :L] = seq[1:]
+                # left truncation can eat into a continuation longer than
+                # the window; score whatever part survived
+                cl = min(contlens[i], L)
+                mask[i, L - cl : L] = 1.0
+            lls, greedy_ok = self._score_tokens(inp, tgt, mask)
+            for i in range(b):
+                results.append((float(lls[i]), bool(greedy_ok[i])))
         return reord.get_original(results) if not disable_reorder else results
 
 
@@ -181,6 +186,7 @@ class JAXLM(BaseLM):
         max_length: Optional[int] = None,
     ):
         import jax
+        import jax.numpy as jnp
         from functools import partial
 
         from ...models.transformer import NO_QUANT, forward_logits
@@ -192,6 +198,17 @@ class JAXLM(BaseLM):
         self.batch_size = batch_size
         self.max_length = max_length or min(cfg.max_position_embeddings, 2048)
         self._fwd = jax.jit(partial(forward_logits, cfg=cfg, rq=self.rq))
+
+        def _score(params, inps, targets, mask):
+            logits = forward_logits(params, inps, cfg, self.rq).astype(jnp.float32)
+            logz = jax.scipy.special.logsumexp(logits, axis=-1)
+            tok_lp = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0] - logz
+            lls = jnp.sum(tok_lp * mask, axis=-1)
+            greedy = jnp.argmax(logits, axis=-1) == targets
+            greedy_ok = jnp.all(jnp.where(mask > 0, greedy, True), axis=-1)
+            return lls, greedy_ok
+
+        self._score_jit = jax.jit(_score)
 
     @property
     def eot_token_id(self) -> int:
@@ -210,18 +227,24 @@ class JAXLM(BaseLM):
             b *= 2
         return b
 
-    def _model_logprobs(self, inps: np.ndarray, lengths: np.ndarray):
+    def _score_tokens(self, inps: np.ndarray, targets: np.ndarray, mask: np.ndarray):
         import jax.numpy as jnp
-        import jax
 
         b, s = inps.shape
         sb = min(self._bucket(s), self.max_length + 1)
-        padded = np.zeros((b, sb), dtype=np.int32)
-        padded[:, :s] = inps
-        logits = self._fwd(self.params, jnp.asarray(padded)).astype(jnp.float32)
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        greedy = jnp.argmax(logits, axis=-1)
-        return np.asarray(logprobs[:, :s]), np.asarray(greedy[:, :s])
+
+        def pad(a, fill=0):
+            out = np.full((b, sb), fill, dtype=a.dtype)
+            out[:, :s] = a
+            return out
+
+        lls, greedy_ok = self._score_jit(
+            self.params,
+            jnp.asarray(pad(inps)),
+            jnp.asarray(pad(targets)),
+            jnp.asarray(pad(mask)),
+        )
+        return np.asarray(lls), np.asarray(greedy_ok)
 
     def _model_generate(self, context: List[int], max_gen: int, stops: List[str]) -> str:
         import jax

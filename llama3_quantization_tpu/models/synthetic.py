@@ -20,11 +20,24 @@ from .configs import ModelConfig
 from .params import linear_names
 
 
-def _rand_qtensor(key, k: int, n: int, spec: QuantSpec, layers: int, pack: bool = True):
+def _rand_qtensor(
+    key, k: int, n: int, spec: QuantSpec, layers: int, pack: bool = True,
+    percol_s8: bool = False,
+):
+    kd, ks, kz = jax.random.split(key, 3)
+    if percol_s8:
+        # serving-format weights: per-column symmetric int8 (quant/serving.py)
+        data = jax.random.randint(kd, (layers, k, n), -127, 128, dtype=jnp.int32).astype(jnp.int8)
+        scale = jax.random.uniform(ks, (layers, 1, n), jnp.float32, 0.5, 1.5) * (
+            2.0 / jnp.sqrt(k) / 127.0
+        )
+        return QuantizedTensor(
+            data=data, scale=scale, zero=None, bits=8, group_size=None,
+            sym=True, k=k, n=n, packed=False, out_dtype=jnp.bfloat16,
+        )
     gs = spec.group_size or k
     g = k // gs
     f = pack_factor(spec.n_bits) if pack else 1
-    kd, ks, kz = jax.random.split(key, 3)
     if f > 1:
         data = jax.random.randint(kd, (layers, k // f, n), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
         zero = jnp.full((layers, g, n), float(2 ** (spec.n_bits - 1)), jnp.float32)
@@ -54,20 +67,22 @@ def _rand_qtensor(key, k: int, n: int, spec: QuantSpec, layers: int, pack: bool 
 
 
 def init_quantized_params(
-    cfg: ModelConfig, spec: QuantSpec, key=None, pack: bool = True, dtype=jnp.bfloat16
+    cfg: ModelConfig, spec: QuantSpec, key=None, pack: bool = True,
+    dtype=jnp.bfloat16, percol_s8: bool = False,
 ):
     """Random params with all decoder linears already real-quantized.
 
     The whole build is one jitted program — on a remote-compile TPU
     tunnel, eager construction costs one round-trip per array (minutes for
-    an 8B model); jitted it is one dispatch.
+    an 8B model); jitted it is one dispatch. `percol_s8` emits serving-
+    format per-column symmetric int8 weights directly.
     """
     key = key if key is not None else jax.random.PRNGKey(0)
-    return _init_jit(cfg, spec, key, pack, jnp.dtype(dtype))
+    return _init_jit(cfg, spec, key, pack, jnp.dtype(dtype), percol_s8)
 
 
-@partial(jax.jit, static_argnames=("cfg", "spec", "pack", "dtype"))
-def _init_jit(cfg: ModelConfig, spec: QuantSpec, key, pack: bool, dtype):
+@partial(jax.jit, static_argnames=("cfg", "spec", "pack", "dtype", "percol_s8"))
+def _init_jit(cfg: ModelConfig, spec: QuantSpec, key, pack: bool, dtype, percol_s8=False):
     d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim_
     L = cfg.num_layers
     shapes = {
@@ -83,7 +98,7 @@ def _init_jit(cfg: ModelConfig, spec: QuantSpec, key, pack: bool, dtype):
     keys = jax.random.split(key, len(shapes) + 4)
     layers = {}
     for ki, (name, (kk, nn)) in zip(keys, shapes.items()):
-        entry = {"w": _rand_qtensor(ki, kk, nn, spec, L, pack)}
+        entry = {"w": _rand_qtensor(ki, kk, nn, spec, L, pack, percol_s8)}
         if cfg.arch == "opt":
             entry["b"] = jnp.zeros((L, nn), dtype)
         layers[name] = entry

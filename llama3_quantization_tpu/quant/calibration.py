@@ -25,8 +25,6 @@ from ..models.transformer import (
     causal_mask,
     decoder_layer,
     embed,
-    layer_norm,
-    rms_norm,
     rope_cos_sin,
 )
 from ..ops.matmul import qlinear
@@ -44,21 +42,17 @@ def layer_linear_inputs(
 ) -> Dict[str, jax.Array]:
     """One instrumented decoder-layer forward returning the input activation
     of every linear (the hook-capture of `llama.py:106-121`)."""
-    from ..models.transformer import _attention
+    from ..models.transformer import _attention, _norm, apply_rope
 
     b, s, _ = h.shape
     hd = cfg.head_dim_
     out: Dict[str, jax.Array] = {}
-    from ..models.transformer import _norm
-
     attn_in = _norm(p["ln1"], h, cfg)
     out["q"] = out["k"] = out["v"] = attn_in
     q = qlinear(attn_in, p["q"]["w"], p["q"].get("b"), rq.act).reshape(b, s, cfg.num_heads, hd)
     k = qlinear(attn_in, p["k"]["w"], p["k"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
     v = qlinear(attn_in, p["v"]["w"], p["v"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
     if cos_sin is not None:
-        from ..models.transformer import apply_rope
-
         cos, sin = cos_sin
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)

@@ -43,14 +43,23 @@ def recode_s8_percol(qt: QuantizedTensor) -> QuantizedTensor:
 
 
 def recode_model_s8(params, cfg):
-    """Recode every quantized decoder linear for s8 serving."""
+    """Recode every quantized decoder linear for s8 serving.
+
+    Layers are processed one at a time (a vmap over the layer axis would
+    materialize the fp dequant of the whole model at once — 28 GB for 8B)."""
+    jit_recode = jax.jit(recode_s8_percol)
+
     out = dict(params)
     layers = dict(params["layers"])
     for name in linear_names(cfg):
         entry = dict(layers[name])
         w = entry["w"]
         if isinstance(w, QuantizedTensor):
-            entry["w"] = jax.vmap(recode_s8_percol)(w)
+            per_layer = [
+                jit_recode(jax.tree_util.tree_map(lambda a: a[l], w))
+                for l in range(w.data.shape[0])
+            ]
+            entry["w"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
             layers[name] = entry
     out["layers"] = layers
     return out

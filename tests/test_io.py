@@ -120,3 +120,53 @@ def test_observer():
     items = ob.items()
     assert len(items) == 2 and items[0][2] == 5.0 and items[1][2] == 3.0
     assert "k.1" in ob.table()
+
+
+def test_hf_loader_falcon_roundtrip(tmp_path):
+    """Falcon checkpoint: fused query_key_value must split into q/k/v."""
+    from safetensors.numpy import save_file
+
+    from llama3_quantization_tpu.models.configs import TINY_FALCON
+    from llama3_quantization_tpu.models.hf_loader import from_hf_checkpoint
+
+    cfg = TINY_FALCON
+    rng = np.random.default_rng(0)
+    d, hd = cfg.hidden_size, cfg.head_dim_
+    nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+    tensors = {
+        "transformer.word_embeddings.weight": rng.standard_normal((cfg.vocab_size, d)).astype(np.float32) * 0.02,
+        "transformer.ln_f.weight": np.ones(d, np.float32),
+        "transformer.ln_f.bias": np.zeros(d, np.float32),
+        "lm_head.weight": rng.standard_normal((cfg.vocab_size, d)).astype(np.float32) * 0.02,
+    }
+    for l in range(cfg.num_layers):
+        p = f"transformer.h.{l}"
+        tensors.update({
+            f"{p}.self_attention.query_key_value.weight": rng.standard_normal((nq + 2 * nkv, d)).astype(np.float32) * 0.05,
+            f"{p}.self_attention.dense.weight": rng.standard_normal((d, nq)).astype(np.float32) * 0.05,
+            f"{p}.mlp.dense_h_to_4h.weight": rng.standard_normal((cfg.intermediate_size, d)).astype(np.float32) * 0.05,
+            f"{p}.mlp.dense_4h_to_h.weight": rng.standard_normal((d, cfg.intermediate_size)).astype(np.float32) * 0.05,
+            f"{p}.input_layernorm.weight": np.ones(d, np.float32),
+            f"{p}.input_layernorm.bias": np.zeros(d, np.float32),
+        })
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+    config = {
+        "model_type": "falcon",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": d,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "multi_query": True,
+        "parallel_attn": True,
+        "max_position_embeddings": cfg.max_position_embeddings,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(config))
+
+    params, loaded_cfg = from_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert loaded_cfg.arch == "falcon" and loaded_cfg.num_kv_heads == 1
+    qkv = tensors["transformer.h.0.self_attention.query_key_value.weight"]
+    np.testing.assert_allclose(np.asarray(params["layers"]["q"]["w"][0]), qkv[:nq].T, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["layers"]["k"]["w"][0]), qkv[nq:nq+nkv].T, rtol=1e-6)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0, cfg.vocab_size)
+    out = forward_logits(params, toks, loaded_cfg)
+    assert bool(jnp.isfinite(out).all())
