@@ -86,7 +86,7 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     from llama3_quantization_tpu.models import LLAMA3_8B, TINY_LLAMA
     from llama3_quantization_tpu.models.synthetic import init_quantized_params
-    from llama3_quantization_tpu.models.transformer import decode_step, init_kv_cache
+    from llama3_quantization_tpu.models.transformer import init_kv_cache
     from llama3_quantization_tpu.ops import matmul as mm
     from llama3_quantization_tpu.quant import QuantSpec
 

@@ -197,7 +197,6 @@ class JAXLM(BaseLM):
         self.rq = rq or NO_QUANT
         self.batch_size = batch_size
         self.max_length = max_length or min(cfg.max_position_embeddings, 2048)
-        self._fwd = jax.jit(partial(forward_logits, cfg=cfg, rq=self.rq))
 
         def _score(params, inps, targets, mask):
             logits = forward_logits(params, inps, cfg, self.rq).astype(jnp.float32)

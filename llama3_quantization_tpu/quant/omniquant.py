@@ -280,6 +280,7 @@ def omniquant_model(
             aux = resumed
         elif ocfg.epochs > 0:
             opt_state = opt.init(aux)
+            best = aux
             for _ in range(ocfg.epochs):
                 for bi, b0 in enumerate(range(0, n, bs)):
                     aux, opt_state, loss = train_step(
@@ -291,6 +292,13 @@ def omniquant_model(
                         h_fp[b0 : b0 + bs],
                     )
                 last_loss = float(loss)
+                # NaN guard: the reference drops into pdb
+                # (`quant/omniquant.py:280-282`); we roll back to the last
+                # finite epoch and stop training this layer
+                if not np.isfinite(last_loss):
+                    aux = best
+                    break
+                best = aux
             _save_aux(ocfg.resume_dir, l, aux)
 
         # fold LET permanently, then bake learned clipping into
