@@ -19,6 +19,16 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+
+
+def bucket_pow2(n: int, floor: int = 32) -> int:
+    """Next power-of-two >= n (>= floor) — shared jit shape bucketing."""
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer adapters — the loaders only need `encode(text) -> np.ndarray[int]`
 # ---------------------------------------------------------------------------
@@ -224,8 +234,11 @@ def get_loaders(
     if "c4" in name:
         return get_c4(nsamples, seed, seqlen, tokenizer, **overrides)
     if "mix" in name:
-        w_tr, _ = get_wikitext2(nsamples // 3, seed, seqlen, tokenizer, **overrides)
-        p_tr, _ = get_ptb(nsamples // 3, seed, seqlen, tokenizer, **overrides)
-        c_tr, _ = get_c4(nsamples // 3, seed, seqlen, tokenizer, **overrides)
+        # each loader family takes different override kwargs
+        text_kw = {k: v for k, v in overrides.items() if k in ("train_text", "test_text")}
+        doc_kw = {k: v for k, v in overrides.items() if k in ("train_docs", "val_docs")}
+        w_tr, _ = get_wikitext2(nsamples // 3, seed, seqlen, tokenizer, **text_kw)
+        p_tr, _ = get_ptb(nsamples // 3, seed, seqlen, tokenizer, **text_kw)
+        c_tr, _ = get_c4(nsamples // 3, seed, seqlen, tokenizer, **doc_kw)
         return w_tr + p_tr + c_tr, None
     raise ValueError(f"unknown dataset {name}")

@@ -221,10 +221,9 @@ class JAXLM(BaseLM):
 
     @staticmethod
     def _bucket(n: int) -> int:
-        b = 32
-        while b < n:
-            b *= 2
-        return b
+        from ...eval.data import bucket_pow2
+
+        return bucket_pow2(n)
 
     def _score_tokens(self, inps: np.ndarray, targets: np.ndarray, mask: np.ndarray):
         import jax.numpy as jnp

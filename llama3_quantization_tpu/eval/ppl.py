@@ -86,6 +86,8 @@ def compute_ppl(
     """Reference PPL over disjoint windows (`main.py:122-151`)."""
     testenc = np.asarray(testenc)
     nsamples = testenc.size // seqlen
+    if limit is not None:
+        nsamples = min(nsamples, limit)
     step = step_fn or windowed_nll_fn(cfg, rq)
     nlls = []
     for i in range(nsamples):
@@ -93,9 +95,11 @@ def compute_ppl(
         nlls.append(step(params, batch))
         if progress:
             progress(i + 1, nsamples)
-        if limit is not None and i == limit:
-            break
     total = jnp.sum(jnp.stack(nlls))
+    # normalized by the windows actually evaluated; NOTE the reference
+    # divides by the FULL window count even under --limit
+    # (`main.py:148-151`), silently deflating limited-run PPL — full runs
+    # (limit=None) agree exactly
     return float(jnp.exp(total / (nsamples * seqlen)))
 
 

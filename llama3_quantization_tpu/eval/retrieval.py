@@ -93,10 +93,9 @@ class UPRReranker:
         self._fwd = jax.jit(partial(forward_logits, cfg=cfg, rq=rq or NO_QUANT))
 
     def _bucket(self, n: int) -> int:
-        b = 32
-        while b < n:
-            b *= 2
-        return b
+        from .data import bucket_pow2
+
+        return bucket_pow2(n)
 
     def score_pairs(self, pairs: Sequence[Tuple[str, str]], batch_size: int = 8) -> List[float]:
         """pairs of (query, passage) -> scores (higher = better match)."""

@@ -48,10 +48,9 @@ class STSEncoder:
 
     @staticmethod
     def _bucket(n: int) -> int:
-        b = 32
-        while b < n:
-            b *= 2
-        return b
+        from .data import bucket_pow2
+
+        return bucket_pow2(n)
 
     def encode(self, sentences: Sequence[str], batch_size: int = 8) -> np.ndarray:
         import jax.numpy as jnp
