@@ -54,6 +54,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--percdamp", type=float, default=0.01)
     p.add_argument("--act_order", action="store_true")
     p.add_argument("--blocksize", type=int, default=128)
+    p.add_argument("--true_sequential", action="store_true")
     # hqq
     p.add_argument("--hqq_iters", type=int, default=20)
     # distribution
@@ -143,7 +144,8 @@ def main(argv=None):
 
         kw = {}
         if args.quant_method == "gptq":
-            kw = dict(blocksize=args.blocksize, percdamp=args.percdamp, actorder=args.act_order)
+            kw = dict(blocksize=args.blocksize, percdamp=args.percdamp,
+                      actorder=args.act_order, true_sequential=args.true_sequential)
         elif args.quant_method == "omniquant":
             kw = dict(epochs=args.epochs, lwc_lr=args.lwc_lr, aug_loss=args.aug_loss,
                       let=args.let, let_lr=args.let_lr)

@@ -97,6 +97,15 @@ def embed_calibration(params, cfg: ModelConfig, tokens: jax.Array):
     return h, cos_sin, causal_mask(s)
 
 
+#: true_sequential sub-block ordering (`llama.py:92-96`): quantize earlier
+#: groups before capturing inputs for later ones within the same layer
+_TRUE_SEQ_GROUPS = {
+    "llama": [("k", "v", "q"), ("o",), ("up", "gate"), ("down",)],
+    "opt": [("k", "v", "q"), ("o",), ("fc1",), ("fc2",)],
+    "falcon": [("k", "v", "q"), ("o",), ("fc1",), ("fc2",)],
+}
+
+
 def gptq_quantize_model(
     params,
     cfg: ModelConfig,
@@ -108,6 +117,7 @@ def gptq_quantize_model(
     pack: bool = False,
     batch_size: int = 8,
     rq: RuntimeQuantConfig = NO_QUANT,
+    true_sequential: bool = False,
     progress: Optional[Callable[[int, int, Dict[str, float]], None]] = None,
 ):
     """Sequential GPTQ over all decoder layers (`llama.py llama_sequential`,
@@ -116,6 +126,8 @@ def gptq_quantize_model(
     Pure function: returns a new params pytree with every decoder linear
     replaced by a GPTQ-quantized `QuantizedTensor`; embeddings/norms/lm_head
     untouched (reference quantizes only decoder-layer Linears).
+    `true_sequential` quantizes sub-blocks in dataflow order, re-capturing
+    inputs through already-quantized earlier groups (`llama.py:92-96`).
     """
     tokens = jnp.asarray(calib_tokens, jnp.int32)
     n = tokens.shape[0]
@@ -129,19 +141,24 @@ def gptq_quantize_model(
     )
 
     names = linear_names(cfg)
-    new_layers = []
-    for l in range(cfg.num_layers):
-        p_l = _layer_slice(params["layers"], l)
+    if true_sequential and cfg.arch in _TRUE_SEQ_GROUPS:
+        groups = [
+            tuple(m for m in g if m in names)
+            for g in _TRUE_SEQ_GROUPS[cfg.arch]
+        ]
+        groups = [g for g in groups if g]
+    else:
+        groups = [tuple(names)]
+
+    def quantize_group(q_l, group, errs):
         hstate: Dict[str, HessianState] = {
-            name: hessian_init(p_l[name]["w"].shape[0]) for name in names
+            name: hessian_init(q_l[name]["w"].shape[0]) for name in group
         }
         for b0 in range(0, n, batch_size):
-            caps = capture(p_l, h[b0 : b0 + batch_size])
-            for name in names:
+            caps = capture(q_l, h[b0 : b0 + batch_size])
+            for name in group:
                 hstate[name] = hessian_update(hstate[name], caps[name])
-        q_l = dict(p_l)
-        errs = {}
-        for name in names:
+        for name in group:
             entry = dict(q_l[name])
             qt, err = gptq_quantize_weight(
                 entry["w"],
@@ -155,6 +172,14 @@ def gptq_quantize_model(
             errs[name] = float(err)
             entry["w"] = qt
             q_l[name] = entry
+        return q_l
+
+    new_layers = []
+    for l in range(cfg.num_layers):
+        q_l = dict(_layer_slice(params["layers"], l))
+        errs: Dict[str, float] = {}
+        for group in groups:
+            q_l = quantize_group(q_l, group, errs)
         # quantized-input propagation for the next layer
         h_parts = [
             run_layer(q_l, h[b0 : b0 + batch_size]) for b0 in range(0, n, batch_size)

@@ -172,3 +172,17 @@ def test_find_params_degenerate_rows():
     w = jnp.zeros((4, 8))
     s, z = gptq_find_params(w, 4)
     assert np.all(np.asarray(s) > 0)
+
+
+def test_gptq_true_sequential_runs_and_is_sane():
+    from llama3_quantization_tpu.eval.ppl import compute_ppl
+    from llama3_quantization_tpu.models import TINY_LLAMA, init_params
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (4, 16))
+    spec = QuantSpec(n_bits=4, group_size=32)
+    qp = gptq_quantize_model(params, cfg, calib, spec, blocksize=32, true_sequential=True)
+    stream = np.random.default_rng(2).integers(0, cfg.vocab_size, (1, 64))
+    ppl = compute_ppl(qp, cfg, stream, seqlen=32)
+    assert np.isfinite(ppl) and ppl < cfg.vocab_size * 2
