@@ -421,16 +421,27 @@ def decode_step(
         if cfg.uses_rope
         else None
     )
-    # mask over the whole cache: key j valid iff j <= pos + i (ring not yet
-    # wrapped; long-context wrap handled by the paged variant later)
+    # Ring-buffer semantics: single-token decode steps wrap (slot = pos mod
+    # max_len -> sliding-window attention once the buffer fills, which the
+    # reference's concat cache can never do); multi-token prefill chunks
+    # must fit without wrapping (slot = pos).
+    write_slot = pos % max_len if s == 1 else pos
+    # ring-aware validity: after this step's write (last written absolute
+    # position P), slot j holds position P - ((P - j) mod max_len); a query
+    # at qi sees keys in the window (qi - max_len, qi]
+    last = pos + s - 1
+    slots = jnp.arange(max_len)[None, :]
+    abs_pos = last - ((last - slots) % max_len)
     qi = pos + jnp.arange(s)[:, None]
-    kj = jnp.arange(max_len)[None, :]
-    mask = jnp.where(kj <= qi, 0.0, -jnp.inf).astype(jnp.float32)
+    valid = (abs_pos >= 0) & (abs_pos <= qi) & (abs_pos > qi - max_len)
+    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
 
     def body(h, xs):
         layer_p = xs[0]
         layer_cache = tuple(xs[1:])
-        h, new_kv = decoder_layer(layer_p, h, cfg, rq, cos_sin, mask, layer_cache, pos)
+        h, new_kv = decoder_layer(
+            layer_p, h, cfg, rq, cos_sin, mask, layer_cache, write_slot
+        )
         return h, new_kv
 
     h, new_cache = jax.lax.scan(

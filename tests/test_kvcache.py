@@ -53,3 +53,34 @@ def test_quantized_cache_memory_halved():
     f_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in fc.values())
     # int8 codes + f32 scales (1/16 of D=16 head dim overhead -> 1.25x int8)
     assert q_bytes < f_bytes * 0.7
+
+
+def test_ring_cache_sliding_window():
+    """Decode past the buffer length wraps to sliding-window attention and
+    keeps producing sane logits (the pre-ring code silently clobbered the
+    last slot)."""
+    from llama3_quantization_tpu.models.transformer import greedy_generate
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    max_len = 16
+    cache = init_kv_cache(cfg, 1, max_len, dtype=jnp.float32)
+    tok = jnp.zeros((1, 1), jnp.int32)
+    # generate 3x the cache length
+    toks, cache = greedy_generate(params, cache, tok, jnp.int32(0), max_len * 3, cfg)
+    assert toks.shape == (1, max_len * 3)
+    assert bool((toks >= 0).all()) and bool((toks < cfg.vocab_size).all())
+
+
+def test_ring_cache_within_window_matches_full():
+    """While pos < max_len the ring semantics must equal plain causal."""
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, cfg.vocab_size)
+    full = forward_logits(params, toks, cfg)
+    cache = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = decode_step(params, cache, toks[:, :8], jnp.int32(0), cfg)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full[:, :8]), rtol=2e-4, atol=2e-4)
+    for i in range(8, 12):
+        logits, cache = decode_step(params, cache, toks[:, i:i+1], jnp.int32(i), cfg)
+        np.testing.assert_allclose(np.asarray(logits[:, 0]), np.asarray(full[:, i]), rtol=2e-4, atol=2e-4)
