@@ -224,6 +224,11 @@ def main(argv=None):
         save_checkpoint(params, cfg, args.save_dir)
         print(f"[cli] saved to {args.save_dir}", file=sys.stderr)
 
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(results, f, indent=2, default=str)
+        print(f"[cli] results written to {args.output_json}", file=sys.stderr)
+
     print(json.dumps(results, default=str))
     return results
 

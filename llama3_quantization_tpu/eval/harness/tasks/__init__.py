@@ -13,6 +13,7 @@ from typing import Dict, List, Optional
 
 from .arc import ARCChallenge, ARCEasy
 from .boolq import BoolQ
+from .extra_mc import Copa, OpenBookQA, SciQ
 from .gsm8k import GSM8K
 from .hellaswag import HellaSwag
 from .hendrycks_test import SUBJECTS, create_mmlu_task
@@ -29,6 +30,9 @@ TASK_REGISTRY = {
     "winogrande": Winogrande,
     "wikitext": WikiText,
     "boolq": BoolQ,
+    "copa": Copa,
+    "openbookqa": OpenBookQA,
+    "sciq": SciQ,
     "lambada_openai": Lambada,
     "gsm8k": GSM8K,
     **{f"hendrycksTest-{sub}": create_mmlu_task(sub) for sub in SUBJECTS},

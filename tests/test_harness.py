@@ -195,3 +195,33 @@ def test_decontamination_hook(tmp_path):
     assert "acc_decontaminate" in r
     # one of six docs dropped from the decontaminated aggregate
     assert 0 <= r["acc_decontaminate"] <= 1
+
+
+def test_extra_mc_tasks():
+    copa_docs = [
+        {"premise": "The man ate too much.", "question": "cause",
+         "choice1": "He was hungry", "choice2": "He was full", "label": 0}
+        for _ in range(3)
+    ]
+    obqa_docs = [
+        {"id": str(i), "question_stem": f"q{i}",
+         "choices": {"text": ["a", "b", "c", "d"], "label": ["A", "B", "C", "D"]},
+         "answerKey": "B"} for i in range(3)
+    ]
+    sciq_docs = [
+        {"question": f"why {i}", "support": "facts.",
+         "distractor1": "x", "distractor2": "y", "distractor3": "z",
+         "correct_answer": "w"} for i in range(3)
+    ]
+    res = simple_evaluate(
+        DummyLM(),
+        tasks=["copa", "openbookqa", "sciq"],
+        task_data={
+            "copa": {"train": copa_docs, "validation": copa_docs},
+            "openbookqa": {"train": obqa_docs, "validation": obqa_docs, "test": obqa_docs},
+            "sciq": {"train": sciq_docs, "validation": sciq_docs, "test": sciq_docs},
+        },
+        bootstrap_iters=10,
+    )
+    for t in ("copa", "openbookqa", "sciq"):
+        assert "acc" in res["results"][t]
