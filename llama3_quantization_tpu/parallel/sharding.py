@@ -69,8 +69,13 @@ def _bias_spec(kind: str, stacked: bool):
     return P(*lead, "tp") if kind == "col" else P(*lead, None)
 
 
-def model_pspecs(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
-    """Same-structure pytree of PartitionSpecs for a model param pytree."""
+def model_pspecs(
+    params: Dict[str, Any], cfg: ModelConfig, expert_parallel: bool = False
+) -> Dict[str, Any]:
+    """Same-structure pytree of PartitionSpecs for a model param pytree.
+
+    `expert_parallel` shards MoE expert stacks on their expert axis over
+    `tp` (EP) instead of sharding each expert's features (TP)."""
     specs: Dict[str, Any] = {}
     specs["embed"] = P(None, None)  # replicated (gathered once per step)
     if "pos_embed" in params:
@@ -82,15 +87,32 @@ def model_pspecs(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
     for name, entry in params["layers"].items():
         if name == "router":  # MoE router: small, replicated, fp
             layer_specs[name] = {"w": P(None, None, None)}
-        elif name == "experts":  # MoE experts: [L, E, K, N], expert axis whole
-            layer_specs[name] = {
-                ename: {
-                    "w": _weight_spec(
-                        eentry["w"], _LINEAR_KIND[ename], stacked=True, n_lead=2
-                    )
+        elif name == "experts":  # MoE experts: [L, E, K, N]
+            if expert_parallel:
+                # EP: whole experts live on different devices
+                def espec(eentry):
+                    w = eentry["w"]
+                    if isinstance(w, QuantizedTensor):
+                        s = P(None, "tp", None, None)
+                        return QuantizedTensor(
+                            data=s, scale=s, zero=None if w.zero is None else s,
+                            bits=w.bits, group_size=w.group_size, sym=w.sym,
+                            k=w.k, n=w.n, packed=w.packed, out_dtype=w.out_dtype,
+                        )
+                    return P(None, "tp", None, None)
+
+                layer_specs[name] = {
+                    ename: {"w": espec(eentry)} for ename, eentry in entry.items()
                 }
-                for ename, eentry in entry.items()
-            }
+            else:
+                layer_specs[name] = {
+                    ename: {
+                        "w": _weight_spec(
+                            eentry["w"], _LINEAR_KIND[ename], stacked=True, n_lead=2
+                        )
+                    }
+                    for ename, eentry in entry.items()
+                }
         elif name in _LINEAR_KIND:
             kind = _LINEAR_KIND[name]
             e: Dict[str, Any] = {"w": _weight_spec(entry["w"], kind, stacked=True)}
@@ -103,9 +125,9 @@ def model_pspecs(params: Dict[str, Any], cfg: ModelConfig) -> Dict[str, Any]:
     return specs
 
 
-def shard_params(params, mesh: Mesh, cfg: ModelConfig):
+def shard_params(params, mesh: Mesh, cfg: ModelConfig, expert_parallel: bool = False):
     """Place a param pytree onto the mesh per `model_pspecs`."""
-    specs = model_pspecs(params, cfg)
+    specs = model_pspecs(params, cfg, expert_parallel=expert_parallel)
     flat_p, treedef = jax.tree_util.tree_flatten(params)
     flat_s, _ = jax.tree_util.tree_flatten(
         specs, is_leaf=lambda x: isinstance(x, P)

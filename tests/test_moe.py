@@ -86,3 +86,19 @@ def test_moe_sharded(setup):
     sharded = shard_params(params, mesh, cfg)
     out = make_sharded_forward(cfg, mesh)(sharded, toks)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_moe_expert_parallel_sharding(setup):
+    """EP: experts sharded on the tp axis reproduce single-device outputs."""
+    from llama3_quantization_tpu.parallel import make_mesh, make_sharded_forward, shard_params
+
+    cfg, params, toks = setup
+    mesh = make_mesh(dp=2, tp=4)
+    ref = forward_logits(params, toks, cfg)
+    sharded = shard_params(params, mesh, cfg, expert_parallel=True)
+    # expert axis actually distributed
+    w = sharded["layers"]["experts"]["gate"]["w"]
+    shard_shapes = {s.data.shape for s in w.addressable_shards}
+    assert all(sh[1] == cfg.num_experts // 4 for sh in shard_shapes), shard_shapes
+    out = make_sharded_forward(cfg, mesh)(sharded, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
