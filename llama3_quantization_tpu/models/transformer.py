@@ -180,7 +180,10 @@ def _attention(
     scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k, preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(d).astype(jnp.float32)
     if mask is not None:
-        scores = scores + mask
+        if mask.ndim == 3:  # per-batch-row mask [B, S, T] (multi-slot decode)
+            scores = scores + mask[:, None, None]
+        else:
+            scores = scores + mask
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     probs = _maybe_fq(probs, rq.p).astype(q.dtype)
     v = _maybe_fq(v, rq.v)
@@ -199,6 +202,16 @@ def causal_mask(s: int, t: Optional[int] = None, offset: int = 0) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Decoder layer
 # ---------------------------------------------------------------------------
+
+
+def _write_cache(buf: jax.Array, new: jax.Array, pos) -> jax.Array:
+    """Write `new` [B, s, H, D] into `buf` [B, T, H, D] at position `pos` —
+    a scalar (shared slot) or a per-row vector [B] (multi-slot decode,
+    s == 1)."""
+    if getattr(pos, "ndim", 0) == 1:
+        b = buf.shape[0]
+        return buf.at[jnp.arange(b), pos].set(new[:, 0])
+    return jax.lax.dynamic_update_slice(buf, new, (0, pos, 0, 0))
 
 
 def _attn_block(
@@ -228,8 +241,8 @@ def _attn_block(
         k_all, v_all = cache_read(new_cache, h.dtype)
     elif kv_cache is not None:
         ck, cv = kv_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_pos, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_pos, 0, 0))
+        ck = _write_cache(ck, k.astype(ck.dtype), cache_pos)
+        cv = _write_cache(cv, v.astype(cv.dtype), cache_pos)
         k_all, v_all = ck.astype(h.dtype), cv.astype(h.dtype)
         new_cache = (ck, cv)
     else:
@@ -435,6 +448,52 @@ def decode_step(
     qi = pos + jnp.arange(s)[:, None]
     valid = (abs_pos >= 0) & (abs_pos <= qi) & (abs_pos > qi - max_len)
     mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+
+    def body(h, xs):
+        layer_p = xs[0]
+        layer_cache = tuple(xs[1:])
+        h, new_kv = decoder_layer(
+            layer_p, h, cfg, rq, cos_sin, mask, layer_cache, write_slot
+        )
+        return h, new_kv
+
+    h, new_cache = jax.lax.scan(
+        body, h, (params["layers"], *(cache[k] for k in cache_keys))
+    )
+    h = final_norm(params, h, cfg)
+    logits = lm_head(params, h, cfg)
+    return logits, dict(zip(cache_keys, new_cache))
+
+
+def decode_step_multi(
+    params: Params,
+    cache: Dict[str, jax.Array],
+    tokens: jax.Array,  # [B, 1] one token per slot
+    pos: jax.Array,  # [B] per-slot absolute positions
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One decode step for a BATCH OF INDEPENDENT SEQUENCES at different
+    positions — the kernel of continuous batching (`serving/engine.py`).
+    Each slot writes at `pos[b] mod max_len` and attends to its own ring
+    window."""
+    b, s = tokens.shape
+    assert s == 1, "multi-slot decode is single-token"
+    cache_keys = sorted(cache.keys())
+    max_len = cache[cache_keys[0]].shape[2]
+    positions = pos[:, None]  # [B, 1]
+    h = embed(params, tokens, cfg, positions)
+    cos_sin = (
+        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+        if cfg.uses_rope
+        else None
+    )
+    write_slot = pos % max_len
+    slots = jnp.arange(max_len)[None, :]
+    last = pos[:, None]  # after this step's write
+    abs_pos = last - ((last - slots) % max_len)  # [B, T]
+    valid = (abs_pos >= 0) & (abs_pos <= last) & (abs_pos > last - max_len)
+    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]  # [B,1,T]
 
     def body(h, xs):
         layer_p = xs[0]

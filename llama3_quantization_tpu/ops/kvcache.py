@@ -51,10 +51,18 @@ def cache_update(
     v_new: jax.Array,
     pos: jax.Array,
 ):
-    """Quantize and write new K/V at pos; return updated layer cache."""
+    """Quantize and write new K/V at pos (scalar, or per-row vector [B] for
+    multi-slot decode with S_step == 1); return updated layer cache."""
     kq, ks, vq, vs = layer_cache
     nk, nks = kv_quantize(k_new)
     nv, nvs = kv_quantize(v_new)
+    if getattr(pos, "ndim", 0) == 1:
+        rows = jnp.arange(kq.shape[0])
+        kq = kq.at[rows, pos].set(nk[:, 0])
+        ks = ks.at[rows, pos].set(nks[:, 0])
+        vq = vq.at[rows, pos].set(nv[:, 0])
+        vs = vs.at[rows, pos].set(nvs[:, 0])
+        return kq, ks, vq, vs
     idx = (0, pos, 0, 0)
     kq = jax.lax.dynamic_update_slice(kq, nk, idx)
     ks = jax.lax.dynamic_update_slice(ks, nks, idx)

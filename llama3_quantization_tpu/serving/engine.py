@@ -1,0 +1,165 @@
+"""Continuous-batching serving engine (single host).
+
+The reference has no serving at all (SURVEY.md: "offline research
+harness"); the BASELINE north star asks for continuous batching. This
+engine keeps a fixed pool of KV-cache slots and advances ALL active
+sequences with one jitted `decode_step_multi` per step:
+
+- `add_request(prompt)` claims a free slot, prefills it in place (the slot's
+  cache rows are sliced out, prefilled with the standard `decode_step`, and
+  written back), and schedules decoding;
+- `step()` runs one batched decode across active slots (each at its own
+  position in its own ring window) and returns newly generated tokens;
+- finished requests free their slots immediately — new requests join the
+  batch without stopping decoding (continuous batching).
+
+Prefill programs are compiled per bucketed prompt length; the decode
+program is compiled once for the slot pool.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..models.configs import ModelConfig
+from ..models.transformer import (
+    NO_QUANT,
+    RuntimeQuantConfig,
+    decode_step,
+    decode_step_multi,
+    init_kv_cache,
+)
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    slot: int
+    prompt_len: int
+    max_new_tokens: int
+    generated: List[int] = dataclasses.field(default_factory=list)
+    eos_id: Optional[int] = None
+    done: bool = False
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        max_slots: int = 8,
+        max_len: int = 512,
+        rq: RuntimeQuantConfig = NO_QUANT,
+        quantized_cache: bool = False,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax, self._jnp = jax, jnp
+        self.params = params
+        self.cfg = cfg
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.cache = init_kv_cache(cfg, max_slots, max_len, quantized=quantized_cache)
+        self._decode = jax.jit(partial(decode_step_multi, cfg=cfg, rq=rq))
+        self._prefill = jax.jit(partial(decode_step, cfg=cfg, rq=rq))
+        self.pos = np.zeros(max_slots, np.int64)  # next write position
+        self.next_tok = np.zeros(max_slots, np.int64)
+        self.free: List[int] = list(range(max_slots))
+        self.requests: Dict[int, _Request] = {}
+        self._slot_req: Dict[int, int] = {}
+        self._next_rid = 0
+
+    # ------------------------------------------------------------------
+    def _slot_cache(self, slot: int):
+        return {
+            k: v[:, slot : slot + 1] for k, v in self.cache.items()
+        }
+
+    def _write_slot_cache(self, slot: int, slot_cache) -> None:
+        jnp = self._jnp
+        self.cache = {
+            k: self._jax.lax.dynamic_update_slice(
+                self.cache[k],
+                slot_cache[k].astype(self.cache[k].dtype),
+                (0, slot) + (0,) * (self.cache[k].ndim - 2),
+            )
+            for k in self.cache
+        }
+
+    # ------------------------------------------------------------------
+    def add_request(
+        self,
+        prompt_tokens: Sequence[int],
+        max_new_tokens: int = 64,
+        eos_id: Optional[int] = None,
+    ) -> int:
+        """Claim a slot, prefill, return the request id."""
+        if not self.free:
+            raise RuntimeError("no free slots")
+        if len(prompt_tokens) >= self.max_len:
+            prompt_tokens = list(prompt_tokens)[-(self.max_len - 1) :]
+        jnp = self._jnp
+        slot = self.free.pop()
+        toks = jnp.asarray(np.asarray(prompt_tokens, np.int32)[None, :])
+        slot_cache = self._slot_cache(slot)
+        logits, slot_cache = self._prefill(self.params, slot_cache, toks, jnp.int32(0))
+        self._write_slot_cache(slot, slot_cache)
+        nxt = int(np.asarray(jnp.argmax(logits[0, -1])))
+        rid = self._next_rid
+        self._next_rid += 1
+        req = _Request(rid, slot, len(prompt_tokens), max_new_tokens, [nxt], eos_id)
+        self.requests[rid] = req
+        self._slot_req[slot] = rid
+        self.pos[slot] = len(prompt_tokens)
+        self.next_tok[slot] = nxt
+        if eos_id is not None and nxt == eos_id:
+            self._finish(req)
+        return rid
+
+    def _finish(self, req: _Request) -> None:
+        req.done = True
+        self._slot_req.pop(req.slot, None)
+        self.free.append(req.slot)
+
+    # ------------------------------------------------------------------
+    def step(self) -> Dict[int, int]:
+        """Advance every active sequence one token; returns {rid: token}."""
+        if not self._slot_req:
+            return {}
+        jnp = self._jnp
+        tokens = jnp.asarray(self.next_tok[:, None].astype(np.int32))
+        pos = jnp.asarray(self.pos.astype(np.int32))
+        logits, self.cache = self._decode(self.params, self.cache, tokens, pos)
+        nxt = np.asarray(jnp.argmax(logits[:, 0, :], axis=-1))
+        out: Dict[int, int] = {}
+        for slot, rid in list(self._slot_req.items()):
+            req = self.requests[rid]
+            tok = int(nxt[slot])
+            req.generated.append(tok)
+            self.pos[slot] += 1
+            self.next_tok[slot] = tok
+            out[rid] = tok
+            if (req.eos_id is not None and tok == req.eos_id) or len(
+                req.generated
+            ) >= req.max_new_tokens:
+                self._finish(req)
+        # inactive slots advance nothing (their lanes computed, ignored)
+        for slot in range(self.max_slots):
+            if slot not in self._slot_req and slot not in self.free:
+                pass
+        return out
+
+    # ------------------------------------------------------------------
+    def run(self, until_done: bool = True, max_steps: int = 10_000) -> None:
+        steps = 0
+        while self._slot_req and steps < max_steps:
+            self.step()
+            steps += 1
+
+    def result(self, rid: int) -> List[int]:
+        return self.requests[rid].generated

@@ -1,0 +1,94 @@
+"""Continuous-batching engine tests: parity with single-sequence decode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llama3_quantization_tpu.models import TINY_LLAMA, init_kv_cache, init_params
+from llama3_quantization_tpu.models.transformer import greedy_generate
+from llama3_quantization_tpu.serving import ServingEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def _single_greedy(params, cfg, prompt, n):
+    cache = init_kv_cache(cfg, 1, 64, dtype=jnp.float32)
+    from llama3_quantization_tpu.models.transformer import decode_step
+
+    toks = jnp.asarray(np.asarray(prompt, np.int32)[None, :])
+    logits, cache = decode_step(params, cache, toks, jnp.int32(0), cfg)
+    first = int(np.asarray(jnp.argmax(logits[0, -1])))
+    gen, _ = greedy_generate(
+        params, cache, jnp.asarray([[first]], jnp.int32), jnp.int32(len(prompt)), n - 1, cfg
+    )
+    return [first] + np.asarray(gen)[0].tolist()
+
+
+def test_engine_matches_single_sequence(setup):
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=4, max_len=64)
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 5, 5, 5, 5]]
+    N = 6
+    rids = [eng.add_request(p, max_new_tokens=N) for p in prompts]
+    eng.run()
+    for rid, p in zip(rids, prompts):
+        got = eng.result(rid)
+        want = _single_greedy(params, cfg, p, N)
+        assert got == want, (got, want)
+
+
+def test_engine_continuous_join(setup):
+    """A request added mid-flight decodes correctly alongside others."""
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=4, max_len=64)
+    r1 = eng.add_request([1, 2, 3], max_new_tokens=8)
+    for _ in range(3):
+        eng.step()
+    r2 = eng.add_request([4, 4, 4, 4], max_new_tokens=5)
+    eng.run()
+    want1 = _single_greedy(params, cfg, [1, 2, 3], 8)
+    want2 = _single_greedy(params, cfg, [4, 4, 4, 4], 5)
+    assert eng.result(r1) == want1
+    assert eng.result(r2) == want2
+
+
+def test_engine_slot_reuse(setup):
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64)
+    a = eng.add_request([1, 2], max_new_tokens=3)
+    b = eng.add_request([3, 4], max_new_tokens=3)
+    eng.run()
+    assert len(eng.free) == 2
+    c = eng.add_request([7, 8, 9], max_new_tokens=4)
+    eng.run()
+    want = _single_greedy(params, cfg, [7, 8, 9], 4)
+    assert eng.result(c) == want
+
+
+def test_engine_eos_stops(setup):
+    cfg, params = setup
+    # discover the first generated token, then use it as "eos"
+    probe = ServingEngine(params, cfg, max_slots=1, max_len=64)
+    r = probe.add_request([1, 2, 3], max_new_tokens=4)
+    probe.run()
+    first = probe.result(r)[0]
+
+    eng = ServingEngine(params, cfg, max_slots=1, max_len=64)
+    r2 = eng.add_request([1, 2, 3], max_new_tokens=50, eos_id=first)
+    eng.run()
+    assert eng.result(r2) == [first]
+    assert len(eng.free) == 1
+
+
+def test_engine_no_free_slots(setup):
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=1, max_len=64)
+    eng.add_request([1], max_new_tokens=10)
+    with pytest.raises(RuntimeError):
+        eng.add_request([2], max_new_tokens=10)
