@@ -64,7 +64,11 @@ def layer_linear_inputs(
     else:
         h = h + attn_out
         mlp_in = _norm(p["ln2"], h, cfg)
-    if cfg.arch == "llama":
+    if cfg.is_moe:
+        # shared input of every expert's gate/up (router input too); expert
+        # down-inputs are derived per expert by the MoE GPTQ path
+        out["experts_in"] = mlp_in
+    elif cfg.arch == "llama":
         out["gate"] = out["up"] = mlp_in
         gate = qlinear(mlp_in, p["gate"]["w"], p["gate"].get("b"), rq.act)
         up = qlinear(mlp_in, p["up"]["w"], p["up"].get("b"), rq.act)
@@ -174,12 +178,61 @@ def gptq_quantize_model(
             q_l[name] = entry
         return q_l
 
+    def quantize_experts(q_l, errs):
+        """MoE experts: gate/up against the shared pre-MLP input Hessian
+        (all tokens — routing-weighted Hessians are a refinement), down
+        against each expert's own activation Hessian computed through its
+        already-quantized gate/up."""
+        from ..quant.qtensor import QuantizedTensor
+        from ..ops.matmul import qmatmul
+
+        d = q_l["q"]["w"].shape[0] if not isinstance(q_l["q"]["w"], QuantizedTensor) else q_l["q"]["w"].k
+        h_in = hessian_init(d)
+        caps_per_batch = []
+        for b0 in range(0, n, batch_size):
+            caps = capture(q_l, h[b0 : b0 + batch_size])
+            caps_per_batch.append(caps["experts_in"])
+            h_in = hessian_update(h_in, caps["experts_in"])
+        experts = dict(q_l["experts"])
+        e_count = experts["gate"]["w"].shape[0] if not isinstance(
+            experts["gate"]["w"], QuantizedTensor
+        ) else experts["gate"]["w"].data.shape[0]
+        new_e = {m: {"w": []} for m in ("gate", "up", "down")}
+        for e in range(e_count):
+            up_w = experts["up"]["w"][e]
+            down_w = experts["down"]["w"][e]
+            qt_gate, err_g = gptq_quantize_weight(
+                experts["gate"]["w"][e], h_in.H, spec, blocksize=blocksize,
+                actorder=actorder, percdamp=percdamp, pack=pack)
+            qt_up, err_u = gptq_quantize_weight(
+                up_w, h_in.H, spec, blocksize=blocksize,
+                actorder=actorder, percdamp=percdamp, pack=pack)
+            h_down = hessian_init(down_w.shape[0])
+            for x in caps_per_batch:
+                act = jax.nn.silu(qmatmul(x, qt_gate)) * qmatmul(x, qt_up)
+                h_down = hessian_update(h_down, act)
+            qt_down, err_d = gptq_quantize_weight(
+                down_w, h_down.H, spec, blocksize=blocksize,
+                actorder=actorder, percdamp=percdamp, pack=pack)
+            errs[f"expert{e}"] = float(err_g + err_u + err_d)
+            new_e["gate"]["w"].append(qt_gate)
+            new_e["up"]["w"].append(qt_up)
+            new_e["down"]["w"].append(qt_down)
+        for m in ("gate", "up", "down"):
+            new_e[m]["w"] = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *new_e[m]["w"]
+            )
+        q_l["experts"] = new_e
+        return q_l
+
     new_layers = []
     for l in range(cfg.num_layers):
         q_l = dict(_layer_slice(params["layers"], l))
         errs: Dict[str, float] = {}
         for group in groups:
             q_l = quantize_group(q_l, group, errs)
+        if cfg.is_moe:
+            q_l = quantize_experts(q_l, errs)
         # quantized-input propagation for the next layer
         h_parts = [
             run_layer(q_l, h[b0 : b0 + batch_size]) for b0 in range(0, n, batch_size)

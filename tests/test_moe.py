@@ -102,3 +102,18 @@ def test_moe_expert_parallel_sharding(setup):
     assert all(sh[1] == cfg.num_experts // 4 for sh in shard_shapes), shard_shapes
     out = make_sharded_forward(cfg, mesh)(sharded, toks)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_moe_gptq(setup):
+    from llama3_quantization_tpu.quant.calibration import gptq_quantize_model
+
+    cfg, params, toks = setup
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 8))
+    qp = gptq_quantize_model(params, cfg, calib, QuantSpec(n_bits=4, group_size=32),
+                             blocksize=32)
+    assert isinstance(qp["layers"]["experts"]["down"]["w"], QuantizedTensor)
+    assert isinstance(qp["layers"]["q"]["w"], QuantizedTensor)
+    fp = forward_logits(params, toks, cfg)
+    out = forward_logits(qp, toks, cfg)
+    err = float(jnp.mean(jnp.abs(out - fp)))
+    assert 0 < err < 1.0
