@@ -146,8 +146,11 @@ def quantize_model_rtn(
 
     Weights are stacked `[L, K, N]`; each layer is quantized independently
     via vmap (scales per layer), which preserves per-layer numerics while
-    keeping one fused compile.
+    keeping one fused compile. n_bits >= 16 is a no-op (the reference's
+    disabled-quantizer passthrough).
     """
+    if not weight_spec.enabled:
+        return params
     out = dict(params)
     layers = dict(params["layers"])
     for name in linear_names(cfg):

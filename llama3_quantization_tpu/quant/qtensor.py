@@ -100,6 +100,16 @@ def quantize_rtn(
     per-call re-quantization is its main slowdown — SURVEY.md §3.2).
     """
     k, n = w.shape
+    if not spec.enabled:
+        raise ValueError(
+            "n_bits >= 16 disables quantization (reference quantizer.forward "
+            "passthrough, quant/quantizer.py:119) — keep the fp weight instead"
+        )
+    if spec.n_bits > 8:
+        raise NotImplementedError(
+            f"{spec.n_bits}-bit codes exceed int8 storage; use fake-quant "
+            "(fake_quant_dynamic) for 9-15 bit studies"
+        )
     gs = spec.group_size or k
     if k % gs:
         raise ValueError(f"K={k} not divisible by group_size={gs}")

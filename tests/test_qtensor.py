@@ -65,3 +65,25 @@ def test_storage_size(rng):
     qt = quantize_rtn(w, QuantSpec(n_bits=4, group_size=64), pack=True)
     assert qt.data.dtype == jnp.uint8 and qt.data.shape == (64, 32)
     assert qt.scale.shape == (2, 32)
+
+
+def test_w16_is_noop_and_guarded(rng):
+    import pytest as _pytest
+
+    from llama3_quantization_tpu.models import TINY_LLAMA, forward_logits, init_params, quantize_model_rtn
+
+    cfg = TINY_LLAMA
+    import jax as _jax
+
+    params = init_params(cfg, _jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=16))
+    toks = _jax.random.randint(_jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size)
+    # W16 "quantization" must be bit-identical (SURVEY.md §4 golden check)
+    np.testing.assert_array_equal(
+        np.asarray(forward_logits(qp, toks, cfg)),
+        np.asarray(forward_logits(params, toks, cfg)),
+    )
+    with _pytest.raises(ValueError):
+        quantize_rtn(jnp.ones((32, 8)), QuantSpec(n_bits=16))
+    with _pytest.raises(NotImplementedError):
+        quantize_rtn(jnp.ones((32, 8)), QuantSpec(n_bits=12))

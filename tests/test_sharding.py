@@ -100,3 +100,10 @@ def test_scaling_benchmark_machinery(mesh):
     assert res[1]["efficiency"] == 1.0
     for n, r in res.items():
         assert r["tok_s"] > 0
+
+
+def test_make_pod_mesh_single_host():
+    from llama3_quantization_tpu.parallel.distributed import make_pod_mesh
+
+    mesh = make_pod_mesh(tp=4)
+    assert dict(mesh.shape) == {"dp": 2, "tp": 4}
