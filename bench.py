@@ -55,8 +55,6 @@ def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None) -> flo
 
 def prefill_bench(cfg, params, cfg_name, backend):
     """Prefill tokens/sec at S=2048 (drives the flash-attention path)."""
-    from functools import partial
-
     from llama3_quantization_tpu.models.transformer import forward_logits
 
     seq = int(os.environ.get("L3Q_BENCH_PREFILL_SEQ", 2048))
@@ -133,8 +131,17 @@ def main():
     _ = int(toks[0, -1])
     log(f"generate loop (compile+run) in {time.time()-t0:.1f}s")
 
+    trace_dir = os.environ.get("L3Q_BENCH_TRACE")
+    if trace_dir:
+        from llama3_quantization_tpu.utils.profiling import profile_trace
+
+        with profile_trace(trace_dir):
+            toks2, cache = gen(params, cache, toks[:, -1:], jnp.int32(decode_steps))
+            _ = int(toks2[0, -1])
+        log(f"profiler trace written to {trace_dir}")
+
     t0 = time.time()
-    toks, cache = gen(params, cache, toks[:, -1:], jnp.int32(decode_steps))
+    toks, cache = gen(params, cache, toks[:, -1:], jnp.int32(decode_steps * (2 if trace_dir else 1)))
     _ = int(toks[0, -1])
     dt = time.time() - t0
     tok_s = decode_steps * batch / dt

@@ -63,7 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     # io
     p.add_argument("--save_dir", default=None)
     p.add_argument("--output_json", default=None)
-    p.add_argument("--real_quant", action="store_true", default=True)
+    p.add_argument("--real_quant", action="store_true", default=True,
+                   help="always on: weights are stored packed/int8 (reference "
+                        "needs this flag to opt into AutoGPTQ kernels)")
     p.add_argument("--use_cache", default=None, help="sqlite LM response cache path")
     p.add_argument("--decontamination_ngrams_path", default=None)
     p.add_argument("--serving_recode", action="store_true",

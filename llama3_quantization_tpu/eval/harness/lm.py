@@ -29,7 +29,6 @@ class Reorderer:
     def __init__(self, arr, fn):
         self.size = len(arr)
         self.arr = sorted(enumerate(arr), key=lambda x: fn(x[1]))
-        self._order = [i for i, _ in self.arr]
 
     def get_reordered(self):
         return [x for _, x in self.arr]

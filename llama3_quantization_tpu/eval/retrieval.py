@@ -83,14 +83,25 @@ class UPRReranker:
         max_length: int = 2048,
     ):
         import jax
-        from functools import partial
+        import jax.numpy as jnp
 
         from ..models.transformer import NO_QUANT, forward_logits
 
         self.params, self.cfg, self.tok = params, cfg, tokenizer
         self.header, self.instruction = header, instruction
         self.max_length = max_length
-        self._fwd = jax.jit(partial(forward_logits, cfg=cfg, rq=rq or NO_QUANT))
+        rq = rq or NO_QUANT
+
+        def _score(params, inps, targets, mask):
+            # device-side gather: only [B] means cross the host boundary
+            # (full [B, S, V] logprobs are ~GBs at Llama-3 vocab)
+            logits = forward_logits(params, inps, cfg, rq).astype(jnp.float32)
+            logz = jax.scipy.special.logsumexp(logits, axis=-1)
+            tok_lp = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0] - logz
+            denom = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+            return jnp.sum(tok_lp * mask, axis=-1) / denom
+
+        self._score_jit = jax.jit(_score)
 
     def _bucket(self, n: int) -> int:
         from .data import bucket_pow2
@@ -113,21 +124,21 @@ class UPRReranker:
         scores = [0.0] * len(pairs)
         for start in range(0, len(items), batch_size):
             chunk = items[start : start + batch_size]
-            maxlen = self._bucket(max(len(seq) for _, seq, _ in chunk))
-            batch = np.zeros((len(chunk), maxlen), dtype=np.int32)
-            for i, (_, seq, _) in enumerate(chunk):
-                batch[i, : len(seq)] = seq
-            logits = np.asarray(
-                self._fwd(self.params, jnp.asarray(batch)), dtype=np.float32
+            maxlen = self._bucket(max(len(seq) - 1 for _, seq, _ in chunk))
+            b = len(chunk)
+            inp = np.zeros((b, maxlen), dtype=np.int32)
+            tgt = np.zeros((b, maxlen), dtype=np.int32)
+            mask = np.zeros((b, maxlen), dtype=np.float32)
+            for i, (_, seq, n_tgt) in enumerate(chunk):
+                L = len(seq) - 1
+                inp[i, :L] = seq[:-1]
+                tgt[i, :L] = seq[1:]
+                mask[i, L - n_tgt : L] = 1.0
+            means = self._score_jit(
+                self.params, jnp.asarray(inp), jnp.asarray(tgt), jnp.asarray(mask)
             )
-            logp = logits - np.log(
-                np.exp(logits - logits.max(-1, keepdims=True)).sum(-1, keepdims=True)
-            ) - logits.max(-1, keepdims=True)
-            for i, (qi, seq, n_tgt) in enumerate(chunk):
-                L = len(seq)
-                pos = np.arange(L - n_tgt - 1, L - 1)
-                toks = np.asarray(seq[L - n_tgt :])
-                scores[qi] = float(np.mean(logp[i][pos, toks]))  # -mean CE
+            for i, (qi, _, _) in enumerate(chunk):
+                scores[qi] = float(means[i])  # -mean CE
         return scores
 
     def rerank(

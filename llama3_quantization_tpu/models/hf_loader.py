@@ -220,25 +220,19 @@ def save_checkpoint(params, cfg: ModelConfig, path: str) -> None:
     framework-native analogue of the reference's `save_pretrained` fake-
     quant export (`main.py:399-414`). Uses jax.numpy savez of flattened
     leaves + a JSON treedef manifest."""
-    import jax
-
-    os.makedirs(path, exist_ok=True)
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    np.savez(
-        os.path.join(path, "params.npz"),
-        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
-    )
     import dataclasses as dc
 
+    from ..utils.pytree_io import save_pytree_npz
+
+    os.makedirs(path, exist_ok=True)
+    save_pytree_npz(os.path.join(path, "params.npz"), params)
+
     with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump({"treedef": str(treedef), "config": dc.asdict(cfg)}, f)
+        json.dump({"config": dc.asdict(cfg)}, f)
 
 
 def load_checkpoint(path: str, params_like) -> Any:
     """Restore leaves into the structure of `params_like` (same treedef)."""
-    import jax
+    from ..utils.pytree_io import load_pytree_npz
 
-    data = np.load(os.path.join(path, "params.npz"))
-    leaves, treedef = jax.tree_util.tree_flatten(params_like)
-    new_leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return load_pytree_npz(os.path.join(path, "params.npz"), params_like)

@@ -183,8 +183,8 @@ def gptq_quantize_model(
         (all tokens — routing-weighted Hessians are a refinement), down
         against each expert's own activation Hessian computed through its
         already-quantized gate/up."""
-        from ..quant.qtensor import QuantizedTensor
         from ..ops.matmul import qmatmul
+        from .qtensor import QuantizedTensor
 
         d = q_l["q"]["w"].shape[0] if not isinstance(q_l["q"]["w"], QuantizedTensor) else q_l["q"]["w"].k
         h_in = hessian_init(d)

@@ -15,10 +15,10 @@ TPU-first differences from the reference:
 - dual streams (`fp_inps` target / `quant_inps` input) are two device
   arrays, not hook-captured module state.
 
-LET (learnable equivalent transformation) is initialized via the
-SmoothQuant fold (`smoothquant.py`) and, in this version, kept fixed during
-block training; the learned component is LWC. Joint LET+LWC training is a
-planned extension (`let_lr` is accepted and currently ignored).
+With `OmniConfig.let=True`, LET (learnable equivalent transformation)
+scales/shifts train jointly with LWC under two AdamW learning-rate groups
+(the reference's optimizer split, `quant/omniquant.py:257-264`), folded
+differentiably each step and baked in permanently at the end.
 """
 
 from __future__ import annotations
@@ -169,12 +169,10 @@ def _save_aux(resume_dir: Optional[str], layer: int, aux) -> None:
         return
     import os
 
+    from ..utils.pytree_io import save_pytree_npz
+
     os.makedirs(resume_dir, exist_ok=True)
-    leaves = jax.tree_util.tree_leaves(aux)
-    np.savez(
-        os.path.join(resume_dir, f"omni_layer_{layer}.npz"),
-        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
-    )
+    save_pytree_npz(os.path.join(resume_dir, f"omni_layer_{layer}.npz"), aux)
 
 
 def _load_aux(resume_dir: Optional[str], layer: int, aux_like):
@@ -182,14 +180,12 @@ def _load_aux(resume_dir: Optional[str], layer: int, aux_like):
         return None
     import os
 
+    from ..utils.pytree_io import load_pytree_npz
+
     path = os.path.join(resume_dir, f"omni_layer_{layer}.npz")
     if not os.path.exists(path):
         return None
-    data = np.load(path)
-    leaves, treedef = jax.tree_util.tree_flatten(aux_like)
-    return jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
-    )
+    return load_pytree_npz(path, aux_like)
 
 
 def init_layer_lwc(p_l: Dict[str, Any], cfg: ModelConfig, spec: QuantSpec):

@@ -81,7 +81,6 @@ class ServingEngine:
         }
 
     def _write_slot_cache(self, slot: int, slot_cache) -> None:
-        jnp = self._jnp
         self.cache = {
             k: self._jax.lax.dynamic_update_slice(
                 self.cache[k],
@@ -148,14 +147,10 @@ class ServingEngine:
                 req.generated
             ) >= req.max_new_tokens:
                 self._finish(req)
-        # inactive slots advance nothing (their lanes computed, ignored)
-        for slot in range(self.max_slots):
-            if slot not in self._slot_req and slot not in self.free:
-                pass
         return out
 
     # ------------------------------------------------------------------
-    def run(self, until_done: bool = True, max_steps: int = 10_000) -> None:
+    def run(self, max_steps: int = 10_000) -> None:
         steps = 0
         while self._slot_req and steps < max_steps:
             self.step()
