@@ -186,3 +186,28 @@ def test_gptq_true_sequential_runs_and_is_sane():
     stream = np.random.default_rng(2).integers(0, cfg.vocab_size, (1, 64))
     ppl = compute_ppl(qp, cfg, stream, seqlen=32)
     assert np.isfinite(ppl) and ppl < cfg.vocab_size * 2
+
+
+def test_mixed_precision_gptq():
+    """Worst layers upgraded to W8 must strictly improve over pure W2."""
+    from llama3_quantization_tpu.eval.ppl import compute_ppl
+    from llama3_quantization_tpu.models import TINY_LLAMA, init_params
+    from llama3_quantization_tpu.quant.mixed import mixed_precision_gptq
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (4, 16))
+    base = QuantSpec(n_bits=2, group_size=32)
+    up = QuantSpec(n_bits=8, group_size=32)
+    qp_mixed, upgraded = mixed_precision_gptq(
+        params, cfg, calib, base, up, topk=4, blocksize=32
+    )
+    assert len(upgraded) == 4
+    qp_base = gptq_quantize_model(params, cfg, calib, base, blocksize=32)
+    from llama3_quantization_tpu.models import forward_logits
+
+    toks = jnp.asarray(calib)
+    fp = forward_logits(params, toks, cfg)
+    err_mixed = float(jnp.mean((forward_logits(qp_mixed, toks, cfg) - fp) ** 2))
+    err_base = float(jnp.mean((forward_logits(qp_base, toks, cfg) - fp) ** 2))
+    assert err_mixed < err_base, (err_mixed, err_base)
