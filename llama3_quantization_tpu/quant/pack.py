@@ -29,8 +29,47 @@ import numpy as np
 
 
 def pack_factor(bits: int) -> int:
-    """Values per byte. 1 for bits not in {2, 4}."""
+    """Values per byte for the nibble scheme. 1 for bits not in {2, 4}
+    (3-bit uses the bit-plane scheme; see `packed_rows`)."""
     return 8 // bits if bits in (2, 4) else 1
+
+
+def packed_rows(k: int, bits: int) -> int:
+    """Packed byte-rows for a K-row code matrix."""
+    if bits in (2, 4):
+        return k // (8 // bits)
+    if bits == 3:
+        return 3 * k // 8
+    return k
+
+
+def _pack_planes(q: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Bit-plane packing: plane b holds bit b of every code, 8 codes/byte
+    along K. Exactly `bits` bits/weight for ANY width; used for 3-bit
+    (the nibble scheme needs bits | 8)."""
+    k, n = q.shape
+    if k % 8:
+        raise ValueError(f"K={k} must be a multiple of 8 for plane packing")
+    weights = (1 << np.arange(8)).astype(np.uint32)
+    planes = []
+    for b in range(bits):
+        bit = ((q.astype(jnp.uint32) >> b) & 1).reshape(k // 8, 8, n)
+        planes.append(
+            jnp.sum(bit * weights[None, :, None], axis=1).astype(jnp.uint8)
+        )
+    return jnp.concatenate(planes, axis=0)  # [bits*K/8, N]
+
+
+def _unpack_planes(packed: jnp.ndarray, bits: int, k: int) -> jnp.ndarray:
+    n = packed.shape[-1]
+    planes = packed.reshape(bits, k // 8, n)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    out = jnp.zeros((k, n), jnp.uint8)
+    for b in range(bits):
+        expanded = jnp.repeat(planes[b], 8, axis=0)  # [K, N]
+        bit = (expanded >> jnp.tile(shifts, k // 8)[:, None]) & 1
+        out = out | (bit.astype(jnp.uint8) << b)
+    return out
 
 
 def _group_view(k: int, group_size: Optional[int]) -> int:
@@ -46,6 +85,8 @@ def pack_subbyte(q: jnp.ndarray, bits: int, group_size: Optional[int] = None) ->
     Returns `[K // f, N]` uint8 with the group-local layout described above.
     """
     f = pack_factor(bits)
+    if bits == 3:
+        return _pack_planes(q.astype(jnp.uint8), bits)
     if f == 1:
         return q.astype(jnp.uint8)
     k, n = q.shape
@@ -64,8 +105,10 @@ def pack_subbyte(q: jnp.ndarray, bits: int, group_size: Optional[int] = None) ->
 def unpack_subbyte(
     packed: jnp.ndarray, bits: int, k: int, group_size: Optional[int] = None
 ) -> jnp.ndarray:
-    """Inverse of `pack_subbyte`: uint8 `[K//f, N]` -> uint8 codes `[K, N]`."""
+    """Inverse of `pack_subbyte`: packed bytes -> uint8 codes `[K, N]`."""
     f = pack_factor(bits)
+    if bits == 3:
+        return _unpack_planes(packed, bits, k)
     if f == 1:
         return packed
     gs = _group_view(k, group_size)

@@ -144,18 +144,16 @@ def quantize_rtn(
         )
     code_dtype = jnp.int8 if zp is None else jnp.uint8
     codes = q.reshape(n, k).T.astype(code_dtype)  # [K, N]
-    if pack and zp is not None:
+    packable = spec.n_bits in (2, 3, 4)
+    if pack and zp is not None and packable:
         data = pack_subbyte(codes, spec.n_bits, spec.group_size)
-        packed = pack_factor(spec.n_bits) > 1
-    elif pack and zp is None:
+        packed = True
+    elif pack and zp is None and packable:
         # signed codes: bias into unsigned range for packing
         biased = (q.reshape(n, k).T - spec.qmin).astype(jnp.uint8)
         data = pack_subbyte(biased, spec.n_bits, spec.group_size)
-        packed = pack_factor(spec.n_bits) > 1
-        if packed:
-            zero_gn = jnp.full((k // gs, n), float(-spec.qmin), jnp.float32)
-        else:
-            data = codes
+        packed = True
+        zero_gn = jnp.full((k // gs, n), float(-spec.qmin), jnp.float32)
     else:
         data, packed = codes, False
     return QuantizedTensor(
@@ -184,7 +182,7 @@ def from_codes(
     grouped params `[G, N]` (used by GPTQ/AWQ/HQQ which find their own
     scales)."""
     k, n = codes.shape
-    if pack and zero is not None and pack_factor(spec.n_bits) > 1:
+    if pack and zero is not None and spec.n_bits in (2, 3, 4):
         data = pack_subbyte(codes.astype(jnp.uint8), spec.n_bits, spec.group_size)
         packed = True
     elif zero is not None:

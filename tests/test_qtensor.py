@@ -87,3 +87,25 @@ def test_w16_is_noop_and_guarded(rng):
         quantize_rtn(jnp.ones((32, 8)), QuantSpec(n_bits=16))
     with _pytest.raises(NotImplementedError):
         quantize_rtn(jnp.ones((32, 8)), QuantSpec(n_bits=12))
+
+
+def test_3bit_plane_packing_roundtrip(rng):
+    from llama3_quantization_tpu.quant.pack import packed_rows
+
+    k, n = 64, 16
+    q = rng.integers(0, 8, (k, n)).astype(np.uint8)
+    packed = pack_subbyte(jnp.asarray(q), 3, 32)
+    assert packed.shape == (packed_rows(k, 3), n) == (24, n)  # 3 bits/weight
+    back = np.asarray(unpack_subbyte(packed, 3, k, 32))
+    np.testing.assert_array_equal(back, q)
+
+
+def test_3bit_rtn_real_quant_matches_fake(rng):
+    k, n = 64, 24
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    spec = QuantSpec(n_bits=3, group_size=32)
+    qt = quantize_rtn(jnp.asarray(w), spec, pack=True)
+    assert qt.packed and qt.data.shape[0] == 24
+    dq = np.asarray(dequantize(qt, jnp.float32))
+    want = np.asarray(fake_quant_dynamic(jnp.asarray(w.T), spec)).T
+    np.testing.assert_allclose(dq, want, rtol=1e-4, atol=1e-5)
