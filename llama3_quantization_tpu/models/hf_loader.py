@@ -236,3 +236,24 @@ def load_checkpoint(path: str, params_like) -> Any:
     from ..utils.pytree_io import load_pytree_npz
 
     return load_pytree_npz(os.path.join(path, "params.npz"), params_like)
+
+
+def save_checkpoint_orbax(params, path: str) -> None:
+    """Orbax checkpoint of a (possibly quantized) param pytree — the
+    production path for sharded/async saves on pods; QuantizedTensor
+    leaves serialize like any arrays (registered pytree)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params)
+
+
+def load_checkpoint_orbax(path: str, params_like):
+    """Restore an orbax checkpoint into the structure/shardings of
+    `params_like` (abstract values suffice)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    template = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, params_like)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), template)

@@ -413,6 +413,34 @@ def init_kv_cache(
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def _ring_write_and_mask(pos, s, max_len: int, sink: int):
+    """Write slot(s) and additive mask for the sink+ring cache layout.
+
+    Slots [0, sink) pin the first `sink` absolute positions forever (the
+    StreamingLLM "attention sink" — quality anchor for long sliding-window
+    generation); slots [sink, max_len) form a ring of width W = max_len -
+    sink holding the most recent positions. `pos` may be a scalar or a
+    per-row vector [B] (multi-slot decode, s == 1).
+    """
+    w = max_len - sink
+    if s == 1:
+        write_slot = jnp.where(pos < max_len, pos, sink + (pos - sink) % w)
+    else:
+        write_slot = pos  # prefill chunks must fit without wrapping
+    vec = getattr(pos, "ndim", 0) == 1
+    last = (pos if s == 1 else pos + s - 1)
+    last = last[:, None] if vec else last
+    slots = jnp.arange(max_len)[None, :]
+    qi = (pos[:, None] if vec else pos + jnp.arange(s)[:, None])
+    abs_ring = last - ((last - slots) % w)
+    ring_valid = (slots >= sink) & (abs_ring >= sink) & (abs_ring <= qi)
+    sink_valid = (slots < sink) & (slots <= qi)
+    mask = jnp.where(ring_valid | sink_valid, 0.0, -jnp.inf).astype(jnp.float32)
+    if vec:
+        mask = mask[:, None, :]  # [B, 1, T]
+    return write_slot, mask
+
+
 def decode_step(
     params: Params,
     cache: Dict[str, jax.Array],
@@ -420,10 +448,14 @@ def decode_step(
     pos: jax.Array,  # scalar int32: write offset into the cache
     cfg: ModelConfig,
     rq: RuntimeQuantConfig = NO_QUANT,
+    sink_tokens: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One prefill/decode step against the preallocated KV cache.
 
-    Returns (logits [B, S_step, V], updated cache)."""
+    Single-token steps past the buffer wrap into sliding-window attention
+    (ring slots), optionally pinning the first `sink_tokens` positions (the
+    reference's concat cache can do neither). Returns (logits
+    [B, S_step, V], updated cache)."""
     b, s = tokens.shape
     cache_keys = sorted(cache.keys())  # ("k","v") or ("k_q","k_s","v_q","v_s")
     max_len = cache[cache_keys[0]].shape[2]
@@ -434,20 +466,7 @@ def decode_step(
         if cfg.uses_rope
         else None
     )
-    # Ring-buffer semantics: single-token decode steps wrap (slot = pos mod
-    # max_len -> sliding-window attention once the buffer fills, which the
-    # reference's concat cache can never do); multi-token prefill chunks
-    # must fit without wrapping (slot = pos).
-    write_slot = pos % max_len if s == 1 else pos
-    # ring-aware validity: after this step's write (last written absolute
-    # position P), slot j holds position P - ((P - j) mod max_len); a query
-    # at qi sees keys in the window (qi - max_len, qi]
-    last = pos + s - 1
-    slots = jnp.arange(max_len)[None, :]
-    abs_pos = last - ((last - slots) % max_len)
-    qi = pos + jnp.arange(s)[:, None]
-    valid = (abs_pos >= 0) & (abs_pos <= qi) & (abs_pos > qi - max_len)
-    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)
+    write_slot, mask = _ring_write_and_mask(pos, s, max_len, sink_tokens)
 
     def body(h, xs):
         layer_p = xs[0]
@@ -472,11 +491,11 @@ def decode_step_multi(
     pos: jax.Array,  # [B] per-slot absolute positions
     cfg: ModelConfig,
     rq: RuntimeQuantConfig = NO_QUANT,
+    sink_tokens: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """One decode step for a BATCH OF INDEPENDENT SEQUENCES at different
     positions — the kernel of continuous batching (`serving/engine.py`).
-    Each slot writes at `pos[b] mod max_len` and attends to its own ring
-    window."""
+    Each slot writes into its own sink+ring window."""
     b, s = tokens.shape
     assert s == 1, "multi-slot decode is single-token"
     cache_keys = sorted(cache.keys())
@@ -488,12 +507,7 @@ def decode_step_multi(
         if cfg.uses_rope
         else None
     )
-    write_slot = pos % max_len
-    slots = jnp.arange(max_len)[None, :]
-    last = pos[:, None]  # after this step's write
-    abs_pos = last - ((last - slots) % max_len)  # [B, T]
-    valid = (abs_pos >= 0) & (abs_pos <= last) & (abs_pos > last - max_len)
-    mask = jnp.where(valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]  # [B,1,T]
+    write_slot, mask = _ring_write_and_mask(pos, 1, max_len, sink_tokens)
 
     def body(h, xs):
         layer_p = xs[0]
@@ -519,6 +533,7 @@ def greedy_generate(
     n_steps: int,
     cfg: ModelConfig,
     rq: RuntimeQuantConfig = NO_QUANT,
+    sink_tokens: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """On-device greedy decode loop: `n_steps` tokens in ONE dispatch via
     `lax.scan` (the reference's per-token python loop,
@@ -529,7 +544,7 @@ def greedy_generate(
 
     def body(carry, _):
         tok, pos, cache = carry
-        logits, cache = decode_step(params, cache, tok, pos, cfg, rq)
+        logits, cache = decode_step(params, cache, tok, pos, cfg, rq, sink_tokens)
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
         return (nxt, pos + 1, cache), nxt[:, 0]
 

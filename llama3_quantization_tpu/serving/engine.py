@@ -55,6 +55,7 @@ class ServingEngine:
         max_len: int = 512,
         rq: RuntimeQuantConfig = NO_QUANT,
         quantized_cache: bool = False,
+        sink_tokens: int = 0,
     ):
         import jax
         import jax.numpy as jnp
@@ -65,8 +66,12 @@ class ServingEngine:
         self.max_slots = max_slots
         self.max_len = max_len
         self.cache = init_kv_cache(cfg, max_slots, max_len, quantized=quantized_cache)
-        self._decode = jax.jit(partial(decode_step_multi, cfg=cfg, rq=rq))
-        self._prefill = jax.jit(partial(decode_step, cfg=cfg, rq=rq))
+        self._decode = jax.jit(
+            partial(decode_step_multi, cfg=cfg, rq=rq, sink_tokens=sink_tokens)
+        )
+        self._prefill = jax.jit(
+            partial(decode_step, cfg=cfg, rq=rq, sink_tokens=sink_tokens)
+        )
         self.pos = np.zeros(max_slots, np.int64)  # next write position
         self.next_tok = np.zeros(max_slots, np.int64)
         self.free: List[int] = list(range(max_slots))

@@ -170,3 +170,25 @@ def test_hf_loader_falcon_roundtrip(tmp_path):
     toks = jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0, cfg.vocab_size)
     out = forward_logits(params, toks, loaded_cfg)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from llama3_quantization_tpu.models import quantize_model_rtn
+    from llama3_quantization_tpu.models.hf_loader import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=4, group_size=32), pack=True)
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(qp, path)
+    restored = load_checkpoint_orbax(path, qp)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size)
+    np.testing.assert_allclose(
+        np.asarray(forward_logits(restored, toks, cfg)),
+        np.asarray(forward_logits(qp, toks, cfg)),
+        rtol=1e-5,
+    )

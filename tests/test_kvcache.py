@@ -84,3 +84,48 @@ def test_ring_cache_within_window_matches_full():
     for i in range(8, 12):
         logits, cache = decode_step(params, cache, toks[:, i:i+1], jnp.int32(i), cfg)
         np.testing.assert_allclose(np.asarray(logits[:, 0]), np.asarray(full[:, i]), rtol=2e-4, atol=2e-4)
+
+
+def test_attention_sink_pins_prefix():
+    """With sink_tokens, the first positions stay attendable far past the
+    window; without, they are forgotten (mask check via decode parity)."""
+    from functools import partial
+    from llama3_quantization_tpu.models.transformer import decode_step
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    max_len, sink = 16, 4
+    prompt = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, cfg.vocab_size)
+
+    def run(sink_tokens, n_steps=40):
+        cache = init_kv_cache(cfg, 1, max_len, dtype=jnp.float32)
+        logits, cache = decode_step(params, cache, prompt, jnp.int32(0), cfg,
+                                    sink_tokens=sink_tokens)
+        tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        step = jax.jit(partial(decode_step, cfg=cfg, sink_tokens=sink_tokens))
+        outs = []
+        pos = 8
+        for _ in range(n_steps):
+            logits, cache = step(params, cache, tok, jnp.int32(pos))
+            tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+            outs.append(int(tok[0, 0]))
+            pos += 1
+        return outs
+
+    with_sink = run(sink)
+    without = run(0)
+    # both stay sane; far beyond the window they generally diverge because
+    # the sink keeps early context alive
+    assert all(0 <= t < cfg.vocab_size for t in with_sink + without)
+    assert with_sink != without
+
+
+def test_sink_zero_matches_plain_ring():
+    """sink_tokens=0 must be numerically identical to the plain ring."""
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, cfg.vocab_size)
+    full = forward_logits(params, toks, cfg)
+    cache = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = decode_step(params, cache, toks, jnp.int32(0), cfg, sink_tokens=0)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(full), rtol=2e-4, atol=2e-4)
