@@ -129,3 +129,32 @@ def test_sink_zero_matches_plain_ring():
     cache = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
     logits, cache = decode_step(params, cache, toks, jnp.int32(0), cfg, sink_tokens=0)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(full), rtol=2e-4, atol=2e-4)
+
+
+def test_ring_mask_oracle():
+    """_ring_write_and_mask vs a direct simulation of slot contents."""
+    from llama3_quantization_tpu.models.transformer import _ring_write_and_mask
+
+    max_len = 12
+    for sink in (0, 3):
+        w = max_len - sink
+        # simulate slot -> absolute position after writing tokens 0..P
+        for P in (0, 5, 11, 12, 17, 40):
+            slot_abs = [-1] * max_len
+            for p in range(P + 1):
+                s = p if p < max_len else sink + (p - sink) % w
+                slot_abs[s] = p
+            ws, mask = _ring_write_and_mask(jnp.int32(P), 1, max_len, sink)
+            expect_ws = P if P < max_len else sink + (P - sink) % w
+            assert int(ws) == expect_ws, (sink, P)
+            m = np.asarray(mask)[0]
+            for s in range(max_len):
+                valid = m[s] == 0.0
+                # slot must be valid iff it holds a real position <= P that
+                # is either in the sink or within the ring window
+                p = slot_abs[s]
+                expect = p >= 0 and (p < sink or p > P - w or P < max_len)
+                # pre-wrap: everything written is within window trivially
+                if p >= 0 and P >= max_len and sink <= p <= P - w:
+                    expect = False
+                assert valid == expect, (sink, P, s, p, valid, expect)
