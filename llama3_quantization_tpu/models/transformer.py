@@ -254,6 +254,17 @@ def _attn_block(
     return out, new_cache
 
 
+def _moe_routing_weights(p: Params, h: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Dense [B, S, E] top-k renormalized routing weights (zero for
+    unselected experts)."""
+    router_logits = qlinear(h, p["router"]["w"]).astype(jnp.float32)  # [B,S,E]
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # renormalize top-k
+    onehot = jax.nn.one_hot(topi, cfg.num_experts, dtype=topv.dtype)  # [B,S,k,E]
+    return jnp.einsum("bske,bsk->bse", onehot, topv)
+
+
 def _moe_block(p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig) -> jax.Array:
     """Mixtral sparse-MoE MLP: softmax router, top-k expert mixture.
 
@@ -264,13 +275,7 @@ def _moe_block(p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig
     exact routing semantics, jit-static shapes (token-dropping/capacity
     scheduling is a serving optimization for a later round).
     """
-    router_logits = qlinear(h, p["router"]["w"]).astype(jnp.float32)  # [B,S,E]
-    probs = jax.nn.softmax(router_logits, axis=-1)
-    topv, topi = jax.lax.top_k(probs, cfg.num_experts_per_tok)
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)  # renormalize top-k
-    # scatter top-k weights back to a dense [B,S,E] mixture matrix
-    onehot = jax.nn.one_hot(topi, cfg.num_experts, dtype=topv.dtype)  # [B,S,k,E]
-    weights = jnp.einsum("bske,bsk->bse", onehot, topv)
+    weights = _moe_routing_weights(p, h, cfg)
 
     def expert(e_params, x):
         gate = qlinear(x, e_params["gate"]["w"], None, rq.act)

@@ -179,20 +179,23 @@ def gptq_quantize_model(
         return q_l
 
     def quantize_experts(q_l, errs):
-        """MoE experts: gate/up against the shared pre-MLP input Hessian
-        (all tokens — routing-weighted Hessians are a refinement), down
-        against each expert's own activation Hessian computed through its
-        already-quantized gate/up."""
+        """MoE experts: per-expert ROUTING-WEIGHTED Hessians — each token's
+        contribution to expert e scales by sqrt(w_e(x)) (its top-k routing
+        weight), so rarely-routed tokens barely shape e's grid while the
+        tokens e actually serves dominate. gate/up share the weighted input
+        Hessian; down uses the weighted Hessian of each expert's activation
+        through its already-quantized gate/up."""
+        from ..models.transformer import _moe_routing_weights
         from ..ops.matmul import qmatmul
         from .qtensor import QuantizedTensor
 
-        d = q_l["q"]["w"].shape[0] if not isinstance(q_l["q"]["w"], QuantizedTensor) else q_l["q"]["w"].k
-        h_in = hessian_init(d)
         caps_per_batch = []
+        weights_per_batch = []  # [B, S, E] routing weights
         for b0 in range(0, n, batch_size):
             caps = capture(q_l, h[b0 : b0 + batch_size])
-            caps_per_batch.append(caps["experts_in"])
-            h_in = hessian_update(h_in, caps["experts_in"])
+            x = caps["experts_in"]
+            caps_per_batch.append(x)
+            weights_per_batch.append(_moe_routing_weights(q_l, x, cfg))
         experts = dict(q_l["experts"])
         e_count = experts["gate"]["w"].shape[0] if not isinstance(
             experts["gate"]["w"], QuantizedTensor
@@ -201,6 +204,10 @@ def gptq_quantize_model(
         for e in range(e_count):
             up_w = experts["up"]["w"][e]
             down_w = experts["down"]["w"][e]
+            h_in = hessian_init(caps_per_batch[0].shape[-1])
+            for x, wts in zip(caps_per_batch, weights_per_batch):
+                sw = jnp.sqrt(wts[..., e])[..., None].astype(x.dtype)
+                h_in = hessian_update(h_in, x * sw)
             qt_gate, err_g = gptq_quantize_weight(
                 experts["gate"]["w"][e], h_in.H, spec, blocksize=blocksize,
                 actorder=actorder, percdamp=percdamp, pack=pack)
@@ -208,9 +215,10 @@ def gptq_quantize_model(
                 up_w, h_in.H, spec, blocksize=blocksize,
                 actorder=actorder, percdamp=percdamp, pack=pack)
             h_down = hessian_init(down_w.shape[0])
-            for x in caps_per_batch:
+            for x, wts in zip(caps_per_batch, weights_per_batch):
                 act = jax.nn.silu(qmatmul(x, qt_gate)) * qmatmul(x, qt_up)
-                h_down = hessian_update(h_down, act)
+                sw = jnp.sqrt(wts[..., e])[..., None].astype(act.dtype)
+                h_down = hessian_update(h_down, act * sw)
             qt_down, err_d = gptq_quantize_weight(
                 down_w, h_down.H, spec, blocksize=blocksize,
                 actorder=actorder, percdamp=percdamp, pack=pack)
