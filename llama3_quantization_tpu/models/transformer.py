@@ -405,14 +405,16 @@ def forward_logits(
 
 
 def init_kv_cache(
-    cfg: ModelConfig, batch: int, max_len: int, dtype=None, quantized: bool = False
+    cfg: ModelConfig, batch: int, max_len: int, dtype=None, quantized=False
 ) -> Dict[str, jax.Array]:
-    """Preallocated KV cache; `quantized=True` -> int8 codes + per-token-head
-    scales (ops/kvcache.py), halving decode HBM traffic."""
+    """Preallocated KV cache; `quantized=True` (or 8) -> int8 codes +
+    per-token-head scales, `quantized=4` -> int4-packed codes (quarter the
+    bf16 bytes) — ops/kvcache.py."""
     if quantized:
         from ..ops.kvcache import init_quantized_kv_cache
 
-        return init_quantized_kv_cache(cfg, batch, max_len)
+        bits = 4 if quantized == 4 else 8
+        return init_quantized_kv_cache(cfg, batch, max_len, bits=bits)
     dtype = dtype or jnp.dtype(cfg.dtype)
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

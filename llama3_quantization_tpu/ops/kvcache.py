@@ -33,16 +33,49 @@ def kv_dequantize(codes: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax
     return (codes.astype(jnp.float32) * scale).astype(dtype)
 
 
-def init_quantized_kv_cache(cfg, batch: int, max_len: int) -> Dict[str, jax.Array]:
-    """Preallocated int8 ring buffer + scales, stacked over layers."""
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
+def init_quantized_kv_cache(
+    cfg, batch: int, max_len: int, bits: int = 8
+) -> Dict[str, jax.Array]:
+    """Preallocated quantized ring buffer + scales, stacked over layers.
+
+    bits=8: one int8 code per element; bits=4: two codes per byte packed
+    along head_dim (quarter the bf16 bytes)."""
+    hd = cfg.head_dim_
+    if bits == 4:
+        if hd % 2:
+            raise ValueError("int4 KV cache needs an even head_dim")
+        hd = hd // 2
+    elif bits != 8:
+        raise ValueError("KV cache bits must be 4 or 8")
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, hd)
     sshape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, 1)
+    code_dtype = jnp.uint8 if bits == 4 else jnp.int8
     return {
-        "k_q": jnp.zeros(shape, jnp.int8),
+        "k_q": jnp.zeros(shape, code_dtype),
         "k_s": jnp.ones(sshape, jnp.float32),
-        "v_q": jnp.zeros(shape, jnp.int8),
+        "v_q": jnp.zeros(shape, code_dtype),
         "v_s": jnp.ones(sshape, jnp.float32),
     }
+
+
+def kv4_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """x [..., D] -> (packed uint8 [..., D/2], scale [..., 1]); asymmetric
+    4-bit with a fixed zero of 8 (symmetric around it)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.clip(absmax / 7.0, 1e-8, None)
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale) + 8, 0, 15).astype(
+        jnp.uint8
+    )
+    lo = codes[..., 0::2]
+    hi = codes[..., 1::2]
+    return (lo | (hi << 4)).astype(jnp.uint8), scale
+
+
+def kv4_dequantize(packed: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    lo = (packed & 0xF).astype(jnp.float32) - 8.0
+    hi = (packed >> 4).astype(jnp.float32) - 8.0
+    vals = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    return (vals * scale).astype(dtype)
 
 
 def cache_update(
@@ -52,10 +85,15 @@ def cache_update(
     pos: jax.Array,
 ):
     """Quantize and write new K/V at pos (scalar, or per-row vector [B] for
-    multi-slot decode with S_step == 1); return updated layer cache."""
+    multi-slot decode with S_step == 1); return updated layer cache.
+    int4 caches (uint8 codes, packed head_dim) are detected by shape."""
     kq, ks, vq, vs = layer_cache
-    nk, nks = kv_quantize(k_new)
-    nv, nvs = kv_quantize(v_new)
+    if kq.shape[-1] != k_new.shape[-1]:  # int4-packed cache
+        nk, nks = kv4_quantize(k_new)
+        nv, nvs = kv4_quantize(v_new)
+    else:
+        nk, nks = kv_quantize(k_new)
+        nv, nvs = kv_quantize(v_new)
     if getattr(pos, "ndim", 0) == 1:
         rows = jnp.arange(kq.shape[0])
         kq = kq.at[rows, pos].set(nk[:, 0])
@@ -74,4 +112,6 @@ def cache_update(
 def cache_read(layer_cache, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
     """Dequantized full K/V views [B, T, H, D]."""
     kq, ks, vq, vs = layer_cache
+    if kq.dtype == jnp.uint8:  # int4-packed
+        return kv4_dequantize(kq, ks, dtype), kv4_dequantize(vq, vs, dtype)
     return kv_dequantize(kq, ks, dtype), kv_dequantize(vq, vs, dtype)

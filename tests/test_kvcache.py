@@ -158,3 +158,30 @@ def test_ring_mask_oracle():
                 if p >= 0 and P >= max_len and sink <= p <= P - w:
                     expect = False
                 assert valid == expect, (sink, P, s, p, valid, expect)
+
+
+def test_int4_kv_cache_decode():
+    from llama3_quantization_tpu.ops.kvcache import kv4_dequantize, kv4_quantize
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 4, 16)).astype(np.float32))
+    packed, scale = kv4_quantize(x)
+    assert packed.shape == (2, 3, 4, 8) and packed.dtype == jnp.uint8
+    back = np.asarray(kv4_dequantize(packed, scale, jnp.float32))
+    absmax = np.abs(np.asarray(x)).max(-1, keepdims=True)
+    assert np.all(np.abs(back - np.asarray(x)) <= absmax / 7 + 1e-6)
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, cfg.vocab_size)
+    full = forward_logits(params, toks, cfg)
+    cache = init_kv_cache(cfg, 1, 16, quantized=4)
+    logits, cache = decode_step(params, cache, toks[:, :8], jnp.int32(0), cfg)
+    for i in range(8, 12):
+        logits, cache = decode_step(params, cache, toks[:, i:i+1], jnp.int32(i), cfg)
+    err = float(jnp.max(jnp.abs(logits[:, 0] - full[:, -1])))
+    assert err < 0.5  # int4 KV noise, bounded
+    # memory: int4 cache is ~0.4x the int8 cache bytes (codes halve)
+    c8 = init_kv_cache(cfg, 1, 16, quantized=True)
+    b4 = sum(v.size * v.dtype.itemsize for v in cache.values())
+    b8 = sum(v.size * v.dtype.itemsize for v in c8.values())
+    assert b4 < b8
