@@ -58,9 +58,14 @@ def qmatmul(x: jax.Array, w, out_dtype=None) -> jax.Array:
             from .a8_matmul import a8_matmul
 
             return a8_matmul(x, w, out_dtype=out_dtype)
-        if _BACKEND == "pallas" and x.ndim >= 2 and not (w.packed and w.bits == 3):
-            # 3-bit uses bit-plane packed storage the pallas kernel does not
-            # unpack yet; its dequant goes through XLA
+        if (
+            _BACKEND == "pallas"
+            and x.ndim >= 2
+            and w.zero is not None  # kernel requires zero-point storage
+            and not (w.packed and w.bits == 3)
+        ):
+            # 3-bit bit-plane storage and zero-free (symmetric / serving
+            # recode) tensors fall through to the XLA dequant path
             from .pallas_qmatmul import fused_dequant_matmul
 
             return fused_dequant_matmul(x, w, out_dtype=out_dtype)

@@ -269,6 +269,7 @@ def fused_dequant_matmul(
             scale = scale.at[g:].set(ones)
         bk = GROUPS_PER_TILE * gs
 
+    bm = _choose_bm(m)
     bn = 512 if qt.n % 512 == 0 else (256 if qt.n % 256 == 0 else (128 if qt.n % 128 == 0 else qt.n))
     # Grow bk toward the full (padded) K while the bf16 dequant intermediate
     # + packed tile + codes fit the VMEM budget: fewer, larger tiles beat
@@ -277,7 +278,7 @@ def fused_dequant_matmul(
 
     def tile_bytes(bk_, bn_):
         # i32 unpack intermediate + bf16 dequant + packed bytes + x tile
-        return bk_ * bn_ * (4 + 2 + 1.0 / f) + 8 * bk_ * 2
+        return bk_ * bn_ * (4 + 2 + 1.0 / f) + bm * bk_ * 2
 
     while bk < k_pad and k_pad % (bk * 2) == 0 and tile_bytes(bk * 2, bn) <= budget:
         bk *= 2
@@ -298,7 +299,7 @@ def fused_dequant_matmul(
         bits=qt.bits,
         gs=gs,
         packed=packed,
-        bm=_choose_bm(m),
+        bm=bm,
         bn=bn,
         bk=bk,
         out_dtype=out_dtype,

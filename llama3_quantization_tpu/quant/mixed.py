@@ -42,11 +42,16 @@ def mixed_precision_gptq(
         )
     if upgrade_spec.group_size != base_spec.group_size:
         raise ValueError("base and upgrade specs must share group_size")
+    from ..models.params import linear_names
+
+    upgradable = set(linear_names(cfg))  # MoE expert pseudo-names excluded
     observer = Observer(topk=topk)
     errors: Dict[str, float] = {}
 
     def record(layer_idx, _total, errs):
         for name, err in errs.items():
+            if name not in upgradable:
+                continue
             observer.submit(name, layer_idx - 1, err)
             errors[f"{name}.{layer_idx - 1}"] = err
 

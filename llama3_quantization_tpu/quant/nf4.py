@@ -46,7 +46,7 @@ def make_dynamic_map(signed: bool = True, max_exponent_bits: int = 7, total_bits
     """bitsandbytes' dynamic 8-bit codebook (`create_dynamic_map`) used to
     store IR-QLoRA's tau (`irqlora.py:25,47`)."""
     data = []
-    non_sign_bits = total_bits - (1 if signed else 1)
+    non_sign_bits = total_bits - (1 if signed else 0)
     additional_items = 2 ** (non_sign_bits - max_exponent_bits) - 1
     for i in range(max_exponent_bits):
         fraction_items = int(

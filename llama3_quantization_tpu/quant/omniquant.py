@@ -113,7 +113,7 @@ def apply_let(p_l: Dict[str, Any], let, cfg: ModelConfig):
     (`smooth_*_temporary`, transformation.py:24-69)."""
     import jax.numpy as jnp
 
-    from .smoothing import fold_fc_fc, fold_norm_linears, fold_q_k
+    from .smoothing import fold_fc_fc, fold_norm_linears
     from .smoothquant import _fold_v_o_gqa
 
     p = dict(p_l)
@@ -142,7 +142,10 @@ def apply_let(p_l: Dict[str, Any], let, cfg: ModelConfig):
     else:
         p["v"], p["o"] = _fold_v_o_gqa(p["v"], p["o"], let["out_scale"], cfg)
     # q <-> k: mirror the hd/2 free values across both RoPE halves, then
-    # tile over flattened head columns
+    # tile over flattened head columns. (Not smoothing.fold_q_k: its GQA
+    # reduction averages ADJACENT columns, which would mix head-dim scales
+    # under our head-major layout; the tiled per-column scales here are
+    # exact for any kv-head count.)
     s_head = jnp.concatenate([let["qkt_scale"], let["qkt_scale"]])
     nq = p["q"]["w"].shape[1]
     s_q = jnp.tile(s_head, nq // cfg.head_dim_)
@@ -313,9 +316,8 @@ def omniquant_model(
             )
             q_l[name] = entry
 
-        h_fp = jnp.concatenate(
-            [run_fp(p_l, h_fp[b0 : b0 + bs]) for b0 in range(0, n, bs)], axis=0
-        )
+        # targets ARE run_fp(p_l, h_fp) batch-by-batch — reuse them
+        h_fp = jnp.concatenate(targets, axis=0)
         h_q = jnp.concatenate(
             [run_q(q_l, h_q[b0 : b0 + bs]) for b0 in range(0, n, bs)], axis=0
         )

@@ -211,3 +211,24 @@ def test_mixed_precision_gptq():
     err_mixed = float(jnp.mean((forward_logits(qp_mixed, toks, cfg) - fp) ** 2))
     err_base = float(jnp.mean((forward_logits(qp_base, toks, cfg) - fp) ** 2))
     assert err_mixed < err_base, (err_mixed, err_base)
+
+
+def test_mixed_precision_gptq_moe():
+    """MoE: expert pseudo-names must not enter the Observer (they are not
+    addressable in params['layers']); only real attention linears upgrade."""
+    from llama3_quantization_tpu.models import init_params
+    from llama3_quantization_tpu.models.configs import TINY_MIXTRAL
+    from llama3_quantization_tpu.models.params import linear_names
+    from llama3_quantization_tpu.quant.mixed import mixed_precision_gptq
+
+    cfg = TINY_MIXTRAL
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 16))
+    base = QuantSpec(n_bits=2, group_size=32)
+    up = QuantSpec(n_bits=8, group_size=32)
+    qp, upgraded = mixed_precision_gptq(params, cfg, calib, base, up, topk=2, blocksize=32)
+    assert len(upgraded) == 2
+    names = set(linear_names(cfg))
+    for key in upgraded:
+        name = key.rsplit(".", 1)[0]
+        assert name in names, key

@@ -110,3 +110,15 @@ def test_irqlora_model_transform():
     out = forward_logits(qp, toks, cfg)
     err = float(jnp.mean(jnp.abs(out - fp)))
     assert 0 < err < 1.0  # quantized but sane
+
+
+def test_dynamic_map_unsigned():
+    """signed=False must use all 8 bits for magnitudes: no negatives, more
+    positive entries than the signed map."""
+    from llama3_quantization_tpu.quant.nf4 import make_dynamic_map
+
+    signed = np.asarray(make_dynamic_map(signed=True))
+    unsigned = np.asarray(make_dynamic_map(signed=False))
+    assert unsigned.min() >= 0.0
+    assert (unsigned > 0).sum() > (signed > 0).sum()
+    assert unsigned.max() == 1.0

@@ -58,3 +58,21 @@ def test_backend_switch(rng):
         assert mm.get_backend() == "pallas"
     y2 = mm.qmatmul(x, qt)
     np.testing.assert_allclose(np.asarray(y_xla), np.asarray(y2), rtol=1e-5)
+
+
+def test_pallas_backend_symmetric_falls_back():
+    """zero=None (symmetric / serving-recode) tensors must route to XLA
+    under the pallas backend instead of crashing the fused kernel."""
+    import dataclasses as dc
+
+    from llama3_quantization_tpu.ops.matmul import backend, qmatmul
+    from llama3_quantization_tpu.quant.qtensor import dequantize, quantize_rtn
+    from llama3_quantization_tpu.quant.quantizer import QuantSpec
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 64), jnp.float32)
+    qt = quantize_rtn(w, QuantSpec(n_bits=8, group_size=64))
+    qt = dc.replace(qt, zero=None)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 128), jnp.float32)
+    with backend("pallas"):
+        y = qmatmul(x, qt)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ dequantize(qt)), rtol=2e-2, atol=2e-2)
