@@ -17,6 +17,7 @@ from .base import (  # noqa: F401
     rf,
 )
 from .lm import BaseLM, DummyLM, JAXLM  # noqa: F401
+from .models import GPT3LM, HFCausalLM, TextSynthLM  # noqa: F401
 from .caching import CachingLM  # noqa: F401
 from .evaluator import evaluate, simple_evaluate, make_table  # noqa: F401
 from .tasks import TASK_REGISTRY, get_task_dict  # noqa: F401
@@ -25,6 +26,10 @@ from .tasks import TASK_REGISTRY, get_task_dict  # noqa: F401
 MODEL_REGISTRY = {
     "jax": JAXLM,
     "dummy": DummyLM,
+    "hf-causal": HFCausalLM,
+    "gpt2": HFCausalLM,
+    "gpt3": GPT3LM,
+    "textsynth": TextSynthLM,
 }
 
 

@@ -53,6 +53,21 @@ def f1_score(items) -> float:
     return 2 * prec * rec / (prec + rec) if prec + rec else 0.0
 
 
+def f1_macro(items) -> float:
+    """Unweighted mean of per-class F1 (CB's 3-class metric,
+    `lm_eval/tasks/superglue.py` cb_multi_fi)."""
+    golds, preds = zip(*items)
+    scores = []
+    for cls in sorted(set(golds)):
+        tp = sum(1 for g, p in zip(golds, preds) if g == cls and p == cls)
+        fp = sum(1 for g, p in zip(golds, preds) if g != cls and p == cls)
+        fn = sum(1 for g, p in zip(golds, preds) if g == cls and p != cls)
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        scores.append(2 * prec * rec / (prec + rec) if prec + rec else 0.0)
+    return sum(scores) / len(scores) if scores else 0.0
+
+
 def acc_all(items) -> float:
     """Question-level accuracy for multi-span tasks (ReCoRD/MultiRC style):
     every span must be correct (`lm_eval/metrics.py:48-90`)."""

@@ -14,7 +14,9 @@ from typing import Dict, List, Optional
 from .arc import ARCChallenge, ARCEasy
 from .boolq import BoolQ
 from .extra_mc import Copa, OpenBookQA, SciQ
+from .glue import MNLI, MRPC, QNLI, QQP, RTE, SST, WNLI, CoLA, MNLIMismatched
 from .gsm8k import GSM8K
+from .superglue import CB, MultiRC, WSC, WiC
 from .hellaswag import HellaSwag
 from .hendrycks_test import SUBJECTS, create_mmlu_task
 from .lambada import Lambada
@@ -35,6 +37,21 @@ TASK_REGISTRY = {
     "sciq": SciQ,
     "lambada_openai": Lambada,
     "gsm8k": GSM8K,
+    # GLUE (`lm_eval/tasks/glue.py`)
+    "cola": CoLA,
+    "sst": SST,
+    "mrpc": MRPC,
+    "qqp": QQP,
+    "mnli": MNLI,
+    "mnli_mismatched": MNLIMismatched,
+    "qnli": QNLI,
+    "rte": RTE,
+    "wnli": WNLI,
+    # SuperGLUE beyond boolq/copa (`lm_eval/tasks/superglue.py`)
+    "cb": CB,
+    "wic": WiC,
+    "wsc": WSC,
+    "multirc": MultiRC,
     **{f"hendrycksTest-{sub}": create_mmlu_task(sub) for sub in SUBJECTS},
 }
 

@@ -44,16 +44,19 @@ NF4_CODE = jnp.asarray(
 
 def make_dynamic_map(signed: bool = True, max_exponent_bits: int = 7, total_bits: int = 8):
     """bitsandbytes' dynamic 8-bit codebook (`create_dynamic_map`) used to
-    store IR-QLoRA's tau (`irqlora.py:25,47`)."""
+    store IR-QLoRA's tau (`irqlora.py:25,47`).
+
+    Deliberate divergence: upstream's unsigned branch doubles the fraction
+    items per exponent decade, which yields ~2**(total_bits+1) entries and
+    can never fit the code space. Here the freed sign bit instead buys one
+    extra fraction bit with the additional-items block shrunk to
+    compensate, giving exactly 2**total_bits entries."""
     data = []
     non_sign_bits = total_bits - (1 if signed else 0)
-    additional_items = 2 ** (non_sign_bits - max_exponent_bits) - 1
+    additional_exp = non_sign_bits - max_exponent_bits - (0 if signed else 1)
+    additional_items = 2**additional_exp - 1 if additional_exp >= 0 else 0
     for i in range(max_exponent_bits):
-        fraction_items = int(
-            2 ** (i + non_sign_bits - max_exponent_bits) + 1
-            if signed
-            else 2 ** (i + non_sign_bits - max_exponent_bits + 1) + 1
-        )
+        fraction_items = int(2 ** (i + non_sign_bits - max_exponent_bits) + 1)
         boundaries = np.linspace(0.1, 1, fraction_items)
         means = (boundaries[:-1] + boundaries[1:]) / 2.0
         data += ((10 ** (-(max_exponent_bits - 1) + i)) * means).tolist()
@@ -70,6 +73,11 @@ def make_dynamic_map(signed: bool = True, max_exponent_bits: int = 7, total_bits
     data.append(0)
     data.append(1.0)
     data.sort()
+    if len(data) > 2**total_bits:
+        raise ValueError(
+            f"dynamic map has {len(data)} entries > {2**total_bits} codes; "
+            "reduce max_exponent_bits (unsigned maps need more fraction space)"
+        )
     return jnp.asarray(data, dtype=jnp.float32)
 
 

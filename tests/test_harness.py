@@ -225,3 +225,60 @@ def test_extra_mc_tasks():
     )
     for t in ("copa", "openbookqa", "sciq"):
         assert "acc" in res["results"][t]
+
+
+GLUE_SG_DATA = {
+    "cola": {"train": [{"sentence": f"s{i}", "label": i % 2} for i in range(4)],
+             "validation": [{"sentence": f"s{i}", "label": i % 2} for i in range(4)]},
+    "sst": {"train": [{"sentence": f"mov{i}", "label": i % 2} for i in range(4)],
+            "validation": [{"sentence": f"mov{i}", "label": i % 2} for i in range(4)]},
+    "mrpc": {"train": [{"sentence1": f"a{i}", "sentence2": f"b{i}", "label": i % 2} for i in range(4)],
+             "validation": [{"sentence1": f"a{i}", "sentence2": f"b{i}", "label": i % 2} for i in range(4)]},
+    "qqp": {"train": [{"question1": f"q{i}", "question2": f"p{i}", "label": i % 2} for i in range(4)],
+            "validation": [{"question1": f"q{i}", "question2": f"p{i}", "label": i % 2} for i in range(4)]},
+    "mnli": {"train": [{"premise": f"p{i}", "hypothesis": f"h{i}", "label": i % 3} for i in range(6)],
+             "validation_matched": [{"premise": f"p{i}", "hypothesis": f"h{i}", "label": i % 3} for i in range(6)]},
+    "qnli": {"train": [{"question": f"q{i}", "sentence": f"s{i}", "label": i % 2} for i in range(4)],
+             "validation": [{"question": f"q{i}", "sentence": f"s{i}", "label": i % 2} for i in range(4)]},
+    "rte": {"train": [{"sentence1": f"a{i}", "sentence2": f"b{i}", "label": i % 2} for i in range(4)],
+            "validation": [{"sentence1": f"a{i}", "sentence2": f"b{i}", "label": i % 2} for i in range(4)]},
+    "wnli": {"train": [{"sentence1": f"a{i}", "sentence2": f"b{i}", "label": i % 2} for i in range(4)],
+             "validation": [{"sentence1": f"a{i}", "sentence2": f"b{i}", "label": i % 2} for i in range(4)]},
+    "cb": {"train": [{"premise": f"p{i}", "hypothesis": f"h{i}", "label": i % 3} for i in range(6)],
+           "validation": [{"premise": f"p{i}", "hypothesis": f"h{i}", "label": i % 3} for i in range(6)]},
+    "wic": {"train": [{"sentence1": f"the bank {i}", "sentence2": f"a bank {i}",
+                       "start1": 4, "end1": 8, "label": i % 2} for i in range(4)],
+            "validation": [{"sentence1": f"the bank {i}", "sentence2": f"a bank {i}",
+                            "start1": 4, "end1": 8, "label": i % 2} for i in range(4)]},
+    "wsc": {"train": [{"text": f"Ann told Sue that it {i}.", "span1_text": "Ann",
+                       "span2_text": "it", "span2_index": 3, "label": i % 2} for i in range(4)],
+            "validation": [{"text": f"Ann told Sue that it {i}.", "span1_text": "Ann",
+                            "span2_text": "it", "span2_index": 3, "label": i % 2} for i in range(4)]},
+    "multirc": {"train": [{"paragraph": f"P{i}", "question": f"Q{i // 2}", "answer": f"A{i}",
+                           "label": i % 2, "idx": {"paragraph": 0, "question": i // 2}} for i in range(6)],
+                "validation": [{"paragraph": f"P{i}", "question": f"Q{i // 2}", "answer": f"A{i}",
+                                "label": i % 2, "idx": {"paragraph": 0, "question": i // 2}} for i in range(6)]},
+}
+
+
+def test_glue_superglue_dummy_eval():
+    """All GLUE/SuperGLUE tasks run end-to-end on injected docs and emit
+    their declared metrics."""
+    lm = DummyLM()
+    res = simple_evaluate(lm, tasks=sorted(GLUE_SG_DATA), task_data=GLUE_SG_DATA, num_fewshot=0)
+    for name in GLUE_SG_DATA:
+        assert name in res["results"], name
+        for metric, value in res["results"][name].items():
+            if metric.endswith("_stderr"):
+                continue
+            assert np.isfinite(value), (name, metric, value)
+    assert "f1" in res["results"]["cb"]
+    assert "mcc" in res["results"]["cola"]
+    assert "f1" in res["results"]["mrpc"]
+
+
+def test_f1_macro_perfect_and_degenerate():
+    from llama3_quantization_tpu.eval.harness import metrics
+
+    assert metrics.f1_macro([(0, 0), (1, 1), (2, 2)]) == 1.0
+    assert metrics.f1_macro([(0, 1), (1, 0)]) == 0.0

@@ -113,12 +113,17 @@ def test_irqlora_model_transform():
 
 
 def test_dynamic_map_unsigned():
-    """signed=False must use all 8 bits for magnitudes: no negatives, more
-    positive entries than the signed map."""
+    """signed=False must produce a magnitude-only 256-entry map, and the
+    overflow guard must reject maps larger than the code space."""
+    import pytest
+
     from llama3_quantization_tpu.quant.nf4 import make_dynamic_map
 
     signed = np.asarray(make_dynamic_map(signed=True))
     unsigned = np.asarray(make_dynamic_map(signed=False))
+    assert len(signed) == 256 and len(unsigned) == 256
     assert unsigned.min() >= 0.0
     assert (unsigned > 0).sum() > (signed > 0).sum()
     assert unsigned.max() == 1.0
+    with pytest.raises(ValueError, match="dynamic map"):
+        make_dynamic_map(signed=False, max_exponent_bits=8)  # 257 > 2^8
