@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decontamination_ngrams_path", default=None)
     p.add_argument("--serving_recode", action="store_true",
                    help="recode weights to per-column s8 + a8 backend (fast decode)")
+    p.add_argument("--moe_capacity", type=float, default=None,
+                   help="GShard-style MoE capacity factor (e.g. 1.25); "
+                        "default dense exact routing")
     return p
 
 
@@ -158,6 +161,12 @@ def main(argv=None):
         print(f"[cli] {args.quant_method} W{args.wbits}"
               f"{'g'+str(args.group_size) if args.group_size else ''} "
               f"in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.moe_capacity is not None:
+        from .models import set_moe_capacity
+
+        set_moe_capacity(args.moe_capacity)
+        print(f"[cli] MoE capacity dispatch, factor {args.moe_capacity}", file=sys.stderr)
 
     if args.serving_recode:
         from .ops import matmul as mm

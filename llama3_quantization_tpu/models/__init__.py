@@ -17,5 +17,6 @@ from .transformer import (  # noqa: F401
     decode_step,
     forward_hidden,
     forward_logits,
+    set_moe_capacity,
     init_kv_cache,
 )

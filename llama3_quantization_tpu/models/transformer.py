@@ -265,24 +265,88 @@ def _moe_routing_weights(p: Params, h: jax.Array, cfg: ModelConfig) -> jax.Array
     return jnp.einsum("bske,bsk->bse", onehot, topv)
 
 
+#: MoE compute mode: None = dense exact top-k (every expert sees every
+#: token, routing weights mask); a float enables GShard-style capacity
+#: dispatch with that capacity factor. Read at trace time (same contract
+#: as `set_flash`): changing it triggers a retrace.
+_MOE_CAPACITY: "float | None" = None
+
+
+def set_moe_capacity(factor) -> None:
+    """Enable (factor, e.g. 1.25) or disable (None) capacity-dispatch MoE."""
+    global _MOE_CAPACITY
+    if factor is not None and factor <= 0:
+        raise ValueError(f"capacity factor must be positive, got {factor}")
+    _MOE_CAPACITY = factor
+
+
+def _expert_ffn(e_params, x, rq: RuntimeQuantConfig):
+    gate = qlinear(x, e_params["gate"]["w"], None, rq.act)
+    up = qlinear(x, e_params["up"]["w"], None, rq.act)
+    return qlinear(jax.nn.silu(gate) * up, e_params["down"]["w"], None, rq.act)
+
+
+def _moe_capacity_block(
+    p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig, factor: float
+) -> jax.Array:
+    """GShard/Switch-style capacity-scheduled MoE (the reference has no MoE
+    compute path at all — Mixtral there is only fake-quant of Linears,
+    `quant/omniquant.py:198-206`; this is the TPU-native serving form).
+
+    Each expert processes at most C = ceil(factor * k * T / E) tokens
+    (rounded up to a multiple of 8 for TPU tiling); overflow tokens drop
+    that expert's contribution. Dispatch/combine are one-hot einsums, so
+    the whole block is three matmul-shaped ops that shard cleanly with the
+    expert axis over the mesh (`parallel/sharding.py` expert_parallel):
+    only [T, D] activations cross the all-to-all boundary instead of every
+    expert's output for every token.
+    """
+    B, S, D = h.shape
+    T = B * S
+    E, k = cfg.num_experts, cfg.num_experts_per_tok
+    C = min(T, -(-int(factor * k * T) // E))
+    C = -(-C // 8) * 8  # sublane-align expert buffers
+    x = h.reshape(T, D)
+
+    router_logits = qlinear(x, p["router"]["w"]).astype(jnp.float32)  # [T,E]
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    topv, topi = jax.lax.top_k(probs, k)  # [T,k]
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+
+    onehot = jax.nn.one_hot(topi, E, dtype=jnp.float32)  # [T,k,E]
+    # position of each (token, slot) within its expert queue. Slot-major
+    # order (all slot-0 picks first) gives primary experts priority for
+    # capacity, matching GShard's dispatch priority.
+    oh = onehot.transpose(1, 0, 2).reshape(k * T, E)
+    pos = jnp.cumsum(oh, axis=0) * oh - oh  # 0-based, only where assigned
+    keep = (pos < C).astype(jnp.float32) * oh
+    slot = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=jnp.float32)  # [kT,E,C]
+    dispatch = (slot * keep[..., None]).reshape(k, T, E, C).transpose(1, 0, 2, 3)
+
+    disp = jnp.sum(dispatch, axis=1)  # [T,E,C] (top-k picks are distinct experts)
+    combine = jnp.einsum("tkec,tk->tec", dispatch, topv)
+
+    xe = jnp.einsum("tec,td->ecd", disp.astype(x.dtype), x)  # [E,C,D]
+    ye = jax.vmap(_expert_ffn, in_axes=(0, 0, None))(p["experts"], xe, rq)
+    y = jnp.einsum("tec,ecd->td", combine, ye.astype(jnp.float32))
+    return y.reshape(B, S, D).astype(h.dtype)
+
+
 def _moe_block(p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig) -> jax.Array:
     """Mixtral sparse-MoE MLP: softmax router, top-k expert mixture.
 
     The reference supports Mixtral via HF's module tree with its Linears
     fake-quantized and the router excluded (`quant/omniquant.py:198-206`);
     here experts are a stacked `[E, K, N]` axis vmapped per token-batch.
-    Compute is dense over experts with top-k routing weights masked in —
-    exact routing semantics, jit-static shapes (token-dropping/capacity
-    scheduling is a serving optimization for a later round).
+    Default compute is dense over experts with top-k routing weights
+    masked in — exact routing semantics, jit-static shapes. With
+    `set_moe_capacity(f)`, the capacity-dispatch path replaces it.
     """
+    if _MOE_CAPACITY is not None:
+        return _moe_capacity_block(p, h, cfg, rq, _MOE_CAPACITY)
     weights = _moe_routing_weights(p, h, cfg)
 
-    def expert(e_params, x):
-        gate = qlinear(x, e_params["gate"]["w"], None, rq.act)
-        up = qlinear(x, e_params["up"]["w"], None, rq.act)
-        return qlinear(jax.nn.silu(gate) * up, e_params["down"]["w"], None, rq.act)
-
-    outs = jax.vmap(expert, in_axes=(0, None))(p["experts"], h)  # [E,B,S,D]
+    outs = jax.vmap(_expert_ffn, in_axes=(0, None, None))(p["experts"], h, rq)  # [E,B,S,D]
     return jnp.einsum("ebsd,bse->bsd", outs.astype(jnp.float32), weights).astype(h.dtype)
 
 

@@ -117,3 +117,59 @@ def test_moe_gptq(setup):
     out = forward_logits(qp, toks, cfg)
     err = float(jnp.mean(jnp.abs(out - fp)))
     assert 0 < err < 1.0
+
+
+def test_moe_capacity_matches_dense_when_roomy(setup):
+    """With capacity >= every expert's true load, dispatch must reproduce
+    the dense exact-routing output."""
+    from llama3_quantization_tpu.models import set_moe_capacity
+
+    cfg, params, toks = setup
+    ref = forward_logits(params, toks, cfg)
+    set_moe_capacity(float(cfg.num_experts))  # C >= T: nothing can drop
+    try:
+        out = forward_logits(params, toks, cfg)
+    finally:
+        set_moe_capacity(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_moe_capacity_drops_tokens_when_tight(setup):
+    """A tiny capacity factor must still produce finite outputs while
+    differing from dense (overflow contributions dropped)."""
+    from llama3_quantization_tpu.models import set_moe_capacity
+
+    cfg, params, toks = setup
+    ref = forward_logits(params, toks, cfg)
+    set_moe_capacity(0.25)
+    try:
+        out = forward_logits(params, toks, cfg)
+    finally:
+        set_moe_capacity(None)
+    assert bool(jnp.isfinite(out).all())
+    assert float(jnp.max(jnp.abs(out - ref))) > 0.0
+
+
+def test_moe_capacity_expert_parallel(setup):
+    """Capacity dispatch under EP sharding matches its own single-device
+    output (collectives ride the dispatch einsums)."""
+    from llama3_quantization_tpu.models import set_moe_capacity
+    from llama3_quantization_tpu.parallel import make_mesh, make_sharded_forward, shard_params
+
+    cfg, params, toks = setup
+    set_moe_capacity(float(cfg.num_experts))
+    try:
+        ref = forward_logits(params, toks, cfg)
+        mesh = make_mesh(dp=2, tp=4)
+        sharded = shard_params(params, mesh, cfg, expert_parallel=True)
+        out = make_sharded_forward(cfg, mesh)(sharded, toks)
+    finally:
+        set_moe_capacity(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_moe_capacity_validation():
+    from llama3_quantization_tpu.models import set_moe_capacity
+
+    with pytest.raises(ValueError):
+        set_moe_capacity(0.0)
