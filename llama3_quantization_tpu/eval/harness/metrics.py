@@ -78,6 +78,28 @@ def acc_all(items) -> float:
     return mean([int(all(v)) for v in question_scoring.values()])
 
 
+def _sacre():
+    import sacrebleu
+
+    return sacrebleu
+
+
+def bleu(items) -> float:
+    """Corpus BLEU over (ref, pred) pairs (`lm_eval/metrics.py:111-127`)."""
+    refs, preds = zip(*items)
+    return _sacre().corpus_bleu(list(preds), [list(refs)]).score
+
+
+def chrf(items) -> float:
+    refs, preds = zip(*items)
+    return _sacre().corpus_chrf(list(preds), [list(refs)]).score
+
+
+def ter(items) -> float:
+    refs, preds = zip(*items)
+    return _sacre().corpus_ter(list(preds), [list(refs)]).score
+
+
 def bootstrap_stderr(f: Callable, xs, iters: int = 1000) -> float:
     """Bootstrap standard error of metric f over xs
     (`lm_eval/metrics.py:192-253`; single-process — the reference uses a

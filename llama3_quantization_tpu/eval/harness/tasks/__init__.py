@@ -2,9 +2,10 @@
 
 Covers the reference study's benchmark set — the five CommonSenseQA tasks
 (`new_scripts/evaluate_*.sh`: piqa, arc_easy, arc_challenge, hellaswag,
-winogrande), wikitext, MMLU (hendrycksTest-*), plus boolq/lambada/gsm8k —
-with the same prompt formats, so scores are comparable. All tasks accept
-`data={split: [docs]}` for offline operation.
+winogrande), wikitext, MMLU (hendrycksTest-*), plus boolq/lambada/gsm8k,
+GLUE, SuperGLUE, BLiMP x67, Pile perplexity subsets, WMT translation and
+CrowS-Pairs — with the same prompt formats, so scores are comparable. All
+tasks accept `data={split: [docs]}` for offline operation.
 """
 
 from __future__ import annotations
@@ -19,7 +20,11 @@ from .gsm8k import GSM8K
 from .superglue import CB, MultiRC, WSC, WiC
 from .hellaswag import HellaSwag
 from .hendrycks_test import SUBJECTS, create_mmlu_task
-from .lambada import Lambada
+from .blimp import BLIMP_PHENOMENA, create_blimp_task
+from .crows_pairs import CrowsPairs, CrowsPairsFrench
+from .lambada import Lambada, LambadaCloze, LambadaStandard
+from .pile import PILE_SUBSETS, create_pile_task
+from .translation import WMT_PAIRS, create_translation_task
 from .piqa import PiQA
 from .winogrande import Winogrande
 from .wikitext import WikiText
@@ -52,7 +57,15 @@ TASK_REGISTRY = {
     "wic": WiC,
     "wsc": WSC,
     "multirc": MultiRC,
+    "lambada_standard": LambadaStandard,
+    "lambada_cloze": LambadaCloze,
+    "crows_pairs_english": CrowsPairs,
+    "crows_pairs_french": CrowsPairsFrench,
     **{f"hendrycksTest-{sub}": create_mmlu_task(sub) for sub in SUBJECTS},
+    **{f"blimp_{ph}": create_blimp_task(ph) for ph in BLIMP_PHENOMENA},
+    **{f"pile_{sub}": create_pile_task(sub) for sub in PILE_SUBSETS},
+    **{f"{ds}-{src}-{tgt}": create_translation_task(ds, src, tgt)
+       for ds, src, tgt in WMT_PAIRS},
 }
 
 

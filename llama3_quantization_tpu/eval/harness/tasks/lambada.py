@@ -29,7 +29,9 @@ class Lambada(Task):
         return " " + doc["text"].rsplit(" ", 1)[1]
 
     def construct_requests(self, doc, ctx):
-        return rf.loglikelihood(ctx, self.doc_to_target(doc))
+        # two indexed promises so (ll, is_greedy) route back separately
+        ll, is_greedy = rf.loglikelihood(ctx, self.doc_to_target(doc))
+        return ll, is_greedy
 
     def process_results(self, doc, results):
         ll, is_greedy = results
@@ -40,3 +42,18 @@ class Lambada(Task):
 
     def higher_is_better(self):
         return {"ppl": False, "acc": True}
+
+
+class LambadaStandard(Lambada):
+    """The original LAMBADA test split (`lm_eval/tasks/lambada.py` variant
+    registered as `lambada_standard`)."""
+
+    DATASET_PATH = "lambada"
+    DATASET_NAME = None
+
+
+class LambadaCloze(Lambada):
+    """Cloze-styled prompt variant (`lm_eval/tasks/lambada_cloze.py`)."""
+
+    def doc_to_text(self, doc):
+        return doc["text"].rsplit(" ", 1)[0] + " ____. ->"

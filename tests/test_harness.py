@@ -282,3 +282,50 @@ def test_f1_macro_perfect_and_degenerate():
 
     assert metrics.f1_macro([(0, 0), (1, 1), (2, 2)]) == 1.0
     assert metrics.f1_macro([(0, 1), (1, 0)]) == 0.0
+
+
+def test_blimp_pile_translation_crows_dummy_eval():
+    """New task families run end-to-end: minimal pairs, rolling perplexity,
+    generative translation with sacrebleu aggregation, bias pairs."""
+    data = {
+        "blimp_adjunct_island": {
+            "train": [{"sentence_good": f"good {i}.", "sentence_bad": f"bad {i}."}
+                      for i in range(4)],
+        },
+        "pile_github": {
+            "validation": [{"text": "def f():\n    return 1\n"}],
+            "test": [{"text": "int main() { return 0; }"}],
+        },
+        "wmt14-fr-en": {
+            "test": [{"translation": {"fr": f"bonjour {i}", "en": f"hello {i}"}}
+                     for i in range(3)],
+        },
+        "crows_pairs_english": {
+            "test": [{"sent_more": f"more {i}.", "sent_less": f"less {i}."}
+                     for i in range(4)],
+        },
+    }
+    res = simple_evaluate(DummyLM(), tasks=sorted(data), task_data=data, num_fewshot=0)
+    r = res["results"]
+    assert 0.0 <= r["blimp_adjunct_island"]["acc"] <= 1.0
+    assert np.isfinite(r["pile_github"]["word_perplexity"])
+    assert np.isfinite(r["pile_github"]["bits_per_byte"])
+    assert r["wmt14-fr-en"]["bleu"] >= 0.0  # corpus bleu of "lol" predictions
+    assert 0.0 <= r["crows_pairs_english"]["pct_stereotype"] <= 1.0
+
+
+def test_task_registry_families_complete():
+    from llama3_quantization_tpu.eval.harness.tasks import (
+        BLIMP_PHENOMENA,
+        PILE_SUBSETS,
+        TASK_REGISTRY,
+    )
+
+    assert len(BLIMP_PHENOMENA) == 67
+    assert len([k for k in TASK_REGISTRY if k.startswith("blimp_")]) == 67
+    assert len([k for k in TASK_REGISTRY if k.startswith("pile_")]) == len(PILE_SUBSETS)
+    for name in ("lambada_standard", "lambada_cloze", "wmt16-de-en", "crows_pairs_french"):
+        assert name in TASK_REGISTRY
+    # every registered class instantiates lazily without dataset access
+    t = TASK_REGISTRY["blimp_wh_island"](data={"train": []})
+    assert t.has_validation_docs()
