@@ -17,7 +17,7 @@ from .base import (  # noqa: F401
     rf,
 )
 from .lm import BaseLM, DummyLM, JAXLM  # noqa: F401
-from .models import GPT3LM, HFCausalLM, TextSynthLM  # noqa: F401
+from .models import GPT3LM, HFCausalLM, HFSeq2SeqLM, TextSynthLM  # noqa: F401
 from .caching import CachingLM  # noqa: F401
 from .evaluator import evaluate, simple_evaluate, make_table  # noqa: F401
 from .tasks import TASK_REGISTRY, get_task_dict  # noqa: F401
@@ -28,6 +28,7 @@ MODEL_REGISTRY = {
     "dummy": DummyLM,
     "hf-causal": HFCausalLM,
     "gpt2": HFCausalLM,
+    "hf-seq2seq": HFSeq2SeqLM,
     "gpt3": GPT3LM,
     "textsynth": TextSynthLM,
 }

@@ -21,8 +21,10 @@ def perplexity(items) -> float:
 
 
 def weighted_mean(items: List[Tuple[float, float]]) -> float:
+    """Zero total weight (e.g. a bootstrap resample of only empty docs)
+    contributes 0 rather than dividing by zero."""
     a, b = zip(*items)
-    return sum(a) / sum(b)
+    return sum(a) / sum(b) if sum(b) else 0.0
 
 
 def weighted_perplexity(items: List[Tuple[float, float]]) -> float:

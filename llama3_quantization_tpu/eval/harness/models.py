@@ -94,6 +94,74 @@ class HFCausalLM(BaseLM):
         return self.tok_decode(toks[len(context):])
 
 
+class HFSeq2SeqLM(LM):
+    """`lm_eval/models/huggingface.py` AutoSeq2SeqLM equivalent: encoder-
+    decoder scoring where the context feeds the encoder and the
+    continuation is scored by the decoder (covers the reference's T0-style
+    special case, `models/LMClass.py:35-39`)."""
+
+    def __init__(self, model=None, tokenizer=None, pretrained: Optional[str] = None,
+                 batch_size: int = 8, max_length: int = 512):
+        import torch
+
+        if model is None:
+            from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+
+            model = AutoModelForSeq2SeqLM.from_pretrained(pretrained)
+            tokenizer = AutoTokenizer.from_pretrained(pretrained)
+        self.model = model.eval()
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self._torch = torch
+
+    def _score_pair(self, context: str, continuation: str):
+        torch = self._torch
+        enc = self.tokenizer.encode(context)[-self.max_length:]
+        if not enc:  # empty context: encoder still needs one token
+            pad = getattr(self.tokenizer, "pad_token_id", None)
+            enc = [int(pad) if pad is not None else 0]
+        dec = self.tokenizer.encode(continuation)[: self.max_length]
+        if not dec:  # nothing to score
+            return 0.0, True
+        with torch.no_grad():
+            logits = self.model(
+                input_ids=torch.as_tensor([enc], dtype=torch.long),
+                labels=torch.as_tensor([dec], dtype=torch.long),
+            ).logits
+            logprobs = torch.log_softmax(logits.float(), dim=-1)[0, : len(dec)]
+            tgt = torch.as_tensor(dec, dtype=torch.long)
+            ll = float(logprobs.gather(-1, tgt[:, None])[:, 0].sum())
+            greedy = bool((logprobs.argmax(-1) == tgt).all())
+        return ll, greedy
+
+    def loglikelihood(self, requests):
+        return [self._score_pair(ctx, cont) for ctx, cont in requests]
+
+    def loglikelihood_rolling(self, requests):
+        # no causal factorization over one stream in an encoder-decoder;
+        # score each doc as (empty context -> doc) like the upstream adapter
+        return [self._score_pair("", r if isinstance(r, str) else r[0])[0] for r in requests]
+
+    def greedy_until(self, requests):
+        torch = self._torch
+        res = []
+        for context, until in requests:
+            if isinstance(until, str):
+                until = [until]
+            enc = self.tokenizer.encode(context)[-self.max_length:]
+            with torch.no_grad():
+                out = self.model.generate(
+                    torch.as_tensor([enc], dtype=torch.long),
+                    max_new_tokens=256, do_sample=False,
+                )
+            text = self.tokenizer.decode(out[0].tolist())
+            for stop in until:
+                text = text.split(stop)[0]
+            res.append(text)
+        return res
+
+
 def _default_http(url: str, payload: dict, headers: dict) -> dict:
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json", **headers}

@@ -62,10 +62,9 @@ def qmatmul(x: jax.Array, w, out_dtype=None) -> jax.Array:
             _BACKEND == "pallas"
             and x.ndim >= 2
             and w.zero is not None  # kernel requires zero-point storage
-            and not (w.packed and w.bits == 3)
         ):
-            # 3-bit bit-plane storage and zero-free (symmetric / serving
-            # recode) tensors fall through to the XLA dequant path
+            # zero-free (symmetric / serving recode) tensors fall through
+            # to the XLA dequant path
             from .pallas_qmatmul import fused_dequant_matmul
 
             return fused_dequant_matmul(x, w, out_dtype=out_dtype)

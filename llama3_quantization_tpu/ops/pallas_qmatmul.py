@@ -61,14 +61,26 @@ def _qmm_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    f = pack_factor(bits) if packed else 1
     bn = w_ref.shape[-1]
-    bk = w_ref.shape[0] * f
-    groups = bk // gs
-    if packed and f > 1:
-        codes = _unpack_block(w_ref[:].astype(jnp.int32), bits, groups, gs, bn)
+    if packed and bits == 3:
+        # bit-plane storage: w_ref [3, bk/8, bn]; byte row r of plane b
+        # holds bit b of codes 8r..8r+7 (`quant/pack.py _pack_planes`)
+        bk = w_ref.shape[1] * 8
+        groups = bk // gs
+        pk = w_ref[:].astype(jnp.int32)
+        codes = jnp.zeros((bk, bn), jnp.int32)
+        for b in range(3):
+            parts = [(pk[b] >> j) & 1 for j in range(8)]
+            plane_bits = jnp.stack(parts, axis=1).reshape(bk, bn)
+            codes += plane_bits << b
     else:
-        codes = w_ref[:].astype(jnp.int32)
+        f = pack_factor(bits) if packed else 1
+        bk = w_ref.shape[0] * f
+        groups = bk // gs
+        if packed and f > 1:
+            codes = _unpack_block(w_ref[:].astype(jnp.int32), bits, groups, gs, bn)
+        else:
+            codes = w_ref[:].astype(jnp.int32)
     # dequant entirely in bf16: integer codes ≤ 2^8 are exact in bf16, and
     # the scale multiply's bf16 rounding (~2^-8 relative) is far below the
     # quantization step — halving the VMEM intermediate lets tiles be twice
@@ -116,8 +128,9 @@ def _fused_qmm(
 ):
     m = x2d.shape[0]
     n = data.shape[-1]
+    plane3 = packed and bits == 3  # [3, K/8, N] bit-plane storage
     f = pack_factor(bits) if packed else 1
-    k_pad = data.shape[0] * f
+    k_pad = data.shape[1] * 8 if plane3 else data.shape[0] * f
     xp = _pad_axis(x2d, 0, -(-m // bm) * bm)
     xp = _pad_axis(xp, 1, k_pad)
     mp = xp.shape[0]
@@ -126,12 +139,17 @@ def _fused_qmm(
     kernel = functools.partial(
         kernel_fn, bits=bits, gs=gs, nsteps=grid[2], packed=packed
     )
+    w_spec = (
+        pl.BlockSpec((3, bk // 8, bn), lambda i, h, j: (0, j, h), memory_space=pltpu.VMEM)
+        if plane3
+        else pl.BlockSpec((bk // f, bn), lambda i, h, j: (j, h), memory_space=pltpu.VMEM)
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, h, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // f, bn), lambda i, h, j: (j, h), memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec(
                 (k_pad // gs, bn), lambda i, h, j: (0, h), memory_space=pltpu.VMEM
             ),
@@ -242,6 +260,10 @@ def fused_dequant_matmul(
 
     data, scale, zero = qt.data, qt.scale, qt.zero
     packed = qt.packed
+    plane3 = packed and qt.bits == 3
+    if plane3:
+        data = data.reshape(3, qt.k // 8, qt.n)
+        version = 1  # v2's per-bitfield dots assume nibble layout
     f = pack_factor(qt.bits) if packed else 1
 
     if not packed and gs > 512 and qt.k % 512 == 0:
@@ -260,7 +282,10 @@ def fused_dequant_matmul(
     else:
         g_pad = -(-g // GROUPS_PER_TILE) * GROUPS_PER_TILE
         k_pad = g_pad * gs
-        data = _pad_axis(data, 0, k_pad // f)
+        if plane3:
+            data = _pad_axis(data, 1, k_pad // 8)
+        else:
+            data = _pad_axis(data, 0, k_pad // f)
         scale = _pad_axis(scale, 0, g_pad)
         zero = _pad_axis(zero, 0, g_pad)
         # pad scale with 1s to avoid 0*0 NaN-adjacent corner in dequant
@@ -276,9 +301,11 @@ def fused_dequant_matmul(
     # per-tile overhead (measured: small tiles leave ~10x on the table).
     budget = 10 * 1024 * 1024
 
+    bytes_per_w = 3.0 / 8 if plane3 else 1.0 / f
+
     def tile_bytes(bk_, bn_):
         # i32 unpack intermediate + bf16 dequant + packed bytes + x tile
-        return bk_ * bn_ * (4 + 2 + 1.0 / f) + bm * bk_ * 2
+        return bk_ * bn_ * (4 + 2 + bytes_per_w) + bm * bk_ * 2
 
     while bk < k_pad and k_pad % (bk * 2) == 0 and tile_bytes(bk * 2, bn) <= budget:
         bk *= 2

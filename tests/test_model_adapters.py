@@ -125,3 +125,23 @@ def test_textsynth_adapter():
 def test_registry_rows():
     for name in ("jax", "dummy", "hf-causal", "gpt2", "gpt3", "textsynth"):
         assert name in MODEL_REGISTRY
+
+
+def test_hf_seq2seq_adapter():
+    torch = pytest.importorskip("torch")
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    from llama3_quantization_tpu.eval.harness import HFSeq2SeqLM
+
+    torch.manual_seed(0)
+    cfg = T5Config(
+        vocab_size=260, d_model=32, d_ff=64, num_layers=2, num_heads=2, d_kv=16,
+        decoder_start_token_id=0,
+    )
+    lm = HFSeq2SeqLM(model=T5ForConditionalGeneration(cfg), tokenizer=CharTok())
+    (ll, greedy), = lm.loglikelihood([("translate: abc", "xyz")])
+    assert math.isfinite(ll) and isinstance(greedy, bool)
+    (roll,) = lm.loglikelihood_rolling(["some document"])
+    assert math.isfinite(roll)
+    (out,) = lm.greedy_until([("abc", ["\n"])])
+    assert isinstance(out, str)

@@ -76,3 +76,47 @@ def test_pallas_backend_symmetric_falls_back():
     with backend("pallas"):
         y = qmatmul(x, qt)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x @ dequantize(qt)), rtol=2e-2, atol=2e-2)
+
+
+def test_fused_qmm_3bit_planes():
+    """In-kernel bit-plane unpack: packed 3-bit fused matmul matches the
+    XLA dequant path."""
+    from llama3_quantization_tpu.ops.pallas_qmatmul import fused_dequant_matmul
+    from llama3_quantization_tpu.quant.qtensor import dequantize, quantize_rtn
+    from llama3_quantization_tpu.quant.quantizer import QuantSpec
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (256, 128), jnp.float32)
+    qt = quantize_rtn(w, QuantSpec(n_bits=3, group_size=64), pack=True)
+    assert qt.packed and qt.bits == 3 and qt.data.shape == (3 * 256 // 8, 128)
+    # identity x recovers every dequantized weight row exactly -> proves
+    # the in-kernel plane unpack reconstructs the right codes
+    eye = jnp.eye(256, dtype=jnp.float32)
+    rows = fused_dequant_matmul(eye, qt, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(rows), np.asarray(dequantize(qt)), rtol=2e-2, atol=2e-2
+    )
+    # random x: accumulation sanity (kernel dequants in bf16; tolerance
+    # covers the per-element rounding summed over K)
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 256), jnp.float32)
+    out = fused_dequant_matmul(x, qt, out_dtype=jnp.float32, interpret=True)
+    ref = x @ dequantize(qt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-2, atol=0.3)
+
+
+def test_fused_qmm_3bit_many_groups():
+    """3-bit with enough groups to trigger K-tiling + group-axis padding."""
+    from llama3_quantization_tpu.ops.pallas_qmatmul import fused_dequant_matmul
+    from llama3_quantization_tpu.quant.qtensor import dequantize, quantize_rtn
+    from llama3_quantization_tpu.quant.quantizer import QuantSpec
+
+    w = jax.random.normal(jax.random.PRNGKey(4), (1152, 128), jnp.float32)  # 36 groups of 32
+    qt = quantize_rtn(w, QuantSpec(n_bits=3, group_size=32), pack=True)
+    eye = jnp.eye(1152, dtype=jnp.float32)
+    rows = fused_dequant_matmul(eye, qt, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(rows), np.asarray(dequantize(qt)), rtol=2e-2, atol=2e-2
+    )
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 1152), jnp.float32)
+    out = fused_dequant_matmul(x, qt, out_dtype=jnp.float32, interpret=True)
+    ref = x @ dequantize(qt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-2, atol=0.6)
