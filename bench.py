@@ -34,7 +34,8 @@ def log(*a):
 HBM_GBPS = {"v5e": 819.0, "v5": 819.0}
 
 
-def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None) -> float:
+def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None,
+                          head_bits: int = 16) -> float:
     """HBM bytes touched per decode step: packed decoder weights + scales +
     fp head/embed reads + KV cache. `container_bits` overrides the storage
     width (the a8 path stores sub-byte codes in int8 containers)."""
@@ -48,7 +49,7 @@ def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None) -> flo
     w_bytes = lin * (container_bits or spec.n_bits) / 8
     gs = spec.group_size or 1
     scale_bytes = (lin / gs) * 8 if spec.group_size else 0  # f32 scale+zero
-    lm_head = d * cfg.vocab_size * 2  # bf16
+    lm_head = d * cfg.vocab_size * head_bits / 8
     kv = 2 * cfg.num_layers * cache_len * cfg.num_kv_heads * hd * 2
     return w_bytes + scale_bytes + lm_head + kv
 
@@ -105,8 +106,9 @@ def main():
     # a8 backend: serving-format per-column symmetric int8 weights (what
     # quant/serving.recode_model_s8 produces from any quantized model) ->
     # one s8 MXU dot per linear at HBM speed-of-light
+    head_s8 = os.environ.get("L3Q_BENCH_HEAD") == "s8"
     params = init_quantized_params(
-        cfg, spec, pack=backend != "a8", percol_s8=backend == "a8"
+        cfg, spec, pack=backend != "a8", percol_s8=backend == "a8", head_s8=head_s8
     )
     if os.environ.get("L3Q_BENCH_MODE") == "prefill":
         params = jax.block_until_ready(params)
@@ -149,8 +151,12 @@ def main():
 
     if cfg_name == "llama3-8b":
         container = 8 if backend == "a8" else None
-        bpt = model_bytes_per_token(cfg, spec, 0, container_bits=container)
-        kv_bytes = model_bytes_per_token(cfg, spec, cache_len, container_bits=container) - bpt
+        hb = 8 if head_s8 else 16
+        bpt = model_bytes_per_token(cfg, spec, 0, container_bits=container, head_bits=hb)
+        kv_bytes = (
+            model_bytes_per_token(cfg, spec, cache_len, container_bits=container, head_bits=hb)
+            - bpt
+        )
         # batch decode amortizes weight reads; KV reads scale with batch
         bpt_eff = bpt / batch + kv_bytes
         sol = HBM_GBPS["v5e"] * 1e9 / bpt_eff

@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decontamination_ngrams_path", default=None)
     p.add_argument("--serving_recode", action="store_true",
                    help="recode weights to per-column s8 + a8 backend (fast decode)")
+    p.add_argument("--recode_head", action="store_true",
+                   help="with --serving_recode: also recode lm_head to s8")
     p.add_argument("--moe_capacity", type=float, default=None,
                    help="GShard-style MoE capacity factor (e.g. 1.25); "
                         "default dense exact routing")
@@ -172,7 +174,7 @@ def main(argv=None):
         from .ops import matmul as mm
         from .quant.serving import recode_model_s8
 
-        params = recode_model_s8(params, cfg)
+        params = recode_model_s8(params, cfg, include_head=args.recode_head)
         mm.set_backend("a8")
         print("[cli] serving recode: per-column s8 weights, a8 backend", file=sys.stderr)
 

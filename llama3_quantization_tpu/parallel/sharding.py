@@ -46,7 +46,14 @@ def _weight_spec(value, kind: str, stacked: bool, n_lead: int = None):
             scale = P(*lead, None, "tp")
         else:  # row: K axis sharded -> packed data axis 0 and group axis shard
             data = P(*lead, "tp", None)
-            scale = P(*lead, "tp", None)
+            # per-column scales (one group along K, e.g. serving recode)
+            # don't follow the K shard — replicate them
+            g_axis = n_lead  # first axis after the stack lead
+            scale = (
+                P(*lead, None, None)
+                if value.scale.shape[g_axis] == 1
+                else P(*lead, "tp", None)
+            )
         return QuantizedTensor(
             data=data,
             scale=scale,
@@ -81,7 +88,8 @@ def model_pspecs(
     if "pos_embed" in params:
         specs["pos_embed"] = P(None, None)
     if "lm_head" in params:
-        specs["lm_head"] = P(None, "tp")
+        # plain array OR serving-recoded QuantizedTensor (column-parallel)
+        specs["lm_head"] = _weight_spec(params["lm_head"], "col", stacked=False)
     specs["norm"] = {k: P(None) for k in params["norm"]}
     layer_specs: Dict[str, Any] = {}
     for name, entry in params["layers"].items():

@@ -92,3 +92,53 @@ def test_engine_no_free_slots(setup):
     eng.add_request([1], max_new_tokens=10)
     with pytest.raises(RuntimeError):
         eng.add_request([2], max_new_tokens=10)
+
+
+def test_recode_head_s8():
+    """Head recode keeps logits close to the fp head and rides qlinear."""
+    import dataclasses as dc
+
+    from llama3_quantization_tpu.models import TINY_LLAMA, forward_logits, init_params
+    from llama3_quantization_tpu.models.configs import ModelConfig
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.quant.qtensor import QuantizedTensor
+    from llama3_quantization_tpu.quant.serving import recode_model_s8
+    from llama3_quantization_tpu.models.params import quantize_model_rtn
+
+    cfg = dc.replace(TINY_LLAMA, tie_word_embeddings=False)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=8, group_size=None))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
+    base = forward_logits(recode_model_s8(qp, cfg), toks, cfg)
+    rp = recode_model_s8(qp, cfg, include_head=True)
+    assert isinstance(rp["lm_head"], QuantizedTensor) and rp["lm_head"].zero is None
+    out = forward_logits(rp, toks, cfg)
+    err = float(jnp.max(jnp.abs(out - base)))
+    scale = float(jnp.max(jnp.abs(base)))
+    assert err < 0.02 * max(scale, 1.0), (err, scale)
+    # argmax mostly preserved (random tiny-model logits are near-tied, so
+    # exact greedy equality is not a meaningful bar)
+    agree = float(jnp.mean(jnp.argmax(out, -1) == jnp.argmax(base, -1)))
+    assert agree >= 0.75, agree
+
+
+def test_recode_head_shards():
+    """TP sharding must handle a QuantizedTensor lm_head (review finding:
+    spec/param leaf mismatch crashed tree_unflatten)."""
+    import dataclasses as dc
+
+    from llama3_quantization_tpu.models import TINY_LLAMA, forward_logits, init_params
+    from llama3_quantization_tpu.models.params import quantize_model_rtn
+    from llama3_quantization_tpu.parallel import make_mesh, make_sharded_forward, shard_params
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.quant.serving import recode_model_s8
+
+    cfg = dc.replace(TINY_LLAMA, tie_word_embeddings=False)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=8, group_size=None))
+    rp = recode_model_s8(qp, cfg, include_head=True)
+    ref = forward_logits(rp, jnp.zeros((1, 8), jnp.int32), cfg)
+    mesh = make_mesh(dp=2, tp=4)
+    sharded = shard_params(rp, mesh, cfg)
+    out = make_sharded_forward(cfg, mesh)(sharded, jnp.zeros((1, 8), jnp.int32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
