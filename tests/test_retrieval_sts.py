@@ -92,3 +92,21 @@ def test_sts_encoder_and_eval(tiny_setup):
     assert res["n_pairs"] == 2
     embs = enc.encode(["hello", "hello"])
     np.testing.assert_allclose(embs[0], embs[1], rtol=1e-5)
+
+
+def test_benchmark_ir_cli():
+    from llama3_quantization_tpu.tools.benchmark_ir import main
+
+    res = main(["--net", "tiny-llama", "--wbits", "4", "--group_size", "32",
+                "--synthetic", "16", "--top_k", "3", "--batch_size", "4"])
+    assert set(res) == {"bm25", "upr"}
+    assert 0.0 <= res["upr"]["NDCG@3"] <= 1.0
+
+
+def test_benchmark_sts_cli(tmp_path):
+    from llama3_quantization_tpu.tools.benchmark_sts import main
+
+    tsv = tmp_path / "sts.tsv"
+    tsv.write_text("5.0\tsame words here\tsame words here\n0.0\talpha beta\tgamma delta\n")
+    res = main(["--net", "tiny-llama", "--data_tsv", str(tsv)])
+    assert -1.0 <= res["spearman_cosine"] <= 1.0
