@@ -17,6 +17,9 @@ from .transformer import (  # noqa: F401
     decode_step,
     forward_hidden,
     forward_logits,
+    greedy_generate,
+    sample_generate,
+    sample_logits,
     set_moe_capacity,
     init_kv_cache,
 )

@@ -624,3 +624,70 @@ def greedy_generate(
         length=n_steps,
     )
     return toks.T, cache
+
+
+def sample_logits(
+    logits: jax.Array,  # [B, V]
+    key: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """One sampling step: temperature -> top-k mask -> nucleus (top-p)
+    mask -> categorical draw. All masks are jit-static-shaped (top_k and
+    top_p restrict via -inf fills, not gathers). temperature<=0 means
+    greedy (serving frameworks' convention; the reference only ever
+    decodes greedily, `models/LMClass.py:115-118`)."""
+    if temperature is None or temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits.astype(jnp.float32) / temperature
+    if top_k and top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if top_p < 1.0:
+        sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative prob >= top_p (always
+        # keep the argmax: cum shifted so the first element survives)
+        keep_sorted = cum - probs < top_p
+        # threshold = smallest logit still kept
+        thresh = jnp.min(jnp.where(keep_sorted, sorted_desc, jnp.inf), axis=-1)[:, None]
+        scaled = jnp.where(scaled < thresh, -jnp.inf, scaled)
+    return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+
+def sample_generate(
+    params: Params,
+    cache: Dict[str, jax.Array],
+    first_token: jax.Array,  # [B, 1]
+    pos0: jax.Array,
+    n_steps: int,
+    cfg: ModelConfig,
+    key: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    rq: RuntimeQuantConfig = NO_QUANT,
+    sink_tokens: int = 0,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Sampled decode loop (temperature / top-k / nucleus), one dispatch
+    via `lax.scan` like `greedy_generate`. PRNG key is split per step so
+    results are reproducible for a given key."""
+
+    def body(carry, _):
+        tok, pos, cache, k = carry
+        k, sub = jax.random.split(k)
+        logits, cache = decode_step(params, cache, tok, pos, cfg, rq, sink_tokens)
+        nxt = sample_logits(
+            logits[:, -1, :], sub, temperature=temperature, top_k=top_k, top_p=top_p
+        )[:, None]
+        return (nxt, pos + 1, cache, k), nxt[:, 0]
+
+    (_, _, cache, _), toks = jax.lax.scan(
+        body,
+        (first_token.astype(jnp.int32), jnp.int32(pos0), cache, key),
+        None,
+        length=n_steps,
+    )
+    return toks.T, cache

@@ -56,6 +56,10 @@ class ServingEngine:
         rq: RuntimeQuantConfig = NO_QUANT,
         quantized_cache: bool = False,
         sink_tokens: int = 0,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ):
         import jax
         import jax.numpy as jnp
@@ -71,6 +75,15 @@ class ServingEngine:
         )
         self._prefill = jax.jit(
             partial(decode_step, cfg=cfg, rq=rq, sink_tokens=sink_tokens)
+        )
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self._key = jax.random.PRNGKey(seed)
+        from ..models.transformer import sample_logits
+
+        self._sample = jax.jit(
+            partial(sample_logits, temperature=temperature, top_k=top_k, top_p=top_p)
         )
         self.pos = np.zeros(max_slots, np.int64)  # next write position
         self.next_tok = np.zeros(max_slots, np.int64)
@@ -113,7 +126,7 @@ class ServingEngine:
         slot_cache = self._slot_cache(slot)
         logits, slot_cache = self._prefill(self.params, slot_cache, toks, jnp.int32(0))
         self._write_slot_cache(slot, slot_cache)
-        nxt = int(np.asarray(jnp.argmax(logits[0, -1])))
+        nxt = int(np.asarray(self._pick(logits[:, -1, :]))[0])
         rid = self._next_rid
         self._next_rid += 1
         req = _Request(rid, slot, len(prompt_tokens), max_new_tokens, [nxt], eos_id)
@@ -124,6 +137,13 @@ class ServingEngine:
         if eos_id is not None and nxt == eos_id:
             self._finish(req)
         return rid
+
+    def _pick(self, logits):
+        """Greedy by default; seeded sampling when temperature > 0."""
+        if self.temperature <= 0.0:
+            return self._jnp.argmax(logits, axis=-1)
+        self._key, sub = self._jax.random.split(self._key)
+        return self._sample(logits, sub)
 
     def _finish(self, req: _Request) -> None:
         req.done = True
@@ -139,7 +159,7 @@ class ServingEngine:
         tokens = jnp.asarray(self.next_tok[:, None].astype(np.int32))
         pos = jnp.asarray(self.pos.astype(np.int32))
         logits, self.cache = self._decode(self.params, self.cache, tokens, pos)
-        nxt = np.asarray(jnp.argmax(logits[:, 0, :], axis=-1))
+        nxt = np.asarray(self._pick(logits[:, 0, :]))
         out: Dict[int, int] = {}
         for slot, rid in list(self._slot_req.items()):
             req = self.requests[rid]

@@ -83,3 +83,72 @@ def test_throughput_accounting():
     rep = t.report()
     assert rep["tokens"] == 100 and rep["tok_s"] > 0
     assert 0 < rep["speed_of_light_fraction"]
+
+
+class TestSampling:
+    def _setup(self):
+        from llama3_quantization_tpu.models import (
+            TINY_LLAMA, forward_logits, init_kv_cache, init_params,
+        )
+        from llama3_quantization_tpu.models.transformer import decode_step
+
+        cfg = TINY_LLAMA
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        cache = init_kv_cache(cfg, batch=2, max_len=32)
+        first = jnp.zeros((2, 1), jnp.int32)
+        return cfg, params, cache, first
+
+    def test_temperature_zero_is_greedy(self):
+        from llama3_quantization_tpu.models import greedy_generate, sample_generate
+
+        cfg, params, cache, first = self._setup()
+        g, _ = greedy_generate(params, dict(cache), first, 0, 8, cfg)
+        s, _ = sample_generate(
+            params, dict(cache), first, 0, 8, cfg, jax.random.PRNGKey(7),
+            temperature=0.0,
+        )
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
+
+    def test_top_k1_is_greedy(self):
+        from llama3_quantization_tpu.models import greedy_generate, sample_generate
+
+        cfg, params, cache, first = self._setup()
+        g, _ = greedy_generate(params, dict(cache), first, 0, 8, cfg)
+        s, _ = sample_generate(
+            params, dict(cache), first, 0, 8, cfg, jax.random.PRNGKey(3),
+            temperature=0.7, top_k=1,
+        )
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
+
+    def test_sampling_seeded_deterministic_and_varied(self):
+        from llama3_quantization_tpu.models import sample_generate
+
+        cfg, params, cache, first = self._setup()
+        a, _ = sample_generate(params, dict(cache), first, 0, 12, cfg,
+                               jax.random.PRNGKey(1), temperature=1.5)
+        b, _ = sample_generate(params, dict(cache), first, 0, 12, cfg,
+                               jax.random.PRNGKey(1), temperature=1.5)
+        c, _ = sample_generate(params, dict(cache), first, 0, 12, cfg,
+                               jax.random.PRNGKey(2), temperature=1.5)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_top_p_masks_tail(self):
+        from llama3_quantization_tpu.models import sample_logits
+
+        # distribution: one dominant logit; top_p=0.5 must always pick it
+        logits = jnp.asarray([[10.0, 0.0, 0.0, 0.0]])
+        for seed in range(5):
+            tok = sample_logits(logits, jax.random.PRNGKey(seed),
+                                temperature=2.0, top_p=0.5)
+            assert int(tok[0]) == 0
+
+    def test_top_k_restricts_support(self):
+        from llama3_quantization_tpu.models import sample_logits
+
+        logits = jnp.asarray([[3.0, 2.9, -10.0, -10.0]])
+        seen = {
+            int(sample_logits(logits, jax.random.PRNGKey(s), temperature=5.0, top_k=2)[0])
+            for s in range(20)
+        }
+        assert seen <= {0, 1} and len(seen) == 2

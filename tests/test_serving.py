@@ -142,3 +142,28 @@ def test_recode_head_shards():
     sharded = shard_params(rp, mesh, cfg)
     out = make_sharded_forward(cfg, mesh)(sharded, jnp.zeros((1, 8), jnp.int32))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_engine_sampling():
+    """temperature>0 engine decodes reproducibly per seed and differs
+    across seeds; default stays greedy."""
+    from llama3_quantization_tpu.models import TINY_LLAMA, init_params
+    from llama3_quantization_tpu.serving.engine import ServingEngine
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompt = list(range(1, 9))
+
+    def run(seed, temperature):
+        eng = ServingEngine(params, cfg, max_slots=2, max_len=64,
+                            temperature=temperature, seed=seed)
+        rid = eng.add_request(prompt, max_new_tokens=10)
+        while not eng.requests[rid].done and len(eng.requests[rid].generated) < 10:
+            eng.step()
+        return eng.requests[rid].generated
+
+    greedy1, greedy2 = run(0, 0.0), run(5, 0.0)
+    assert greedy1 == greedy2  # seed irrelevant when greedy
+    s1, s2, s3 = run(1, 1.5), run(1, 1.5), run(2, 1.5)
+    assert s1 == s2
+    assert s1 != s3 or s1 != greedy1
