@@ -14,7 +14,7 @@ import numpy as np
 from .models.configs import ModelConfig
 from .quant.quantizer import QuantSpec
 
-METHODS = ("rtn", "gptq", "awq", "smoothquant", "hqq", "omniquant")
+METHODS = ("rtn", "gptq", "awq", "smoothquant", "hqq", "omniquant", "irqlora", "mixed")
 
 
 def quantize(
@@ -66,4 +66,30 @@ def quantize(
         wspec = dataclasses.replace(spec, lwc=True)
         ocfg = OmniConfig(wspec=wspec, pack=pack, **kwargs)
         return omniquant_model(params, cfg, calib_tokens, ocfg)
+    if method == "irqlora":
+        from .quant.irqlora import irqlora_quantize_model
+
+        # NF4 codebook + ICQ tau search; spec's bit width is fixed at 4 by
+        # the codebook, so `spec` is ignored (reference loads NF4 via bnb)
+        return irqlora_quantize_model(params, cfg, **kwargs)
+    if method == "mixed":
+        from .quant.mixed import mixed_precision_gptq
+
+        if calib_tokens is None:
+            raise ValueError("method 'mixed' requires calib_tokens")
+        upgrade = kwargs.pop("upgrade_spec", None) or dataclasses_replace_bits(spec, 8)
+        out, upgraded = mixed_precision_gptq(
+            params, cfg, calib_tokens, spec, upgrade, **kwargs
+        )
+        if upgraded:
+            import sys
+
+            print(f"[mixed] upgraded: {sorted(upgraded)}", file=sys.stderr)
+        return out
     raise ValueError(f"unknown method {method!r}; choose from {METHODS}")
+
+
+def dataclasses_replace_bits(spec: QuantSpec, bits: int) -> QuantSpec:
+    import dataclasses
+
+    return dataclasses.replace(spec, n_bits=bits)

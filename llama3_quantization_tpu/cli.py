@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default=None, help="local HF checkpoint dir")
     p.add_argument("--net", type=str, default=None, help="named config (tiny-llama, opt-125m, …)")
     p.add_argument("--quant_method", default="rtn",
-                   choices=["rtn", "gptq", "awq", "smoothquant", "hqq", "omniquant", "none"])
+                   choices=["rtn", "gptq", "awq", "smoothquant", "hqq", "omniquant", "irqlora", "mixed", "none"])
     p.add_argument("--wbits", type=int, default=4)
     p.add_argument("--abits", type=int, default=16)
     p.add_argument("--group_size", type=int, default=None)
@@ -70,6 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decontamination_ngrams_path", default=None)
     p.add_argument("--serving_recode", action="store_true",
                    help="recode weights to per-column s8 + a8 backend (fast decode)")
+    p.add_argument("--mixed_topk", type=int, default=4,
+                   help="worst linears upgraded to W8 for --quant_method mixed")
     p.add_argument("--recode_head", action="store_true",
                    help="with --serving_recode: also recode lm_head to s8")
     p.add_argument("--moe_capacity", type=float, default=None,
@@ -145,7 +147,7 @@ def main(argv=None):
             disable_zero_point=args.disable_zero_point,
         )
         calib = None
-        if args.quant_method in ("gptq", "awq", "smoothquant", "omniquant"):
+        if args.quant_method in ("gptq", "awq", "smoothquant", "omniquant", "mixed"):
             calib = get_calib(args, tokenizer, cfg.vocab_size)
         from .api import quantize
 
@@ -158,6 +160,9 @@ def main(argv=None):
                       let=args.let, let_lr=args.let_lr)
         elif args.quant_method == "hqq":
             kw = dict(iters=args.hqq_iters)
+        elif args.quant_method == "mixed":
+            # Observer-driven mixed precision needs unpacked containers
+            kw = dict(pack=False, blocksize=args.blocksize, topk=args.mixed_topk)
         t0 = time.time()
         params = quantize(params, cfg, args.quant_method, spec, calib, **kw)
         print(f"[cli] {args.quant_method} W{args.wbits}"

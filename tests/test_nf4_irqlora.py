@@ -127,3 +127,23 @@ def test_dynamic_map_unsigned():
     assert unsigned.max() == 1.0
     with pytest.raises(ValueError, match="dynamic map"):
         make_dynamic_map(signed=False, max_exponent_bits=8)  # 257 > 2^8
+
+
+def test_api_dispatch_irqlora_and_mixed():
+    import jax
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.api import quantize
+    from llama3_quantization_tpu.models import TINY_LLAMA, forward_logits, init_params
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16))
+    qp = quantize(params, cfg, method="irqlora", tau_n=2)
+    assert bool(jnp.isfinite(forward_logits(qp, jnp.asarray(toks), cfg)).all())
+    mp = quantize(
+        params, cfg, method="mixed", spec=QuantSpec(n_bits=2, group_size=32),
+        calib_tokens=toks, pack=False, topk=2, blocksize=32,
+    )
+    assert bool(jnp.isfinite(forward_logits(mp, jnp.asarray(toks), cfg)).all())
