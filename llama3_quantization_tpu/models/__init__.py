@@ -19,6 +19,8 @@ from .transformer import (  # noqa: F401
     forward_logits,
     greedy_generate,
     sample_generate,
+    speculative_generate,
+    flatten_speculative,
     sample_logits,
     set_moe_capacity,
     init_kv_cache,

@@ -626,6 +626,82 @@ def greedy_generate(
     return toks.T, cache
 
 
+def speculative_generate(
+    params: Params,
+    draft_params: Params,
+    cache: Dict[str, jax.Array],
+    draft_cache: Dict[str, jax.Array],
+    first_token: jax.Array,  # [1, 1]
+    pos0: jax.Array,
+    n_rounds: int,
+    k: int,
+    cfg: ModelConfig,
+    draft_cfg: Optional[ModelConfig] = None,
+    rq: RuntimeQuantConfig = NO_QUANT,
+    draft_rq: RuntimeQuantConfig = NO_QUANT,
+    sink_tokens: int = 0,
+):
+    """Greedy speculative decoding (beyond the reference, which decodes one
+    token per forward): each round the draft model proposes `k` greedy
+    tokens, the target verifies all k+1 positions in ONE forward, and the
+    longest matching prefix plus the target's correction token are
+    emitted. With greedy acceptance the emitted stream is EXACTLY the
+    target model's greedy sequence — the draft only changes speed.
+
+    Rejected positions leave stale KV entries, but every next round's
+    (k+1)-token write covers them before any attention reads them
+    (write-then-attend inside `decoder_layer`), so no rollback pass is
+    needed. Restricted to batch 1: acceptance counts diverge per row.
+
+    Returns (tokens [n_rounds, k+1] right-padded, counts [n_rounds],
+    cache, draft_cache, final_pos); flatten with `flatten_speculative`.
+    """
+    if first_token.shape[0] != 1:
+        raise ValueError("speculative_generate supports batch=1")
+    dcfg = draft_cfg or cfg
+
+    def round_body(carry, _):
+        tok, pos, cache, dcache = carry
+
+        def dbody(c, _):
+            t, p, dc = c
+            lg, dc = decode_step(draft_params, dc, t, p, dcfg, draft_rq, sink_tokens)
+            nt = jnp.argmax(lg[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+            return (nt, p + 1, dc), nt[:, 0]
+
+        (_, _, dcache), drafts = jax.lax.scan(
+            dbody, (tok, pos, dcache), None, length=k
+        )  # drafts [k, 1]
+        seq = jnp.concatenate([tok, drafts.T], axis=1)  # [1, k+1]
+        logits, cache = decode_step(params, cache, seq, pos, cfg, rq, sink_tokens)
+        t_pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [1, k+1]
+        d_row = seq[:, 1:]  # [1, k]
+        match = (d_row == t_pred[:, :k]).astype(jnp.int32)
+        m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)[0]  # accepted drafts
+        idx = jnp.arange(k + 1)
+        emitted = jnp.where(idx < m, jnp.pad(d_row[0], (0, 1)), t_pred[0])
+        new_tok = emitted[m][None, None]
+        return (new_tok, pos + m + 1, cache, dcache), (emitted, m + 1)
+
+    (_, pos, cache, dcache), (toks, counts) = jax.lax.scan(
+        round_body,
+        (first_token.astype(jnp.int32), jnp.int32(pos0), cache, draft_cache),
+        None,
+        length=n_rounds,
+    )
+    return toks, counts, cache, dcache, pos
+
+
+def flatten_speculative(toks, counts, limit: Optional[int] = None):
+    """Host-side: concatenate each round's first `count` tokens."""
+    import numpy as np
+
+    out = []
+    for row, c in zip(np.asarray(toks), np.asarray(counts)):
+        out.extend(row[: int(c)].tolist())
+    return out[:limit] if limit else out
+
+
 def sample_logits(
     logits: jax.Array,  # [B, V]
     key: jax.Array,

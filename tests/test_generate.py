@@ -152,3 +152,66 @@ class TestSampling:
             for s in range(20)
         }
         assert seen <= {0, 1} and len(seen) == 2
+
+
+class TestSpeculative:
+    def _setup(self, draft_same: bool):
+        from llama3_quantization_tpu.models import TINY_LLAMA, init_kv_cache, init_params
+
+        cfg = TINY_LLAMA
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        draft = params if draft_same else init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+        cache = init_kv_cache(cfg, batch=1, max_len=64)
+        dcache = init_kv_cache(cfg, batch=1, max_len=64)
+        return cfg, params, draft, cache, dcache
+
+    def _run(self, draft_same, n_rounds=6, k=3):
+        from llama3_quantization_tpu.models import (
+            flatten_speculative, greedy_generate, speculative_generate,
+        )
+
+        cfg, params, draft, cache, dcache = self._setup(draft_same)
+        first = jnp.zeros((1, 1), jnp.int32)
+        toks, counts, *_ = speculative_generate(
+            params, draft, dict(cache), dict(dcache), first, 0, n_rounds, k, cfg
+        )
+        spec = flatten_speculative(toks, counts)
+        ref, _ = greedy_generate(params, dict(cache), first, 0, len(spec), cfg)
+        return spec, np.asarray(ref)[0].tolist(), np.asarray(counts)
+
+    def test_perfect_draft_accepts_mostly(self):
+        """Draft == target: acceptance is (near-)full. Not exactly k+1 every
+        round on a random tiny model: the draft scores tokens in S=1 steps
+        and the target in S=k+1 chunks, so fp reduction order differs and
+        near-tied argmaxes occasionally flip — the emitted sequence is
+        still exactly the target's greedy stream."""
+        spec, ref, counts = self._run(draft_same=True)
+        assert spec == ref, (spec, ref)
+        assert counts.max() == 4 and counts.mean() >= 2.5, counts
+
+    def test_exactness_with_mismatched_draft(self):
+        """Any draft model must still emit the target's exact greedy
+        sequence — speculation only changes throughput."""
+        spec, ref, counts = self._run(draft_same=False)
+        assert spec == ref, (spec, ref)
+        # a random draft should not accept everything
+        assert counts.min() >= 1 and counts.max() <= 4
+
+    def test_counts_accumulate_positionally(self):
+        """Total emitted == sum(counts) and positions advance by counts."""
+        from llama3_quantization_tpu.models import speculative_generate
+        cfg, params, draft, cache, dcache = self._setup(False)
+        first = jnp.zeros((1, 1), jnp.int32)
+        toks, counts, _, _, pos = speculative_generate(
+            params, draft, cache, dcache, first, 0, 4, 2, cfg
+        )
+        assert int(pos) == int(np.asarray(counts).sum())
+
+    def test_batch_guard(self):
+        from llama3_quantization_tpu.models import speculative_generate
+        cfg, params, draft, cache, dcache = self._setup(True)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="batch=1"):
+            speculative_generate(
+                params, draft, cache, dcache, jnp.zeros((2, 1), jnp.int32), 0, 2, 2, cfg
+            )
