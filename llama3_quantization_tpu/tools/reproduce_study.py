@@ -30,6 +30,7 @@ STUDY_CONFIGS = [
     "smoothquant:8:_a8",
     "hqq:4:64", "hqq:3:64", "hqq:2:64",
     "omniquant:3:128", "omniquant:2:128",
+    "irqlora:4:", "mixed:2:32",
 ]
 
 CSQA_TASKS = "piqa,arc_easy,arc_challenge,hellaswag,winogrande"
