@@ -35,6 +35,51 @@ def bits_per_byte(items: List[Tuple[float, float]]) -> float:
     return -weighted_mean(items) / math.log(2)
 
 
+def squad_normalize(text: str) -> str:
+    """SQuAD answer normalization (lowercase, strip punctuation/articles,
+    collapse whitespace) — the comparison used by ReCoRD/SQuADv2/CoQA/DROP
+    in the reference harness (via `transformers` squad_metrics)."""
+    import re
+    import string
+
+    text = text.lower()
+    text = "".join(ch for ch in text if ch not in set(string.punctuation))
+    text = re.sub(r"\b(a|an|the)\b", " ", text)
+    return " ".join(text.split())
+
+
+def squad_em(prediction: str, ground_truth: str) -> float:
+    return float(squad_normalize(prediction) == squad_normalize(ground_truth))
+
+
+def squad_f1(prediction: str, ground_truth: str) -> float:
+    """Token-overlap F1 over normalized answers."""
+    pred_toks = squad_normalize(prediction).split()
+    gold_toks = squad_normalize(ground_truth).split()
+    if not pred_toks or not gold_toks:
+        return float(pred_toks == gold_toks)
+    common = {}
+    for t in pred_toks:
+        common[t] = common.get(t, 0)
+    overlap = 0
+    gold_counts = {}
+    for t in gold_toks:
+        gold_counts[t] = gold_counts.get(t, 0) + 1
+    for t in pred_toks:
+        if gold_counts.get(t, 0) > 0:
+            gold_counts[t] -= 1
+            overlap += 1
+    if overlap == 0:
+        return 0.0
+    precision = overlap / len(pred_toks)
+    recall = overlap / len(gold_toks)
+    return 2 * precision * recall / (precision + recall)
+
+
+def metric_max_over_ground_truths(metric_fn, prediction: str, ground_truths) -> float:
+    return max(metric_fn(prediction, gt) for gt in ground_truths)
+
+
 def matthews_corrcoef(items) -> float:
     golds, preds = zip(*items)
     tp = sum(1 for g, p in zip(golds, preds) if g == 1 and p == 1)

@@ -58,3 +58,37 @@ class CrowsPairs(Task):
 
 class CrowsPairsFrench(CrowsPairs):
     DATASET_NAME = "french"
+
+
+#: per-bias-type subsets (`crowspairs.py:149-245`); filter matches the
+#: reference's `bias_type.startswith(...)` predicate
+BIAS_TYPES = [
+    "race_color",
+    "socioeconomic",
+    "gender",
+    "age",
+    "religion",
+    "disability",
+    "sexual_orientation",
+    "nationality",
+    "physical_appearance",
+    "autre",
+]
+
+
+def create_crows_subset(language: str, bias_type: str):
+    base = CrowsPairs if language == "english" else CrowsPairsFrench
+    prefix = bias_type.replace("_", "-")
+
+    class _Subset(base):
+        BIAS_TYPE = prefix
+
+        def validation_docs(self):
+            return [
+                doc
+                for doc in super().validation_docs()
+                if doc["bias_type"].startswith(self.BIAS_TYPE)
+            ]
+
+    _Subset.__name__ = f"crows_pairs_{language}_{bias_type}"
+    return _Subset

@@ -53,7 +53,16 @@ class LambadaStandard(Lambada):
 
 
 class LambadaCloze(Lambada):
-    """Cloze-styled prompt variant (`lm_eval/tasks/lambada_cloze.py`)."""
+    """Cloze-styled prompt variant (`lm_eval/tasks/lambada_cloze.py`
+    LambadaOpenAICloze)."""
+
+    def doc_to_text(self, doc):
+        return doc["text"].rsplit(" ", 1)[0] + " ____. ->"
+
+
+class LambadaStandardCloze(LambadaStandard):
+    """Cloze-styled original test split (`lm_eval/tasks/lambada_cloze.py`
+    LambadaStandardCloze)."""
 
     def doc_to_text(self, doc):
         return doc["text"].rsplit(" ", 1)[0] + " ____. ->"

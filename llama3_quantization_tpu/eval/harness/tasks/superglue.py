@@ -136,3 +136,66 @@ class MultiRC(_SuperGlueTask):
 
     def higher_is_better(self):
         return {"acc": True}
+
+
+class ReCoRD(_SuperGlueTask):
+    """ReCoRD (`lm_eval/tasks/superglue.py:276-366`): cloze-style entity
+    filling — score every candidate entity substituted into @placeholder,
+    report per-example max-over-answers token F1 and EM."""
+
+    DATASET_NAME = "record"
+
+    def training_docs(self):
+        if self._training_docs is None:
+            self._training_docs = [
+                self._process_doc(doc) for doc in self.dataset["train"]
+            ]
+        return self._training_docs
+
+    def validation_docs(self):
+        for doc in self.dataset["validation"]:
+            yield self._process_doc(doc)
+
+    @classmethod
+    def _process_doc(cls, doc):
+        if "entities" in doc and isinstance(doc["entities"], list):
+            doc = dict(doc)
+            doc["entities"] = sorted(set(doc["entities"]))
+            doc["answers"] = sorted(set(doc["answers"]))
+            return doc
+        return doc
+
+    def doc_to_text(self, doc):
+        initial_text, *highlights = doc["passage"].strip().split("\n@highlight\n")
+        text = initial_text + "\n\n"
+        for highlight in highlights:
+            text += f"  - {highlight}.\n"
+        return text
+
+    @classmethod
+    def format_answer(cls, query, entity):
+        return f"  - {query}".replace("@placeholder", entity)
+
+    def doc_to_target(self, doc):
+        return self.format_answer(query=doc["query"], entity=doc["answers"][0])
+
+    def construct_requests(self, doc, ctx):
+        return [
+            rf.loglikelihood(ctx, self.format_answer(query=doc["query"], entity=entity))
+            for entity in doc["entities"]
+        ]
+
+    def process_results(self, doc, results):
+        max_idx = max(range(len(results)), key=lambda i: results[i][0])
+        prediction = doc["entities"][max_idx]
+        gold = doc["answers"]
+        return {
+            "f1": metrics.metric_max_over_ground_truths(metrics.squad_f1, prediction, gold),
+            "em": metrics.metric_max_over_ground_truths(metrics.squad_em, prediction, gold),
+        }
+
+    def aggregation(self):
+        return {"f1": metrics.mean, "em": metrics.mean}
+
+    def higher_is_better(self):
+        return {"f1": True, "em": True}

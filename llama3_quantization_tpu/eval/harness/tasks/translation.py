@@ -13,6 +13,14 @@ LANG_NAMES = {
     "ro": "Romanian",
     "ru": "Russian",
     "zh": "Chinese",
+    "cs": "Czech",
+    "iu": "Inuktitut",
+    "ja": "Japanese",
+    "km": "Khmer",
+    "pl": "Polish",
+    "ps": "Pashto",
+    "ta": "Tamil",
+    "ar": "Arabic",
 }
 
 
@@ -65,12 +73,17 @@ class TranslationTask(Task):
 
 
 def create_translation_task(dataset: str, src: str, tgt: str):
-    # HF wmt configs are named "<xx>-en" regardless of direction
-    other = src if src != "en" else tgt
+    # HF wmt configs are named "<xx>-en" regardless of direction; pairs
+    # without English (wmt20 de-fr) keep their own ordering
+    if "en" in (src, tgt):
+        other = src if src != "en" else tgt
+        config = f"{other}-en"
+    else:
+        config = f"{src}-{tgt}"
 
     class _Tr(TranslationTask):
         DATASET_PATH = dataset
-        DATASET_NAME = f"{other}-en"
+        DATASET_NAME = config
         SRC = src
         TGT = tgt
 
@@ -78,12 +91,24 @@ def create_translation_task(dataset: str, src: str, tgt: str):
     return _Tr
 
 
-#: the v0.3 registry's WMT pairs (`translation.py:21-38`)
+#: wmt20 language pairs (sacrebleu's wmt20 test set, the reference's
+#: `selected_translation_benchmarks`, `tasks/__init__.py:70`)
+_WMT20_PAIRS = [
+    "cs-en", "de-en", "de-fr", "en-cs", "en-de", "en-iu", "en-ja", "en-km",
+    "en-pl", "en-ps", "en-ru", "en-ta", "en-zh", "fr-de", "iu-en", "ja-en",
+    "km-en", "pl-en", "ps-en", "ru-en", "ta-en", "zh-en",
+]
+
+#: the v0.3 registry's translation benchmarks (`tasks/__init__.py:61-71,
+#: 185-188`): gpt3 set (wmt14/wmt16) + chef's selection (wmt20, iwslt17)
 WMT_PAIRS = [
     ("wmt14", "en", "fr"),
     ("wmt14", "fr", "en"),
-    ("wmt16", "en", "de"),
-    ("wmt16", "de", "en"),
     ("wmt16", "en", "ro"),
     ("wmt16", "ro", "en"),
+    ("wmt16", "de", "en"),
+    ("wmt16", "en", "de"),
+    *[("wmt20", *pair.split("-")) for pair in _WMT20_PAIRS],
+    ("iwslt17", "en", "ar"),
+    ("iwslt17", "ar", "en"),
 ]

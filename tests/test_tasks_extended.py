@@ -1,0 +1,313 @@
+"""DummyLM plumbing tests for the second tranche of ported tasks
+(arithmetic, unscramble, ANLI, WSC273, ethics, MATH, QA/generative,
+crows subsets, mutual, mc_taco, etc.) using injected offline docs."""
+
+import pytest
+
+from llama3_quantization_tpu.eval.harness import DummyLM, simple_evaluate
+from llama3_quantization_tpu.eval.harness.tasks import TASK_REGISTRY
+from llama3_quantization_tpu.eval.harness.tasks.drop import get_drop_metrics
+from llama3_quantization_tpu.eval.harness.tasks.hendrycks_math import (
+    is_equiv,
+    last_boxed_only_string,
+    remove_boxed,
+    strip_string,
+)
+from llama3_quantization_tpu.eval.harness import metrics
+
+
+ARITH_DOCS = [
+    {"context": f"Question: What is {i} plus {i}?\nAnswer:", "completion": f" {2*i}"}
+    for i in range(4)
+]
+UNSCRAMBLE_DOCS = [
+    {"context": f"Please unscramble the letters into a word: dorw{i}\n", "completion": f"word{i}"}
+    for i in range(3)
+]
+ANLI_DOCS = [
+    {"premise": f"Premise {i}.", "hypothesis": f"Hypothesis {i}.", "label": i % 3}
+    for i in range(5)
+]
+WSC273_DOCS = [
+    {
+        "text": f"The city councilmen refused the demonstrators a permit{i} because they feared violence.",
+        "pronoun": "they",
+        "pronoun_loc": 64,
+        "options": ["The city councilmen", "The demonstrators"],
+        "label": 0,
+    }
+    for i in range(3)
+]
+ETHICS_CM_DOCS = [{"input": f"I did thing {i}.", "label": i % 2} for i in range(4)]
+ETHICS_JUSTICE_DOCS = [
+    {"scenario": f"I deserve X because {i}", "label": i % 2, "group_id": i // 4}
+    for i in range(8)
+]
+ETHICS_UTIL_DOCS = [
+    {"activity": f"Nice thing {i} happened.", "baseline": f"Bad thing {i} happened.", "rating": "7"}
+    for i in range(4)
+]
+ETHICS_VIRTUE_DOCS = [
+    {"scenario": f"Sam did {i}.", "trait": "honesty", "label": i % 2, "group_id": i // 5}
+    for i in range(10)
+]
+MATH_DOCS = [
+    {"problem": f"What is {i}+{i}?", "solution": f"The answer is $\\boxed{{{2*i}}}$."}
+    for i in range(3)
+]
+ASDIV_DOCS = [
+    {"body": f"Tom has {i} apples.", "question": "How many apples?", "answer": f"{i} (apples)"}
+    for i in range(3)
+]
+COQA_DOCS = [
+    {
+        "story": f"Once upon a time {i}.",
+        "questions": {"input_text": ["Who?", "Where?"]},
+        "answers": {"input_text": ["Tom", "home"]},
+        "additional_answers": None,
+    }
+    for i in range(3)
+]
+DROP_DOCS = [
+    {
+        "query_id": str(i),
+        "passage": f"There were {i} dogs and 3 cats.",
+        "question": "How many dogs?",
+        "answer": {"number": str(i), "date": {"day": "", "month": "", "year": ""}, "spans": []},
+        "validated_answers": {"number": [str(i)], "date": [{"day": "", "month": "", "year": ""}], "spans": [[]]},
+    }
+    for i in range(3)
+]
+SQUAD2_DOCS = [
+    {
+        "id": str(i),
+        "title": "T",
+        "context": f"Context number {i}.",
+        "question": "What number?",
+        "answers": {"text": [str(i)] if i % 2 == 0 else [], "answer_start": [0]},
+    }
+    for i in range(4)
+]
+TRIVIA_DOCS = [
+    {"question": f"Q{i}?", "answer": {"value": f"ans{i}", "aliases": [f"ans{i}", f"ans{i} full"]}}
+    for i in range(3)
+]
+WEBQS_DOCS = [{"question": f"Q{i}?", "answers": [f"a{i}", f"b{i}"]} for i in range(3)]
+RACE_DOCS = [
+    {
+        "article": f"Article text {i}.",
+        "problems": [
+            {"question": "First?", "answer": "A", "options": ["w", "x", "y", "z"]},
+            {"question": "Second?", "answer": "C", "options": ["p", "q", "r", "s"]},
+        ],
+    }
+    for i in range(3)
+]
+RECORD_DOCS = [
+    {
+        "passage": f"Big news {i}.\n@highlight\nhighlight one",
+        "query": "The entity @placeholder matters",
+        "entities": ["Alpha", "Beta"],
+        "answers": ["Alpha"],
+    }
+    for i in range(3)
+]
+MUTUAL_DOCS = [
+    {
+        "article": f"m : hello {i} . f : hi .",
+        "options": ["f : yes .", "f : no .", "f : maybe .", "f : later ."],
+        "answers": "B",
+    }
+    for i in range(3)
+]
+MCTACO_DOCS = [
+    {"sentence": f"Event {i} happened.", "question": "How long?", "answer": f"{i} hours", "label": i % 2}
+    for i in range(4)
+]
+TRUTHFUL_MC_DOCS = [
+    {
+        "question": f"Q{i}?",
+        "mc1_targets": {"choices": ["right", "wrong1", "wrong2"], "labels": [1, 0, 0]},
+        "mc2_targets": {"choices": ["right a", "right b", "wrong"], "labels": [1, 1, 0]},
+    }
+    for i in range(3)
+]
+TRUTHFUL_GEN_DOCS = [
+    {
+        "question": f"Q{i}?",
+        "correct_answers": ["The true answer."],
+        "incorrect_answers": ["The false answer."],
+    }
+    for i in range(3)
+]
+HEADQA_DOCS = [
+    {"qid": i, "qtext": f"q{i}", "answers": [{"atext": "a"}, {"atext": "b"}], "ra": "1"}
+    for i in range(3)
+]
+LOGIQA_DOCS = [
+    {"context": f"ctx{i}", "question": "q?", "options": ["w", "x", "y", "z"], "label": "b"}
+    for i in range(3)
+]
+CROWS_DOCS = [
+    {"sent_more": f"stereo {i}", "sent_less": f"astereo {i}", "bias_type": "race-color"}
+    for i in range(3)
+] + [
+    {"sent_more": f"stereo g{i}", "sent_less": f"astereo g{i}", "bias_type": "gender"}
+    for i in range(2)
+]
+PUBMED_DOCS = [
+    {
+        "question": f"Does {i} work?",
+        "context": {"contexts": [f"Study {i} text."]},
+        "final_decision": ["yes", "no", "maybe"][i % 3],
+    }
+    for i in range(3)
+]
+QASPER_DOCS = [
+    {"title": "T", "abstract": "A", "question": "Q?", "answer": "yes", "answer_type": "bool"},
+    {"title": "T", "abstract": "A", "question": "Q2?", "answer": "free text", "answer_type": "free form answer"},
+]
+
+EXTENDED_TASK_DATA = {
+    "arithmetic_2da": {"validation": ARITH_DOCS},
+    "anagrams1": {"validation": UNSCRAMBLE_DOCS},
+    "reversed_words": {"validation": UNSCRAMBLE_DOCS},
+    "anli_r1": {"train_r1": ANLI_DOCS, "dev_r1": ANLI_DOCS, "test_r1": ANLI_DOCS},
+    "wsc273": {"test": WSC273_DOCS},
+    "ethics_cm": {"train": ETHICS_CM_DOCS, "test": ETHICS_CM_DOCS},
+    "ethics_justice": {"train": ETHICS_JUSTICE_DOCS, "test": ETHICS_JUSTICE_DOCS},
+    "ethics_utilitarianism": {"train": ETHICS_UTIL_DOCS, "test": ETHICS_UTIL_DOCS},
+    "ethics_utilitarianism_original": {"test": ETHICS_UTIL_DOCS},
+    "ethics_virtue": {"train": ETHICS_VIRTUE_DOCS, "test": ETHICS_VIRTUE_DOCS},
+    "math_algebra": {"train": MATH_DOCS, "test": MATH_DOCS},
+    "math_asdiv": {"validation": ASDIV_DOCS},
+    "coqa": {"train": COQA_DOCS, "validation": COQA_DOCS},
+    "drop": {"train": DROP_DOCS, "validation": DROP_DOCS},
+    "squad2": {"train": SQUAD2_DOCS, "validation": SQUAD2_DOCS},
+    "triviaqa": {"train": TRIVIA_DOCS, "validation": TRIVIA_DOCS},
+    "webqs": {"train": WEBQS_DOCS, "test": WEBQS_DOCS},
+    "race": {"train": RACE_DOCS, "validation": RACE_DOCS, "test": RACE_DOCS},
+    "record": {"train": RECORD_DOCS, "validation": RECORD_DOCS},
+    "mutual": {"train": MUTUAL_DOCS, "validation": MUTUAL_DOCS},
+    "mc_taco": {"validation": MCTACO_DOCS, "test": MCTACO_DOCS},
+    "truthfulqa_mc": {"validation": TRUTHFUL_MC_DOCS},
+    "truthfulqa_gen": {"validation": TRUTHFUL_GEN_DOCS},
+    "headqa_en": {"train": HEADQA_DOCS, "validation": HEADQA_DOCS, "test": HEADQA_DOCS},
+    "logiqa": {"train": LOGIQA_DOCS, "validation": LOGIQA_DOCS, "test": LOGIQA_DOCS},
+    "crows_pairs_english_race_color": {"test": CROWS_DOCS},
+    "pubmedqa": {"train": PUBMED_DOCS},
+    "qasper": {"train": QASPER_DOCS, "validation": QASPER_DOCS},
+    "wmt20-en-ja": {"test": [{"translation": {"en": f"hello {i}", "ja": f"konnichiwa {i}"}} for i in range(3)]},
+}
+
+
+def test_registry_full_reference_parity():
+    """Every active reference registry name (incl. programmatic MMLU/BLiMP/
+    translation expansions) resolves here."""
+    expected_groups = {
+        "anli_r1", "arithmetic_2da", "arithmetic_1dc", "anagrams1",
+        "cycle_letters", "coqa", "drop", "squad2", "qasper", "triviaqa",
+        "webqs", "record", "race", "headqa", "headqa_en", "headqa_es",
+        "logiqa", "mathqa", "swag", "prost", "pubmedqa", "qa4mre_2011",
+        "toxigen", "mutual", "mutual_plus", "mc_taco", "wsc273",
+        "truthfulqa_mc", "truthfulqa_gen", "ethics_cm", "ethics_virtue",
+        "math_algebra", "math_asdiv", "lambada_openai_cloze",
+        "lambada_standard_cloze", "crows_pairs_english_race_color",
+        "crows_pairs_french_autre", "wmt20-en-ja", "wmt20-zh-en",
+        "iwslt17-en-ar",
+    }
+    missing = expected_groups - set(TASK_REGISTRY)
+    assert not missing, f"missing: {sorted(missing)}"
+    assert len(TASK_REGISTRY) >= 284
+
+
+def test_dummy_eval_extended_tasks():
+    lm = DummyLM()
+    res = simple_evaluate(
+        lm,
+        tasks=sorted(EXTENDED_TASK_DATA),
+        task_data=EXTENDED_TASK_DATA,
+        num_fewshot=0,
+        bootstrap_iters=2,
+    )
+    results = res["results"]
+    assert set(results) == set(EXTENDED_TASK_DATA)
+    assert 0.0 <= results["anli_r1"]["acc"] <= 1.0
+    assert "f1" in results["coqa"] and "em" in results["coqa"]
+    assert "exact" in results["squad2"] and "best_f1" in results["squad2"]
+    assert "mc1" in results["truthfulqa_mc"] and "mc2" in results["truthfulqa_mc"]
+    assert "rouge1_max" in results["truthfulqa_gen"]
+    assert "r@1" in results["mutual"] and "mrr" in results["mutual"]
+    assert "em" in results["mc_taco"] and "f1" in results["mc_taco"]
+    assert "bleu" in results["wmt20-en-ja"]
+    # crows race-color subset filtered out the 2 gender docs
+    assert results["crows_pairs_english_race_color"]
+
+
+def test_crows_subset_filters():
+    cls = TASK_REGISTRY["crows_pairs_english_race_color"]
+    task = cls(data={"test": CROWS_DOCS})
+    docs = list(task.validation_docs())
+    assert len(docs) == 3
+    assert all(d["bias_type"] == "race-color" for d in docs)
+
+
+def test_fewshot_extended_tasks():
+    """Fewshot context assembly works for tasks with custom shot sampling."""
+    lm = DummyLM()
+    res = simple_evaluate(
+        lm,
+        tasks=["wsc273", "ethics_utilitarianism_original"],
+        task_data={k: EXTENDED_TASK_DATA[k] for k in ["wsc273", "ethics_utilitarianism_original"]},
+        num_fewshot=1,
+        bootstrap_iters=2,
+    )
+    assert "acc" in res["results"]["wsc273"]
+
+
+def test_math_normalization():
+    assert last_boxed_only_string("so $\\boxed{42}$") == "\\boxed{42}"
+    assert remove_boxed("\\boxed{42}") == "42"
+    assert strip_string("\\frac12") == "\\frac{1}{2}"
+    assert strip_string("1/2") == "\\frac{1}{2}"
+    assert strip_string("0.5") == "\\frac{1}{2}"
+    assert strip_string("\\left(3\\right)") == "(3)"
+    assert strip_string("x = 7") == "7"
+    assert strip_string("50\\%") == "50"
+    assert strip_string("\\sqrt3") == "\\sqrt{3}"
+    assert is_equiv("\\tfrac{1}{2}", "0.5")
+    assert not is_equiv("3", "4")
+    assert is_equiv(None, None)
+
+
+def test_drop_metric():
+    em, f1 = get_drop_metrics("3 dogs", ("3 dogs",))
+    assert em == 1.0 and f1 == 1.0
+    em, f1 = get_drop_metrics("4 cats", ("3 dogs",))
+    assert em == 0.0 and f1 == 0.0  # number mismatch blocks alignment
+    em, f1 = get_drop_metrics("the dogs", ("dogs",))
+    assert em == 1.0  # article stripped by normalization
+
+
+def test_squad_em_f1_helpers():
+    assert metrics.squad_em("The Answer!", "answer") == 1.0
+    assert metrics.squad_f1("partial answer text", "answer text") > 0.5
+    assert metrics.metric_max_over_ground_truths(
+        metrics.squad_em, "a", ["b", "a"]
+    ) == 1.0
+
+
+def test_arithmetic_is_greedy_routing():
+    """Arithmetic scores only the is_greedy flag of the completion."""
+    class FixedLM(DummyLM):
+        def loglikelihood(self, requests):
+            return [(0.0, ctx.endswith("0?\nAnswer:")) for ctx, cont in requests]
+
+    res = simple_evaluate(
+        FixedLM(),
+        tasks=["arithmetic_2da"],
+        task_data={"arithmetic_2da": {"validation": ARITH_DOCS}},
+        num_fewshot=0,
+        bootstrap_iters=2,
+    )
+    assert res["results"]["arithmetic_2da"]["acc"] == pytest.approx(0.25)
