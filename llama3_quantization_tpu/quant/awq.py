@@ -19,12 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.configs import ModelConfig
-from ..models.params import linear_names
+from ..models.params import MOE_EXPERT_LINEARS, linear_names
 from ..models.transformer import NO_QUANT, decoder_layer
 from .calibration import _layer_slice, _stack_layers, embed_calibration, layer_linear_inputs
 from .qtensor import quantize_rtn, dequantize
 from .quantizer import QuantSpec, fake_quant_dynamic
-from .smoothing import fold_fc_fc, fold_norm_linears, smoothquant_scale
+from .smoothing import fold_fc_fc, fold_norm_linears, fold_norm_moe, smoothquant_scale
 
 
 @partial(jax.jit, static_argnames=("spec", "n_grid"))
@@ -96,22 +96,53 @@ def awq_quantize_model(
         )
         p["ln1"], qkv = fold_norm_linears(p["ln1"], [p["q"], p["k"], p["v"]], s1)
         p["q"], p["k"], p["v"] = qkv
-        # ln2 -> mlp inputs
-        s2 = awq_search_alpha(
-            sample(mlp_in[0]),
-            jnp.concatenate([p[m]["w"] for m in mlp_in], axis=1),
-            spec,
-            n_grid,
-        )
-        p["ln2"], outs = fold_norm_linears(p["ln2"], [p[m] for m in mlp_in], s2)
-        for m, e in zip(mlp_in, outs):
-            p[m] = e
+        if cfg.is_moe:
+            # ln2 -> router + every expert's gate/up. The α search scores a
+            # column subsample of the stacked expert weights (the loss only
+            # needs a representative output MSE; E·2N full columns would be
+            # multi-GB at Mixtral scale).
+            ew = jnp.concatenate(
+                [
+                    jnp.swapaxes(p["experts"][m]["w"], 0, 1).reshape(
+                        p["experts"][m]["w"].shape[1], -1
+                    )
+                    for m in ("gate", "up")
+                ],
+                axis=1,
+            )
+            if ew.shape[1] > 16384:
+                cols = rng.choice(ew.shape[1], size=16384, replace=False)
+                ew = ew[:, np.asarray(cols)]
+            s2 = awq_search_alpha(sample("experts_in"), ew, spec, n_grid)
+            p["ln2"], p["router"], p["experts"] = fold_norm_moe(
+                p["ln2"], p["router"], p["experts"], s2
+            )
+        else:
+            # ln2 -> mlp inputs
+            s2 = awq_search_alpha(
+                sample(mlp_in[0]),
+                jnp.concatenate([p[m]["w"] for m in mlp_in], axis=1),
+                spec,
+                n_grid,
+            )
+            p["ln2"], outs = fold_norm_linears(p["ln2"], [p[m] for m in mlp_in], s2)
+            for m, e in zip(mlp_in, outs):
+                p[m] = e
 
         # real-quantize all linears of this layer
         for name in linear_names(cfg):
             entry = dict(p[name])
             entry["w"] = quantize_rtn(entry["w"], spec, pack=pack)
             p[name] = entry
+        if cfg.is_moe:
+            experts = dict(p["experts"])
+            for name in MOE_EXPERT_LINEARS:
+                entry = dict(experts[name])
+                entry["w"] = jax.vmap(lambda w: quantize_rtn(w, spec, pack=pack))(
+                    entry["w"]
+                )
+                experts[name] = entry
+            p["experts"] = experts
 
         h_parts = [run_layer(p, h[b0 : b0 + batch_size]) for b0 in range(0, n, batch_size)]
         h = jnp.concatenate(h_parts, axis=0)

@@ -75,7 +75,6 @@ def init_layer_let(p_l: Dict[str, Any], cfg: ModelConfig, act_stats=None, alpha:
     from .smoothing import smoothquant_scale
 
     d = p_l["q"]["w"].shape[0]
-    mlp_in = "gate" if cfg.arch == "llama" else "fc1"
 
     def w_absmax(names):
         return jnp.max(
@@ -85,11 +84,27 @@ def init_layer_let(p_l: Dict[str, Any], cfg: ModelConfig, act_stats=None, alpha:
             axis=0,
         )
 
+    if cfg.is_moe:
+        # ln2 feeds every expert's gate/up: absmax over experts [E, K, N]
+        mlp_key = "experts_in"
+        mlp_wmax = jnp.max(
+            jnp.stack(
+                [
+                    jnp.max(
+                        jnp.abs(p_l["experts"][n]["w"].astype(jnp.float32)), axis=(0, 2)
+                    )
+                    for n in ("gate", "up")
+                ]
+            ),
+            axis=0,
+        )
+    else:
+        mlp_key = "gate" if cfg.arch == "llama" else "fc1"
+        mlp_wmax = w_absmax([mlp_key])
+
     if act_stats is not None:
         qkv_scale = smoothquant_scale(act_stats["q"]["absmax"], w_absmax(["q", "k", "v"]), alpha)
-        fc1_scale = smoothquant_scale(
-            act_stats[mlp_in]["absmax"], w_absmax([mlp_in]), alpha
-        )
+        fc1_scale = smoothquant_scale(act_stats[mlp_key]["absmax"], mlp_wmax, alpha)
     else:
         qkv_scale = jnp.ones((d,), jnp.float32)
         fc1_scale = jnp.ones((d,), jnp.float32)
@@ -97,7 +112,8 @@ def init_layer_let(p_l: Dict[str, Any], cfg: ModelConfig, act_stats=None, alpha:
         "qkv_scale": qkv_scale,
         "qkv_shift": jnp.zeros((d,), jnp.float32),
         "fc1_scale": fc1_scale,
-        "fc1_shift": jnp.zeros((d,), jnp.float32),
+        # no fc1_shift for MoE: the scale-only fold has no bias target
+        **({} if cfg.is_moe else {"fc1_shift": jnp.zeros((d,), jnp.float32)}),
         "out_scale": jnp.ones((p_l["v"]["w"].shape[1],), jnp.float32),
         # q<->k scale: shared across heads AND equal within each RoPE
         # rotation pair (dims i and i+hd/2 mix under rotation, so only
@@ -117,15 +133,27 @@ def apply_let(p_l: Dict[str, Any], let, cfg: ModelConfig):
     from .smoothquant import _fold_v_o_gqa
 
     p = dict(p_l)
-    mlp_in = ["gate", "up"] if cfg.arch == "llama" else ["fc1"]
     if cfg.parallel_block:
+        mlp_in = ["gate", "up"] if cfg.arch == "llama" else ["fc1"]
         group = ["q", "k", "v"] + mlp_in
         p["ln1"], outs = fold_norm_linears(
             p["ln1"], [p[m] for m in group], let["qkv_scale"], let["qkv_shift"]
         )
         for m, e in zip(group, outs):
             p[m] = e
+    elif cfg.is_moe:
+        from .smoothing import fold_norm_moe
+
+        p["ln1"], qkv = fold_norm_linears(
+            p["ln1"], [p["q"], p["k"], p["v"]], let["qkv_scale"], let["qkv_shift"]
+        )
+        p["q"], p["k"], p["v"] = qkv
+        # scale-only: bias-free experts give a shift nowhere to fold
+        p["ln2"], p["router"], p["experts"] = fold_norm_moe(
+            p["ln2"], p["router"], p["experts"], let["fc1_scale"]
+        )
     else:
+        mlp_in = ["gate", "up"] if cfg.arch == "llama" else ["fc1"]
         p["ln1"], qkv = fold_norm_linears(
             p["ln1"], [p["q"], p["k"], p["v"]], let["qkv_scale"], let["qkv_shift"]
         )
@@ -193,10 +221,36 @@ def _load_aux(resume_dir: Optional[str], layer: int, aux_like):
 
 def init_layer_lwc(p_l: Dict[str, Any], cfg: ModelConfig, spec: QuantSpec):
     """Clipping logits for every linear of one layer (reference inits at 4.0
-    so sigmoid≈0.98 ~ no clipping, `quant/quantizer.py:68`)."""
-    return {
+    so sigmoid≈0.98 ~ no clipping, `quant/quantizer.py:68`).
+
+    MoE expert weights `[E, K, N]` get per-expert logits (leading E axis) —
+    the reference fake-quants every Mixtral expert Linear the same way
+    (`quant/omniquant.py:198-206`, gate/router excluded)."""
+    lwc = {
         name: lwc_init(p_l[name]["w"].T.shape, spec) for name in linear_names(cfg)
     }
+    if cfg.is_moe:
+        from ..models.params import MOE_EXPERT_LINEARS
+
+        experts = p_l["experts"]
+        e_count = experts["gate"]["w"].shape[0]
+        lwc["experts"] = {
+            name: jax.tree_util.tree_map(
+                lambda a: jnp.stack([a] * e_count),
+                lwc_init(
+                    (experts[name]["w"].shape[2], experts[name]["w"].shape[1]), spec
+                ),
+            )
+            for name in MOE_EXPERT_LINEARS
+        }
+    return lwc
+
+
+def _fake_quant_experts(w: jax.Array, spec: QuantSpec, up, low) -> jax.Array:
+    """Fake-quant stacked expert weights [E, K, N] with per-expert LWC."""
+    return jax.vmap(
+        lambda we, u, l: fake_quant_dynamic(we.T, spec, u, l).T
+    )(w, up, low).astype(w.dtype)
 
 
 def apply_lwc(p_l, lwc, cfg: ModelConfig, spec: QuantSpec):
@@ -210,6 +264,17 @@ def apply_lwc(p_l, lwc, cfg: ModelConfig, spec: QuantSpec):
         wq = fake_quant_dynamic(w.T, spec, lwc[name]["up"], lwc[name]["low"]).T
         entry["w"] = wq.astype(w.dtype)
         eff[name] = entry
+    if cfg.is_moe and "experts" in lwc:
+        from ..models.params import MOE_EXPERT_LINEARS
+
+        experts = dict(eff["experts"])
+        for name in MOE_EXPERT_LINEARS:
+            entry = dict(experts[name])
+            entry["w"] = _fake_quant_experts(
+                entry["w"], spec, lwc["experts"][name]["up"], lwc["experts"][name]["low"]
+            )
+            experts[name] = entry
+        eff["experts"] = experts
     return eff
 
 
@@ -315,6 +380,19 @@ def omniquant_model(
                 lwc_low=lwc[name]["low"],
             )
             q_l[name] = entry
+        if cfg.is_moe and "experts" in lwc:
+            from ..models.params import MOE_EXPERT_LINEARS
+
+            experts = dict(q_l["experts"])
+            for name in MOE_EXPERT_LINEARS:
+                entry = dict(experts[name])
+                entry["w"] = jax.vmap(
+                    lambda w, up, low: quantize_rtn(
+                        w, ocfg.wspec, pack=ocfg.pack, lwc_up=up, lwc_low=low
+                    )
+                )(entry["w"], lwc["experts"][name]["up"], lwc["experts"][name]["low"])
+                experts[name] = entry
+            q_l["experts"] = experts
 
         # targets ARE run_fp(p_l, h_fp) batch-by-batch — reuse them
         h_fp = jnp.concatenate(targets, axis=0)

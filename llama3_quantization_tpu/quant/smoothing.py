@@ -135,3 +135,31 @@ def smoothquant_scale(
     a = jnp.clip(act_absmax.astype(jnp.float32), SCALE_MIN, None)
     w = jnp.clip(w_absmax.astype(jnp.float32), SCALE_MIN, None)
     return jnp.clip((a**alpha) / (w ** (1 - alpha)), SCALE_MIN, SCALE_MAX)
+
+
+def fold_norm_moe(norm, router, experts, scale, shift=None):
+    """Migrate a per-channel scale from the pre-MoE norm into the router and
+    every expert's gate/up (`fold_norm_linears` extended to the stacked
+    `[E, K, N]` expert layout; the reference has no MoE smoothing at all).
+
+    Scale-only: Mixtral's router and experts are bias-free, so a shift has
+    nowhere to fold — callers must keep it zero/None.
+    """
+    if shift is not None:
+        raise ValueError("MoE norm fold is scale-only (experts have no bias)")
+    s = sanitize_scale(scale)
+    new_norm = dict(norm)
+    new_norm["w"] = (norm["w"] / s).astype(norm["w"].dtype)
+    if "b" in norm:
+        new_norm["b"] = (norm["b"] / s).astype(norm["b"].dtype)
+    new_router = dict(router)
+    new_router["w"] = (
+        router["w"] * s[:, None].astype(router["w"].dtype)
+    ).astype(router["w"].dtype)
+    new_experts = dict(experts)
+    for name in ("gate", "up"):
+        entry = dict(new_experts[name])
+        w = entry["w"]  # [E, K, N]
+        entry["w"] = (w * s[None, :, None].astype(w.dtype)).astype(w.dtype)
+        new_experts[name] = entry
+    return new_norm, new_router, new_experts

@@ -173,3 +173,72 @@ def test_moe_capacity_validation():
 
     with pytest.raises(ValueError):
         set_moe_capacity(0.0)
+
+
+def test_moe_awq(setup):
+    """AWQ on Mixtral: ln2 scales fold into router+experts, expert weights
+    come back quantized, and W8 output error stays small."""
+    from llama3_quantization_tpu.quant.awq import awq_quantize_model
+
+    cfg, params, toks = setup
+    fp = forward_logits(params, toks, cfg)
+    qp = awq_quantize_model(
+        params, cfg, np.asarray(toks), QuantSpec(n_bits=8, group_size=32), n_grid=5
+    )
+    assert isinstance(qp["layers"]["experts"]["gate"]["w"], QuantizedTensor)
+    assert isinstance(qp["layers"]["q"]["w"], QuantizedTensor)
+    out = forward_logits(qp, toks, cfg)
+    err = float(jnp.mean(jnp.abs(out - fp)))
+    scale = float(jnp.mean(jnp.abs(fp))) + 1e-9
+    assert err / scale < 0.2
+
+
+def test_moe_omniquant_lwc_let(setup):
+    """OmniQuant LWC(+LET) trains per-expert clipping and bakes quantized
+    experts; scale-only LET fold keeps the fp forward exact."""
+    from llama3_quantization_tpu.quant.calibration import _layer_slice
+    from llama3_quantization_tpu.quant.omniquant import (
+        OmniConfig,
+        apply_let,
+        init_layer_let,
+        omniquant_model,
+    )
+    from llama3_quantization_tpu.models.transformer import (
+        NO_QUANT,
+        causal_mask,
+        decoder_layer,
+        rope_cos_sin,
+    )
+
+    cfg, params, toks = setup
+    # fp-neutrality of the MoE LET fold with arbitrary scales
+    p0 = _layer_slice(params["layers"], 0)
+    let = init_layer_let(p0, cfg)
+    assert "fc1_shift" not in let  # scale-only for MoE
+    key = jax.random.PRNGKey(7)
+    let["fc1_scale"] = jnp.exp(0.3 * jax.random.normal(key, let["fc1_scale"].shape))
+    h = jax.random.normal(jax.random.PRNGKey(8), (1, 8, cfg.hidden_size), jnp.float32)
+    folded = apply_let(p0, let, cfg)
+    cos_sin = rope_cos_sin(jnp.arange(8)[None, :], cfg.head_dim_, cfg.rope_theta, h.dtype)
+    mask = causal_mask(8)
+    base = decoder_layer(p0, h, cfg, NO_QUANT, cos_sin, mask)[0]
+    out = decoder_layer(folded, h, cfg, NO_QUANT, cos_sin, mask)[0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-4)
+
+    fp = forward_logits(params, toks, cfg)
+    qp = omniquant_model(
+        params,
+        cfg,
+        np.asarray(toks),
+        OmniConfig(
+            wspec=QuantSpec(n_bits=8, group_size=32, lwc=True),
+            epochs=1,
+            let=True,
+            batch_size=2,
+        ),
+    )
+    assert isinstance(qp["layers"]["experts"]["up"]["w"], QuantizedTensor)
+    out = forward_logits(qp, toks, cfg)
+    err = float(jnp.mean(jnp.abs(out - fp)))
+    scale = float(jnp.mean(jnp.abs(fp))) + 1e-9
+    assert err / scale < 0.2
