@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--act_order", action="store_true")
     p.add_argument("--blocksize", type=int, default=128)
     p.add_argument("--true_sequential", action="store_true")
+    p.add_argument("--observe", action="store_true",
+                   help="per-linear SNR diagnostics table (reference llama.py --observe)")
     # hqq
     p.add_argument("--hqq_iters", type=int, default=20)
     # distribution
@@ -152,9 +154,12 @@ def main(argv=None):
         from .api import quantize
 
         kw = {}
+        snr_rows: list = []
         if args.quant_method == "gptq":
             kw = dict(blocksize=args.blocksize, percdamp=args.percdamp,
                       actorder=args.act_order, true_sequential=args.true_sequential)
+            if args.observe:
+                kw["snr_log"] = snr_rows
         elif args.quant_method == "omniquant":
             kw = dict(epochs=args.epochs, lwc_lr=args.lwc_lr, aug_loss=args.aug_loss,
                       let=args.let, let_lr=args.let_lr)
@@ -168,6 +173,10 @@ def main(argv=None):
         print(f"[cli] {args.quant_method} W{args.wbits}"
               f"{'g'+str(args.group_size) if args.group_size else ''} "
               f"in {time.time()-t0:.1f}s", file=sys.stderr)
+        if snr_rows:
+            from .quant.gptq import format_snr_table
+
+            print(format_snr_table(snr_rows), file=sys.stderr)
 
     if args.moe_capacity is not None:
         from .models import set_moe_capacity

@@ -11,6 +11,7 @@ stream (quantized-input propagation, `llama.py:135-144`).
 
 from __future__ import annotations
 
+import time
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -28,8 +29,35 @@ from ..models.transformer import (
     rope_cos_sin,
 )
 from ..ops.matmul import qlinear
-from .gptq import HessianState, gptq_quantize_weight, hessian_init, hessian_update
+from .gptq import (
+    HessianState,
+    fake_quant_int8_per_tensor,
+    gptq_quantize_weight,
+    hessian_init,
+    hessian_update,
+    snr_error,
+)
 from .quantizer import QuantSpec
+
+
+def _snr_row(name, layer_idx, w_fp, w_q, x, weight_error, elapsed):
+    """One SNR diagnostics row (the reference `print_loss` probe,
+    `/root/reference/gptq.py:101-126`): compare the quantized weight's
+    output against the fp output on the captured inputs, with and without
+    int8 input quantization."""
+    from ..ops.matmul import qmatmul
+
+    x2 = x.reshape(-1, x.shape[-1])
+    y_fp = x2.astype(jnp.float32) @ w_fp.astype(jnp.float32)
+    y_q = qmatmul(x2, w_q)
+    y_q_in = qmatmul(fake_quant_int8_per_tensor(x2), w_q)
+    return {
+        "name": f"layer{layer_idx}.{name}",
+        "weight_error": weight_error,
+        "fp_inp_snr": snr_error(y_q, y_fp),
+        "q_inp_snr": snr_error(y_q_in, y_fp),
+        "time": elapsed,
+    }
 
 
 def layer_linear_inputs(
@@ -123,6 +151,7 @@ def gptq_quantize_model(
     rq: RuntimeQuantConfig = NO_QUANT,
     true_sequential: bool = False,
     progress: Optional[Callable[[int, int, Dict[str, float]], None]] = None,
+    snr_log: Optional[list] = None,
 ):
     """Sequential GPTQ over all decoder layers (`llama.py llama_sequential`,
     `/root/reference/llama.py:32-187`).
@@ -132,6 +161,10 @@ def gptq_quantize_model(
     untouched (reference quantizes only decoder-layer Linears).
     `true_sequential` quantizes sub-blocks in dataflow order, re-capturing
     inputs through already-quantized earlier groups (`llama.py:92-96`).
+
+    `snr_log`: pass a list to collect per-linear SNR diagnostics rows (the
+    reference's `GPTQ.print_loss` probe, `/root/reference/gptq.py:101-126`,
+    broken there by a missing import; render with `gptq.format_snr_table`).
     """
     tokens = jnp.asarray(calib_tokens, jnp.int32)
     n = tokens.shape[0]
@@ -158,12 +191,16 @@ def gptq_quantize_model(
         hstate: Dict[str, HessianState] = {
             name: hessian_init(q_l[name]["w"].shape[0]) for name in group
         }
+        caps0 = None
         for b0 in range(0, n, batch_size):
             caps = capture(q_l, h[b0 : b0 + batch_size])
+            if caps0 is None:
+                caps0 = caps
             for name in group:
                 hstate[name] = hessian_update(hstate[name], caps[name])
         for name in group:
             entry = dict(q_l[name])
+            t0 = time.perf_counter()
             qt, err = gptq_quantize_weight(
                 entry["w"],
                 hstate[name].H,
@@ -174,6 +211,11 @@ def gptq_quantize_model(
                 pack=pack,
             )
             errs[name] = float(err)
+            if snr_log is not None:
+                snr_log.append(
+                    _snr_row(name, l, entry["w"], qt, caps0[name], float(err),
+                             time.perf_counter() - t0)
+                )
             entry["w"] = qt
             q_l[name] = entry
         return q_l

@@ -59,6 +59,40 @@ class Observer:
         return "\n".join(rows)
 
 
+def snr_error(y_hat: jax.Array, y: jax.Array) -> float:
+    """Noise-to-signal power ratio (the reference's `utils.torch_snr_error`,
+    imported at `/root/reference/gptq.py:9` but missing in the fork — its
+    SNR diagnostics are broken there; working here). Lower is better."""
+    y_hat = y_hat.reshape(-1, y_hat.shape[-1]).astype(jnp.float32)
+    y = y.reshape(-1, y.shape[-1]).astype(jnp.float32)
+    noise = jnp.sum((y_hat - y) ** 2, axis=-1)
+    signal = jnp.sum(y**2, axis=-1)
+    return float(jnp.mean(noise / jnp.clip(signal, 1e-12, None)))
+
+
+def fake_quant_int8_per_tensor(x: jax.Array) -> jax.Array:
+    """Per-tensor symmetric int8 fake-quant of an activation — the input
+    quantizer the reference's SNR probe uses (`gptq.py:111-116`,
+    `Quantizer.configure(8, perchannel=False, sym=True)`)."""
+    scale = jnp.clip(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-12, None) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127)
+    return (q * scale).astype(x.dtype)
+
+
+def format_snr_table(rows) -> str:
+    """Render SNR diagnostics rows as the reference's texttable layout
+    (`gptq.py:101-126`: name | weight_error | fp_inp_SNR | q_inp_SNR | time)."""
+    out = [
+        "| name | weight_error | fp_inp_SNR | q_inp_SNR | time |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        out.append(
+            "| {name} | {weight_error:.4f} | {fp_inp_snr:.6f} | {q_inp_snr:.6f} | {time:.2f}s |".format(**r)
+        )
+    return "\n".join(out)
+
+
 # ---------------------------------------------------------------------------
 # GPTQ-for-LLaMa grid finder
 # ---------------------------------------------------------------------------

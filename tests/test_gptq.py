@@ -232,3 +232,44 @@ def test_mixed_precision_gptq_moe():
     for key in upgraded:
         name = key.rsplit(".", 1)[0]
         assert name in names, key
+
+
+def test_snr_diagnostics():
+    """snr_log rows behave like the reference print_loss probe: W8 SNR
+    error < W2, int8-input SNR >= fp-input SNR, and the table renders."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama3_quantization_tpu.models import init_params
+    from llama3_quantization_tpu.models.configs import TINY_LLAMA
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.quant.calibration import gptq_quantize_model
+    from llama3_quantization_tpu.quant.gptq import format_snr_table, snr_error
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16))
+
+    def run(bits):
+        rows = []
+        gptq_quantize_model(
+            params, cfg, toks, QuantSpec(n_bits=bits, group_size=32),
+            batch_size=4, snr_log=rows,
+        )
+        return rows
+
+    rows8, rows2 = run(8), run(2)
+    assert len(rows8) == len(rows2) > 0
+    mean8 = sum(r["fp_inp_snr"] for r in rows8) / len(rows8)
+    mean2 = sum(r["fp_inp_snr"] for r in rows2) / len(rows2)
+    assert mean8 < mean2
+    for r in rows8:
+        assert r["q_inp_snr"] >= r["fp_inp_snr"] - 1e-6
+    table = format_snr_table(rows8)
+    assert "fp_inp_SNR" in table and "layer0.q" in table
+
+    # snr_error basics
+    y = jnp.ones((4, 8))
+    assert snr_error(y, y) == 0.0
+    assert snr_error(y * 1.1, y) > 0.0
