@@ -230,8 +230,19 @@ def main(argv=None):
             from .eval.harness import CachingLM
 
             lm = CachingLM(lm, args.use_cache)
+        # build the task dict up front so an offline-unavailable dataset
+        # skips that task (with a warning) instead of killing the run
+        from .eval.harness.evaluator import pattern_match
+        from .eval.harness.tasks import TASK_REGISTRY
+
+        task_dict = {}
+        for name in pattern_match(args.tasks.split(","), list(TASK_REGISTRY)):
+            try:
+                task_dict[name] = TASK_REGISTRY[name]()
+            except RuntimeError as e:
+                print(f"[cli] skipping task {name}: {e}", file=sys.stderr)
         t_res = simple_evaluate(
-            lm, tasks=args.tasks, num_fewshot=args.num_fewshot,
+            lm, tasks=task_dict, num_fewshot=args.num_fewshot,
             limit=None if args.limit == -1 else args.limit,
             decontamination_ngrams_path=args.decontamination_ngrams_path,
         )
