@@ -10,4 +10,9 @@ XLA inserts the all-reduces.
 """
 
 from .mesh import make_mesh  # noqa: F401
+from .pipeline import (  # noqa: F401
+    make_pipeline_forward,
+    pipeline_pspecs,
+    shard_params_pipeline,
+)
 from .sharding import model_pspecs, shard_params, make_sharded_forward  # noqa: F401

@@ -107,3 +107,45 @@ def test_make_pod_mesh_single_host():
 
     mesh = make_pod_mesh(tp=4)
     assert dict(mesh.shape) == {"dp": 2, "tp": 4}
+
+
+def test_pipeline_parallel_matches_reference():
+    """GPipe shard_map pipeline == single-device forward, fp and quantized."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from llama3_quantization_tpu.models import (
+        forward_logits,
+        init_params,
+        quantize_model_rtn,
+    )
+    from llama3_quantization_tpu.models.configs import TINY_LLAMA
+    from llama3_quantization_tpu.parallel import (
+        make_pipeline_forward,
+        shard_params_pipeline,
+    )
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    cfg = dataclasses.replace(TINY_LLAMA, num_layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (8, 16), 0, cfg.vocab_size)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("pp",))
+
+    ref = forward_logits(params, toks, cfg)
+    out = make_pipeline_forward(cfg, mesh, n_microbatches=4)(
+        shard_params_pipeline(params, mesh, cfg), toks
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    # quantized weights ride the same pipeline (QuantizedTensor leaves
+    # shard on their stacked layer axis)
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=8, group_size=32))
+    qref = forward_logits(qp, toks, cfg)
+    qout = make_pipeline_forward(cfg, mesh, n_microbatches=2)(
+        shard_params_pipeline(qp, mesh, cfg), toks
+    )
+    np.testing.assert_allclose(np.asarray(qout), np.asarray(qref), atol=1e-4)
