@@ -106,7 +106,9 @@ def main():
     # a8 backend: serving-format per-column symmetric int8 weights (what
     # quant/serving.recode_model_s8 produces from any quantized model) ->
     # one s8 MXU dot per linear at HBM speed-of-light
-    head_s8 = os.environ.get("L3Q_BENCH_HEAD") == "s8"
+    # default the a8 serving path to the s8 lm_head recode: best-of-5 shows
+    # its full ~3% (86.2 vs 83.8 tok/s); L3Q_BENCH_HEAD=bf16 reverts
+    head_s8 = os.environ.get("L3Q_BENCH_HEAD", "s8" if backend == "a8" else "bf16") == "s8"
     params = init_quantized_params(
         cfg, spec, pack=backend != "a8", percol_s8=backend == "a8", head_s8=head_s8
     )
