@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     # distribution
     p.add_argument("--tp", type=int, default=None, help="tensor-parallel size")
     p.add_argument("--dp", type=int, default=None, help="data-parallel size")
+    p.add_argument("--sp", type=int, default=None,
+                   help="sequence-parallel size for PPL (ring attention)")
     # io
     p.add_argument("--save_dir", default=None)
     p.add_argument("--output_json", default=None)
@@ -214,9 +216,26 @@ def main(argv=None):
                                          tokenizer=tokenizer)
                 streams[ds] = np.asarray(testenc)
         limit = None if args.limit == -1 else args.limit
-        results.update(
-            eval_ppl_suite(params, cfg, streams, seqlen=args.seqlen, rq=rq, limit=limit)
-        )
+        step_fn = None
+        if args.sp:
+            import numpy as _np
+            from jax.sharding import Mesh
+
+            from .eval.ppl import compute_ppl, sp_windowed_nll_fn
+
+            import jax as _jax
+
+            smesh = Mesh(_np.array(_jax.devices()[: args.sp]).reshape(args.sp), ("sp",))
+            step_fn = sp_windowed_nll_fn(cfg, smesh, rq=rq)
+            print(f"[cli] PPL under ring attention, sp={args.sp}", file=sys.stderr)
+            results.update({
+                name: compute_ppl(params, cfg, enc, args.seqlen, rq, limit, step_fn=step_fn)
+                for name, enc in streams.items()
+            })
+        else:
+            results.update(
+                eval_ppl_suite(params, cfg, streams, seqlen=args.seqlen, rq=rq, limit=limit)
+            )
         for k, v in results.items():
             print(f"[cli] {k} ppl = {v:.4f}", file=sys.stderr)
 

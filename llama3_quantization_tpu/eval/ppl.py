@@ -73,6 +73,30 @@ def windowed_nll_fn(
     return step
 
 
+def sp_windowed_nll_fn(
+    cfg: ModelConfig,
+    mesh,
+    rq: RuntimeQuantConfig = NO_QUANT,
+    chunk: int = 512,
+) -> Callable:
+    """Sequence-parallel per-window NLL step: the trunk runs under ring
+    attention with the window sharded over the `sp` mesh axis, so windows
+    far beyond the reference's pinned 2048 (`main.py:312`) fit — per-device
+    attention stays [S/sp × S/sp]. Same window math as `windowed_nll_fn`.
+    """
+    from ..parallel.ring_attention import make_sp_forward
+
+    hidden_fn = make_sp_forward(cfg, mesh, rq, return_hidden=True)
+
+    @jax.jit
+    def step(params, tokens):
+        hidden = hidden_fn(params, tokens)
+        ce_sum = _chunked_nll(params, hidden[:, :-1, :], tokens[:, 1:], cfg, chunk)
+        return ce_sum / tokens[:, 1:].size * tokens.shape[1]
+
+    return step
+
+
 def compute_ppl(
     params,
     cfg: ModelConfig,

@@ -108,10 +108,16 @@ def ring_attention(
     return jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, s, h, d).astype(q.dtype)
 
 
-def make_sp_forward(cfg: ModelConfig, mesh: Mesh, rq: RuntimeQuantConfig = NO_QUANT):
-    """jitted `fn(params, tokens) -> logits` with the sequence axis sharded
-    over `sp`. Params replicated (combine with tp/pp at larger scale);
-    pre-norm (llama/mixtral) architectures.
+def make_sp_forward(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    rq: RuntimeQuantConfig = NO_QUANT,
+    return_hidden: bool = False,
+):
+    """jitted `fn(params, tokens) -> logits` (or final hidden states with
+    `return_hidden`, for chunked-lm_head consumers like the PPL loop) with
+    the sequence axis sharded over `sp`. Params replicated (combine with
+    tp/pp at larger scale); pre-norm (llama/mixtral) architectures.
 
     Requirements: `tokens.shape[1] % sp == 0`.
     """
@@ -151,7 +157,7 @@ def make_sp_forward(cfg: ModelConfig, mesh: Mesh, rq: RuntimeQuantConfig = NO_QU
 
         h, _ = jax.lax.scan(body, h, params["layers"])
         h = _norm(params["norm"], h, cfg)
-        return lm_head(params, h, cfg)
+        return h if return_hidden else lm_head(params, h, cfg)
 
     def repl_specs(params):
         return jax.tree_util.tree_map(lambda x: P(*([None] * x.ndim)), params)
