@@ -165,15 +165,33 @@ def evaluate(
     return {"results": dict(results), "versions": dict(versions)}
 
 
-def make_table(result_dict) -> str:
-    """Markdown results table (`lm_eval/evaluator.py:284-314`)."""
-    rows = ["|Task|Version|Metric|Value|Stderr|", "|---|---|---|---|---|"]
+def _table_rows(result_dict):
     for k, dic in result_dict["results"].items():
         version = result_dict["versions"].get(k, "")
         for m, v in dic.items():
             if m.endswith("_stderr"):
                 continue
             se = dic.get(m + "_stderr")
-            se_str = f"± {se:.4f}" if se is not None else ""
-            rows.append(f"|{k}|{version}|{m}|{v:.4f}|{se_str}|")
+            yield k, version, m, v, se
+
+
+def make_table(result_dict, fmt: str = "markdown") -> str:
+    """Results table, markdown or latex (`lm_eval/evaluator.py:284-314`
+    emits both via pytablewriter; here one writer with a `fmt` switch)."""
+    if fmt == "latex":
+        rows = [
+            r"\begin{tabular}{lllrl}",
+            r"Task & Version & Metric & Value & Stderr \\ \hline",
+        ]
+        for k, version, m, v, se in _table_rows(result_dict):
+            se_str = f"$\\pm$ {se:.4f}" if se is not None else ""
+            metric = m.replace("_", r"\_")
+            task = k.replace("_", r"\_")
+            rows.append(f"{task} & {version} & {metric} & {v:.4f} & {se_str} \\\\")
+        rows.append(r"\end{tabular}")
+        return "\n".join(rows)
+    rows = ["|Task|Version|Metric|Value|Stderr|", "|---|---|---|---|---|"]
+    for k, version, m, v, se in _table_rows(result_dict):
+        se_str = f"± {se:.4f}" if se is not None else ""
+        rows.append(f"|{k}|{version}|{m}|{v:.4f}|{se_str}|")
     return "\n".join(rows)

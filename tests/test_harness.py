@@ -329,3 +329,11 @@ def test_task_registry_families_complete():
     # every registered class instantiates lazily without dataset access
     t = TASK_REGISTRY["blimp_wh_island"](data={"train": []})
     assert t.has_validation_docs()
+
+
+def test_make_table_latex():
+    res = {"results": {"piqa": {"acc": 0.5, "acc_stderr": 0.01}}, "versions": {"piqa": 0}}
+    md = make_table(res)
+    assert "|piqa|0|acc|0.5000|" in md
+    tex = make_table(res, fmt="latex")
+    assert r"\begin{tabular}" in tex and "piqa & 0 & acc & 0.5000" in tex
