@@ -254,8 +254,15 @@ def main(argv=None):
         from .eval.harness.evaluator import pattern_match
         from .eval.harness.tasks import TASK_REGISTRY
 
+        requested = [t for t in args.tasks.split(",") if t]
+        names = pattern_match(requested, list(TASK_REGISTRY))
+        unknown = set(requested) - set(names) - {
+            t for t in requested if any(c in t for c in "*?[")
+        }
+        if unknown:
+            raise SystemExit(f"unknown tasks: {sorted(unknown)}")
         task_dict = {}
-        for name in pattern_match(args.tasks.split(","), list(TASK_REGISTRY)):
+        for name in names:
             try:
                 task_dict[name] = TASK_REGISTRY[name]()
             except RuntimeError as e:

@@ -58,9 +58,6 @@ def squad_f1(prediction: str, ground_truth: str) -> float:
     gold_toks = squad_normalize(ground_truth).split()
     if not pred_toks or not gold_toks:
         return float(pred_toks == gold_toks)
-    common = {}
-    for t in pred_toks:
-        common[t] = common.get(t, 0)
     overlap = 0
     gold_counts = {}
     for t in gold_toks:

@@ -9,14 +9,13 @@ from .. import metrics
 from ..base import Task, rf
 
 
-def _squad2_aggregate(items, key):
-    """Compute the squad_v2 metric dict over (prediction, reference) pairs
-    and return `key`. Mirrors the official evaluate script: per-question
-    max-over-golds normalized EM/F1, empty gold = unanswerable, and the
-    best_* variants swept over no-answer probability thresholds."""
-    preds, refs = zip(*items)
+def _squad2_aggregate(items):
+    """Full squad_v2 metric dict over (prediction, reference) pairs.
+    Mirrors the official evaluate script: per-question max-over-golds
+    normalized EM/F1, empty gold = unanswerable, and the best_* variants
+    swept over no-answer probability thresholds."""
     rows = []
-    for pred, ref in zip(preds, refs):
+    for pred, ref in items:
         golds = [t for t in ref["answers"]["text"] if t.strip()]
         has_ans = bool(golds)
         if has_ans:
@@ -46,24 +45,36 @@ def _squad2_aggregate(items, key):
     if no_rows:
         out["NoAns_exact"] = 100.0 * sum(r["em"] for r in no_rows) / len(no_rows)
         out["NoAns_f1"] = 100.0 * sum(r["f1"] for r in no_rows) / len(no_rows)
-    # best_*: for each candidate threshold t, predictions with na_prob > t
-    # are treated as abstentions (correct iff unanswerable)
+    # best_*: descending-threshold scan — at t=inf nothing abstains (score
+    # = sum of the metric); lowering t past a row's na_prob flips that row
+    # from its metric value to "correct iff unanswerable". One sort + one
+    # linear pass instead of a rescan per candidate threshold.
+    by_na = sorted(rows, key=lambda r: r["na_prob"], reverse=True)
     for metric_key, best_key in [("em", "best_exact"), ("f1", "best_f1")]:
-        best = -1.0
-        for t in sorted({r["na_prob"] for r in rows} | {0.0, 1.1}):
-            score = 0.0
-            for r in rows:
-                if r["na_prob"] > t:
-                    score += float(not r["has_ans"])
-                else:
-                    score += r[metric_key]
-            best = max(best, 100.0 * score / n)
-        out[best_key] = best
-    return out.get(key, 0.0)
+        score = sum(r[metric_key] for r in rows)
+        best = score
+        for r in by_na:
+            score += float(not r["has_ans"]) - r[metric_key]
+            best = max(best, score)
+        out[best_key] = 100.0 * best / n
+    return out
+
+
+#: the evaluator calls one aggregation fn per metric key, each over a list
+#: of the SAME (prediction, reference) tuples; compute the expensive
+#: aggregate once per distinct item sequence and share it across keys
+_AGG_CACHE: dict = {}
 
 
 def _agg(key):
-    return lambda items: _squad2_aggregate(items, key)
+    def agg(items):
+        cache_key = tuple(id(x) for x in items)
+        if _AGG_CACHE.get("key") != cache_key:
+            _AGG_CACHE["key"] = cache_key
+            _AGG_CACHE["value"] = _squad2_aggregate(items)
+        return _AGG_CACHE["value"].get(key, 0.0)
+
+    return agg
 
 
 class SQuAD2(Task):

@@ -223,6 +223,7 @@ def _attn_block(
     mask: Optional[jax.Array],
     kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_pos: Optional[jax.Array] = None,
+    attn_impl=None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     b, s, _ = h.shape
     hd = cfg.head_dim_
@@ -248,8 +249,13 @@ def _attn_block(
     else:
         k_all, v_all, new_cache = k, v, None
     # flash path only for the cache-free full-sequence forward (plain
-    # causal mask); decode always uses the eager cache-masked path
-    attn = _attention(q, k_all, v_all, mask, cfg, rq, allow_flash=kv_cache is None)
+    # causal mask); decode always uses the eager cache-masked path.
+    # `attn_impl` swaps in an alternative core (e.g. ring attention) while
+    # keeping the projection/RoPE/cache plumbing here.
+    if attn_impl is not None:
+        attn = attn_impl(q, k_all, v_all)
+    else:
+        attn = _attention(q, k_all, v_all, mask, cfg, rq, allow_flash=kv_cache is None)
     out = qlinear(attn.reshape(b, s, cfg.num_heads * hd), p["o"]["w"], p["o"].get("b"), rq.act)
     return out, new_cache
 
@@ -377,16 +383,21 @@ def decoder_layer(
     mask,
     kv_cache=None,
     cache_pos=None,
+    attn_impl=None,
 ):
     """Pre-norm residual layer (`int_llama_layer.py:213-267`,
     `int_opt_layer.py:230-347`), or Falcon's parallel attention+MLP off one
     shared layernorm (`int_falcon_layer.py:239-317`)."""
     if cfg.parallel_block:
         x = _norm(p["ln1"], h, cfg)
-        attn_out, new_cache = _attn_block(p, x, cfg, rq, cos_sin, mask, kv_cache, cache_pos)
+        attn_out, new_cache = _attn_block(
+            p, x, cfg, rq, cos_sin, mask, kv_cache, cache_pos, attn_impl
+        )
         return h + attn_out + _mlp_block(p, x, cfg, rq), new_cache
     attn_in = _norm(p["ln1"], h, cfg)
-    attn_out, new_cache = _attn_block(p, attn_in, cfg, rq, cos_sin, mask, kv_cache, cache_pos)
+    attn_out, new_cache = _attn_block(
+        p, attn_in, cfg, rq, cos_sin, mask, kv_cache, cache_pos, attn_impl
+    )
     h = h + attn_out
     mlp_in = _norm(p["ln2"], h, cfg)
     h = h + _mlp_block(p, mlp_in, cfg, rq)

@@ -33,11 +33,9 @@ from ..models.configs import ModelConfig
 from ..models.transformer import (
     NO_QUANT,
     RuntimeQuantConfig,
-    _mlp_block,
     _norm,
-    apply_rope,
+    decoder_layer,
     lm_head,
-    qlinear,
     rope_cos_sin,
 )
 
@@ -49,12 +47,21 @@ def ring_attention(
     k: jax.Array,  # [B, S_loc, Hkv, D]
     v: jax.Array,  # [B, S_loc, Hkv, D]
     axis_name: str = "sp",
+    rq: RuntimeQuantConfig = NO_QUANT,
 ) -> jax.Array:
     """Causal blockwise attention with KV blocks rotating around the ring.
 
     Must run inside `shard_map` with `axis_name` bound. GQA via the same
-    head-group einsum as the eager path; fp32 accumulation.
+    head-group einsum as the eager path; fp32 accumulation. The eager
+    path's q/k/v fake-quant hooks apply (`int_llama_layer.py:141-163`);
+    the probs hook (`rq.p`) cannot — probabilities only exist after the
+    global online-softmax merge — and is rejected by `make_sp_forward`.
     """
+    from ..models.transformer import _maybe_fq
+
+    q = _maybe_fq(q, rq.q)
+    k = _maybe_fq(k, rq.k)
+    v = _maybe_fq(v, rq.v)
     b, s, h, d = q.shape
     g = k.shape[2]
     rep = h // g
@@ -123,37 +130,26 @@ def make_sp_forward(
     """
     if cfg.parallel_block or not cfg.uses_rope:
         raise NotImplementedError("sp forward supports pre-norm RoPE archs")
+    if rq.p is not None:
+        raise NotImplementedError(
+            "rq.p (softmax-probs fake-quant) has no equivalent under the "
+            "ring online-softmax merge; use the single-device path for it"
+        )
     sp = mesh.shape["sp"]
+    ring = partial(ring_attention, rq=rq)
 
     def trunk(params, tokens):  # per-device under shard_map
         my = jax.lax.axis_index("sp")
         b, s_loc = tokens.shape
         positions = my * s_loc + jnp.arange(s_loc)[None, :]  # absolute
         h = jnp.take(params["embed"], tokens, axis=0, mode="clip")
-        cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
-        hd = cfg.head_dim_
+        cos_sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
 
         def body(hc, p):
-            x = _norm(p["ln1"], hc, cfg)
-            q = qlinear(x, p["q"]["w"], p["q"].get("b"), rq.act).reshape(
-                b, s_loc, cfg.num_heads, hd
+            hc, _ = decoder_layer(
+                p, hc, cfg, rq, cos_sin, mask=None, attn_impl=ring
             )
-            k = qlinear(x, p["k"]["w"], p["k"].get("b"), rq.act).reshape(
-                b, s_loc, cfg.num_kv_heads, hd
-            )
-            v = qlinear(x, p["v"]["w"], p["v"].get("b"), rq.act).reshape(
-                b, s_loc, cfg.num_kv_heads, hd
-            )
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
-            attn = ring_attention(q, k, v)
-            attn = qlinear(
-                attn.reshape(b, s_loc, cfg.num_heads * hd),
-                p["o"]["w"], p["o"].get("b"), rq.act,
-            )
-            hc = hc + attn
-            mlp_in = _norm(p["ln2"], hc, cfg)
-            return hc + _mlp_block(p, mlp_in, cfg, rq), None
+            return hc, None
 
         h, _ = jax.lax.scan(body, h, params["layers"])
         h = _norm(params["norm"], h, cfg)

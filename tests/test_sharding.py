@@ -218,3 +218,36 @@ def test_ring_attention_matches_eager_directly():
     )
     out = jax.jit(ring)(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ring_attention_honors_attn_quant_hooks():
+    """rq.k/v hooks change sp outputs the same way they change the eager
+    path; rq.p is rejected."""
+    import numpy as np
+    import pytest
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from llama3_quantization_tpu.models import forward_logits, init_params
+    from llama3_quantization_tpu.models.configs import TINY_LLAMA
+    from llama3_quantization_tpu.models.transformer import RuntimeQuantConfig
+    from llama3_quantization_tpu.parallel import make_sp_forward
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, cfg.vocab_size)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))
+
+    rq = RuntimeQuantConfig(k=QuantSpec(n_bits=4), v=QuantSpec(n_bits=4))
+    ref = forward_logits(params, toks, cfg, rq)
+    out = make_sp_forward(cfg, mesh, rq=rq)(params, toks)
+    # k/v fake-quant applied in both paths -> same numbers
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # and the quantized run differs from the unquantized one
+    base = forward_logits(params, toks, cfg)
+    assert float(jnp.max(jnp.abs(ref - base))) > 1e-3
+
+    with pytest.raises(NotImplementedError):
+        make_sp_forward(cfg, mesh, rq=RuntimeQuantConfig(p=QuantSpec(n_bits=8)))
