@@ -9,6 +9,7 @@ the feature axis, scales sharded congruently), and jitted programs in which
 XLA inserts the all-reduces.
 """
 
+from .collective_matmul import ag_matmul, rs_matmul  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
 from .pipeline import (  # noqa: F401
     make_pipeline_forward,

@@ -251,3 +251,55 @@ def test_ring_attention_honors_attn_quant_hooks():
 
     with pytest.raises(NotImplementedError):
         make_sp_forward(cfg, mesh, rq=RuntimeQuantConfig(p=QuantSpec(n_bits=8)))
+
+
+def test_collective_matmuls():
+    """Ring ag/rs matmuls == dense x @ W, fp and quantized shards."""
+    import dataclasses
+    from functools import partial
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from llama3_quantization_tpu.ops.matmul import qmatmul
+    from llama3_quantization_tpu.parallel import ag_matmul, rs_matmul
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.quant.qtensor import quantize_rtn
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("tp",))
+    S, K, N = 32, 64, 48
+    x = jax.random.normal(jax.random.PRNGKey(0), (S, K), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (K, N), jnp.float32)
+    dense = np.asarray(x @ w)
+
+    ag = jax.jit(shard_map(partial(ag_matmul, axis_name="tp"), mesh=mesh,
+        in_specs=(P("tp", None), P(None, "tp")), out_specs=P(None, "tp"),
+        check_rep=False))
+    np.testing.assert_allclose(np.asarray(ag(x, w)), dense, rtol=2e-5, atol=1e-4)
+
+    rs = jax.jit(shard_map(partial(rs_matmul, axis_name="tp"), mesh=mesh,
+        in_specs=(P(None, "tp"), P("tp", None)), out_specs=P("tp", None),
+        check_rep=False))
+    np.testing.assert_allclose(np.asarray(rs(x, w)), dense, rtol=2e-5, atol=1e-4)
+
+    # quantized column shard through ag; group-aligned row shard through rs
+    wq = quantize_rtn(w, QuantSpec(n_bits=8, group_size=8))
+    refq = np.asarray(qmatmul(x, wq))
+    col_spec = dataclasses.replace(
+        wq, data=P(None, "tp"), scale=P(None, "tp"),
+        zero=None if wq.zero is None else P(None, "tp"))
+    agq = jax.jit(shard_map(partial(ag_matmul, axis_name="tp"), mesh=mesh,
+        in_specs=(P("tp", None), col_spec), out_specs=P(None, "tp"),
+        check_rep=False))
+    np.testing.assert_allclose(np.asarray(agq(x, wq)), refq, rtol=2e-5, atol=1e-4)
+
+    row_spec = dataclasses.replace(
+        wq, data=P("tp", None), scale=P("tp", None),
+        zero=None if wq.zero is None else P("tp", None))
+    rsq = jax.jit(shard_map(partial(rs_matmul, axis_name="tp"), mesh=mesh,
+        in_specs=(P(None, "tp"), row_spec), out_specs=P("tp", None),
+        check_rep=False))
+    np.testing.assert_allclose(np.asarray(rsq(x, wq)), refq, rtol=2e-5, atol=1e-4)
