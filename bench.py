@@ -135,6 +135,22 @@ def main():
     _ = int(toks[0, -1])
     log(f"generate loop (compile+run) in {time.time()-t0:.1f}s")
 
+    if os.environ.get("L3Q_BENCH_CHECK"):
+        # quality cross-check during the latency run (the reference's
+        # `llama.py benchmark --check`, `/root/reference/llama.py:456-464`):
+        # the decode loop's greedy tokens must equal the full-sequence
+        # forward's argmax continuation of the same prefix
+        from llama3_quantization_tpu.models.transformer import forward_logits
+
+        prefix = jnp.concatenate([tok, toks], axis=1)  # [B, 1+steps]
+        full = jax.jit(partial(forward_logits, cfg=cfg))(params, prefix[:, :-1])
+        want = jnp.argmax(full[:, -decode_steps:], axis=-1)
+        got = toks[:, :decode_steps]
+        ok = bool(jnp.all(want == got))
+        log(f"decode-vs-forward greedy check: {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            raise SystemExit("decode/forward greedy mismatch")
+
     trace_dir = os.environ.get("L3Q_BENCH_TRACE")
     if trace_dir:
         from llama3_quantization_tpu.utils.profiling import profile_trace
