@@ -303,3 +303,39 @@ def test_collective_matmuls():
         in_specs=(P(None, "tp"), row_spec), out_specs=P("tp", None),
         check_rep=False))
     np.testing.assert_allclose(np.asarray(rsq(x, wq)), refq, rtol=2e-5, atol=1e-4)
+
+
+def test_pipeline_parallel_all_archs():
+    """The GPipe pipeline is architecture-agnostic: OPT (learned positions),
+    Falcon (parallel block), and Mixtral (MoE) all match single-device."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from llama3_quantization_tpu.models import forward_logits, init_params
+    from llama3_quantization_tpu.models.configs import (
+        TINY_FALCON,
+        TINY_MIXTRAL,
+        TINY_OPT,
+    )
+    from llama3_quantization_tpu.parallel import (
+        make_pipeline_forward,
+        shard_params_pipeline,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("pp",))
+    for base in (TINY_OPT, TINY_FALCON, TINY_MIXTRAL):
+        cfg = dataclasses.replace(base, num_layers=2)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, cfg.vocab_size)
+        ref = forward_logits(params, toks, cfg)
+        out = make_pipeline_forward(cfg, mesh, n_microbatches=2)(
+            shard_params_pipeline(params, mesh, cfg), toks
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4,
+            err_msg=f"pipeline mismatch for {base.arch}",
+        )
