@@ -27,11 +27,13 @@ from ..quant.qtensor import QuantizedTensor
 
 
 def quantize_activations_s8(x: jax.Array):
-    """Per-row (token) symmetric int8: returns (x_q int8, scale f32 [..., 1])."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    s = jnp.clip(absmax / 127.0, 1e-8, None)
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
-    return xq, s
+    """Per-row (token) symmetric int8: returns (x_q int8, scale f32 [..., 1]).
+
+    Same last-axis absmax/127 routine as the KV cache's `kv_quantize` —
+    one shared implementation so the two quantizers cannot drift."""
+    from .kvcache import kv_quantize
+
+    return kv_quantize(x)
 
 
 def a8_matmul(x: jax.Array, qt: QuantizedTensor, out_dtype=None) -> jax.Array:

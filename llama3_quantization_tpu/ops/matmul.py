@@ -51,6 +51,9 @@ def backend(name: str):
         _BACKEND = prev
 
 
+_A8_PACKED_WARNED = False
+
+
 def qmatmul(x: jax.Array, w, out_dtype=None) -> jax.Array:
     """`x @ w` where `w` is a jax.Array or a QuantizedTensor `[K, N]`."""
     if isinstance(w, QuantizedTensor):
@@ -58,6 +61,20 @@ def qmatmul(x: jax.Array, w, out_dtype=None) -> jax.Array:
             from .a8_matmul import a8_matmul
 
             return a8_matmul(x, w, out_dtype=out_dtype)
+        if _BACKEND == "a8" and w.packed:
+            # packed storage cannot ride the native s8 dot; make the silent
+            # 3-6x-slower dequant fallback visible once
+            global _A8_PACKED_WARNED
+            if not _A8_PACKED_WARNED:
+                _A8_PACKED_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    "a8 backend with PACKED weights: falling back to the XLA "
+                    "dequant path — recode with quant.serving.recode_model_s8 "
+                    "(unpacked s8 containers) for the native MXU path",
+                    stacklevel=2,
+                )
         if (
             _BACKEND == "pallas"
             and x.ndim >= 2

@@ -266,10 +266,12 @@ def fused_dequant_matmul(
         version = 1  # v2's per-bitfield dots assume nibble layout
     f = pack_factor(qt.bits) if packed else 1
 
-    if not packed and gs > 512 and qt.k % 512 == 0:
+    if not packed and gs > 512 and gs % 512 == 0 and qt.k % 512 == 0:
         # unpacked codes have no group-local layout, so large/whole-axis
         # groups can be re-tiled into 512-row synthetic groups (scales
-        # replicated) to keep VMEM tiles small
+        # replicated) to keep VMEM tiles small. Only when 512 divides gs:
+        # otherwise the replicated scale rows would not line up with the
+        # synthetic group grid and the kernel would read past them.
         rep = gs // 512
         gs = 512
         scale = jnp.repeat(scale, rep, axis=0)

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models.params import linear_names
+from ..models.params import MOE_EXPERT_LINEARS, linear_names
 from .qtensor import QuantizedTensor, dequantize
 
 
@@ -70,16 +70,32 @@ def recode_model_s8(params, cfg, include_head: bool = False):
 
     out = dict(params)
     layers = dict(params["layers"])
+    def recode_stacked(w, lead_dims: int):
+        """Recode a QuantizedTensor with `lead_dims` stacked leading axes
+        ([L, ...] linears, [L, E, ...] experts), one slice at a time."""
+        if lead_dims == 0:
+            return jit_recode(w)
+        per = [
+            recode_stacked(jax.tree_util.tree_map(lambda a: a[i], w), lead_dims - 1)
+            for i in range(w.data.shape[0])
+        ]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per)
+
     for name in linear_names(cfg):
         entry = dict(layers[name])
         w = entry["w"]
         if isinstance(w, QuantizedTensor):
-            per_layer = [
-                jit_recode(jax.tree_util.tree_map(lambda a: a[l], w))
-                for l in range(w.data.shape[0])
-            ]
-            entry["w"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+            entry["w"] = recode_stacked(w, 1)
             layers[name] = entry
+    if cfg.is_moe:
+        # experts [L, E, K, N] carry most MoE bytes — recode them too
+        experts = dict(layers["experts"])
+        for name in MOE_EXPERT_LINEARS:
+            entry = dict(experts[name])
+            if isinstance(entry["w"], QuantizedTensor):
+                entry["w"] = recode_stacked(entry["w"], 2)
+                experts[name] = entry
+        layers["experts"] = experts
     out["layers"] = layers
     if include_head and "lm_head" in out:
         out["lm_head"] = jax.jit(recode_head_s8)(out["lm_head"])

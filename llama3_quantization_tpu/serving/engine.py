@@ -92,6 +92,20 @@ class ServingEngine:
         self._slot_req: Dict[int, int] = {}
         self._next_rid = 0
 
+        def _splice(cache, slot_cache, slot):
+            return {
+                k: jax.lax.dynamic_update_slice(
+                    cache[k],
+                    slot_cache[k].astype(cache[k].dtype),
+                    (0, slot) + (0,) * (cache[k].ndim - 2),
+                )
+                for k in cache
+            }
+
+        # donated: the pool buffers update in place instead of 2-4 whole-
+        # cache device copies per admission
+        self._splice = jax.jit(_splice, donate_argnums=(0,))
+
     # ------------------------------------------------------------------
     def _slot_cache(self, slot: int):
         return {
@@ -99,14 +113,7 @@ class ServingEngine:
         }
 
     def _write_slot_cache(self, slot: int, slot_cache) -> None:
-        self.cache = {
-            k: self._jax.lax.dynamic_update_slice(
-                self.cache[k],
-                slot_cache[k].astype(self.cache[k].dtype),
-                (0, slot) + (0,) * (self.cache[k].ndim - 2),
-            )
-            for k in self.cache
-        }
+        self.cache = self._splice(self.cache, slot_cache, self._jnp.int32(slot))
 
     # ------------------------------------------------------------------
     def add_request(
@@ -118,21 +125,34 @@ class ServingEngine:
         """Claim a slot, prefill, return the request id."""
         if not self.free:
             raise RuntimeError("no free slots")
-        if len(prompt_tokens) >= self.max_len:
-            prompt_tokens = list(prompt_tokens)[-(self.max_len - 1) :]
+        prompt_len = len(prompt_tokens)
+        if prompt_len >= self.max_len:
+            raise ValueError(
+                f"prompt of {prompt_len} tokens does not fit max_len="
+                f"{self.max_len}; truncate explicitly or raise max_len"
+            )
         jnp = self._jnp
         slot = self.free.pop()
-        toks = jnp.asarray(np.asarray(prompt_tokens, np.int32)[None, :])
+        # pad to a power-of-2 bucket so prefill compiles per bucket, not per
+        # exact prompt length; padded rows sit at positions >= prompt_len,
+        # which the position mask excludes until real writes replace them
+        bucket = 16
+        while bucket < prompt_len:
+            bucket *= 2
+        bucket = min(bucket, self.max_len - 1)
+        padded = np.zeros(bucket, np.int32)
+        padded[:prompt_len] = np.asarray(prompt_tokens, np.int32)
+        toks = jnp.asarray(padded[None, :])
         slot_cache = self._slot_cache(slot)
         logits, slot_cache = self._prefill(self.params, slot_cache, toks, jnp.int32(0))
         self._write_slot_cache(slot, slot_cache)
-        nxt = int(np.asarray(self._pick(logits[:, -1, :]))[0])
+        nxt = int(np.asarray(self._pick(logits[:, prompt_len - 1, :]))[0])
         rid = self._next_rid
         self._next_rid += 1
-        req = _Request(rid, slot, len(prompt_tokens), max_new_tokens, [nxt], eos_id)
+        req = _Request(rid, slot, prompt_len, max_new_tokens, [nxt], eos_id)
         self.requests[rid] = req
         self._slot_req[slot] = rid
-        self.pos[slot] = len(prompt_tokens)
+        self.pos[slot] = prompt_len
         self.next_tok[slot] = nxt
         if eos_id is not None and nxt == eos_id:
             self._finish(req)
@@ -182,4 +202,9 @@ class ServingEngine:
             steps += 1
 
     def result(self, rid: int) -> List[int]:
-        return self.requests[rid].generated
+        """Generated tokens for a request; finished requests are evicted on
+        read so a long-running engine does not accumulate them forever."""
+        req = self.requests[rid]
+        if req.done:
+            del self.requests[rid]
+        return req.generated

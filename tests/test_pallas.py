@@ -120,3 +120,24 @@ def test_fused_qmm_3bit_many_groups():
     out = fused_dequant_matmul(x, qt, out_dtype=jnp.float32, interpret=True)
     ref = x @ dequantize(qt)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-2, atol=0.6)
+
+
+def test_retile_non_multiple_group_size():
+    """gs>512 with gs%512!=0 must not NaN (re-tiling is skipped)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama3_quantization_tpu.ops.pallas_qmatmul import fused_dequant_matmul
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.quant.qtensor import dequantize, quantize_rtn
+
+    K, N = 1536, 256
+    w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, K), jnp.float32)
+    for gs in (768, 512, None):
+        qt = quantize_rtn(w, QuantSpec(n_bits=4, group_size=gs), pack=False)
+        ref = x @ dequantize(qt)
+        out = fused_dequant_matmul(x, qt, interpret=True)
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert np.isfinite(rel) and rel < 1e-2, (gs, rel)

@@ -167,3 +167,57 @@ def test_engine_sampling():
     s1, s2, s3 = run(1, 1.5), run(1, 1.5), run(2, 1.5)
     assert s1 == s2
     assert s1 != s3 or s1 != greedy1
+
+
+def test_engine_rejects_oversized_prompt(setup):
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=32)
+    with pytest.raises(ValueError):
+        eng.add_request(list(range(40)))
+
+
+def test_engine_bucketed_prefill_matches_exact(setup):
+    """Bucket-padded prefill yields the same generations as single-sequence
+    greedy for prompts of several odd lengths (crossing bucket boundaries),
+    and finished requests are evicted on result()."""
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=4, max_len=64)
+    rng = np.random.default_rng(0)
+    prompts = [list(map(int, rng.integers(1, cfg.vocab_size, n))) for n in (3, 7, 17, 19)]
+    rids = [eng.add_request(p, max_new_tokens=8) for p in prompts]
+    eng.run()
+    for p, rid in zip(prompts, rids):
+        got = eng.result(rid)
+        want = _single_greedy(params, cfg, p, 8)
+        assert got == want, (len(p), got, want)
+        assert rid not in eng.requests  # evicted after read
+
+
+def test_moe_serving_recode(setup):
+    """recode_model_s8 covers MoE expert stacks; a8 forward stays close to
+    the pre-recode quantized forward."""
+    import dataclasses
+
+    from llama3_quantization_tpu.models import forward_logits, quantize_model_rtn
+    from llama3_quantization_tpu.models.configs import TINY_MIXTRAL
+    from llama3_quantization_tpu.ops import matmul as mm
+    from llama3_quantization_tpu.quant import QuantSpec, QuantizedTensor
+    from llama3_quantization_tpu.quant.serving import recode_model_s8
+
+    cfg = dataclasses.replace(TINY_MIXTRAL, num_layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=8, group_size=32))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    ref = forward_logits(qp, toks, cfg)
+    rec = recode_model_s8(qp, cfg)
+    egate = rec["layers"]["experts"]["gate"]["w"]
+    assert isinstance(egate, QuantizedTensor)
+    assert egate.group_size is None and egate.sym  # per-column s8 container
+    mm.set_backend("a8")
+    try:
+        out = forward_logits(rec, toks, cfg)
+    finally:
+        mm.set_backend("xla")
+    err = float(jnp.mean(jnp.abs(out - ref)))
+    scale = float(jnp.mean(jnp.abs(ref))) + 1e-9
+    assert err / scale < 0.05, err / scale
