@@ -44,8 +44,13 @@ class HFTokenizer:
 
         self.tok = AutoTokenizer.from_pretrained(name_or_path, use_fast=use_fast)
 
-    def encode(self, text: str) -> np.ndarray:
-        return np.asarray(self.tok(text)["input_ids"], dtype=np.int32)
+    def encode(self, text: str, add_special_tokens: bool = True) -> np.ndarray:
+        """Default keeps specials (the reference's PPL/calibration streams
+        tokenize with them, `datautils.py:40-49`); the harness passes
+        `add_special_tokens=False` so continuations never grow a BOS
+        (`models/LMClass.py:81-88`)."""
+        ids = self.tok(text, add_special_tokens=add_special_tokens)["input_ids"]
+        return np.asarray(ids, dtype=np.int32)
 
     def decode(self, ids: Sequence[int]) -> str:
         return self.tok.decode(list(ids))
@@ -53,6 +58,13 @@ class HFTokenizer:
     @property
     def vocab_size(self) -> int:
         return len(self.tok)
+
+    @property
+    def eot_token_id(self) -> int:
+        eos = self.tok.eos_token_id
+        if eos is None:
+            eos = self.tok.bos_token_id
+        return int(eos) if eos is not None else 0
 
 
 class ByteTokenizer:
@@ -204,10 +216,22 @@ def get_loaders(
     (`main.py:105-116,371-383`) so reruns skip tokenization.
     """
     if cache_dir:
+        import hashlib
         import os
 
-        tok_id = getattr(tokenizer, "vocab_size", "x")
-        key = f"{name}_{nsamples}_{seed}_{seqlen}_{tok_id}"
+        # identify the corpus + tokenizer, not just shapes: injected
+        # override text and the tokenizer identity must key the cache or
+        # different corpora silently share entries
+        h = hashlib.sha1()
+        for k in sorted(overrides):
+            h.update(k.encode())
+            h.update(repr(overrides[k])[:100_000].encode())
+        tok_id = (
+            f"{type(tokenizer).__name__}_{getattr(tokenizer, 'vocab_size', 'x')}_"
+            f"{getattr(getattr(tokenizer, 'tok', None), 'name_or_path', '')}"
+        )
+        h.update(tok_id.encode())
+        key = f"{name}_{nsamples}_{seed}_{seqlen}_{h.hexdigest()[:12]}"
         path = os.path.join(cache_dir, f"loader_{key}.npz")
         if os.path.exists(path):
             z = np.load(path, allow_pickle=False)
@@ -234,11 +258,18 @@ def get_loaders(
     if "c4" in name:
         return get_c4(nsamples, seed, seqlen, tokenizer, **overrides)
     if "mix" in name:
-        # each loader family takes different override kwargs
+        # per-corpus injection: plain train_text/test_text go to wikitext2,
+        # ptb gets its own via ptb_train_text/ptb_test_text (distinct
+        # corpora — the thirds must not share text), c4 takes doc overrides
         text_kw = {k: v for k, v in overrides.items() if k in ("train_text", "test_text")}
+        ptb_kw = {
+            k[len("ptb_"):]: v
+            for k, v in overrides.items()
+            if k in ("ptb_train_text", "ptb_test_text")
+        }
         doc_kw = {k: v for k, v in overrides.items() if k in ("train_docs", "val_docs")}
         w_tr, _ = get_wikitext2(nsamples // 3, seed, seqlen, tokenizer, **text_kw)
-        p_tr, _ = get_ptb(nsamples // 3, seed, seqlen, tokenizer, **text_kw)
+        p_tr, _ = get_ptb(nsamples // 3, seed, seqlen, tokenizer, **(ptb_kw or text_kw))
         c_tr, _ = get_c4(nsamples // 3, seed, seqlen, tokenizer, **doc_kw)
         return w_tr + p_tr + c_tr, None
     raise ValueError(f"unknown dataset {name}")

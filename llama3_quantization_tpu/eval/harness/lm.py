@@ -127,13 +127,19 @@ class BaseLM(LM):
             loglikelihoods.append(sum(s[0] for s in scores))
         return loglikelihoods
 
+    max_gen_toks = 256
+
     def greedy_until(self, requests):
         res = []
         for context, until in requests:
             if isinstance(until, str):
                 until = [until]
-            context_enc = self.tok_encode(context)[-self.max_length :]
-            out = self._model_generate(context_enc, 256, until)
+            # leave room for generation inside the position table (the
+            # reference truncates to max_length - max_gen_toks,
+            # `models/models_utils.py:434-472`)
+            keep = max(self.max_length - self.max_gen_toks, 1)
+            context_enc = self.tok_encode(context)[-keep:]
+            out = self._model_generate(context_enc, self.max_gen_toks, until)
             for stop in until:
                 out = out.split(stop)[0]
             res.append(out)
@@ -207,13 +213,21 @@ class JAXLM(BaseLM):
             return lls, greedy_ok
 
         self._score_jit = jax.jit(_score)
+        self._gen_step = None
 
     @property
     def eot_token_id(self) -> int:
         return getattr(self.tokenizer, "eot_token_id", getattr(self.tokenizer, "bos_id", 0))
 
     def tok_encode(self, string: str) -> List[int]:
-        return list(map(int, self.tokenizer.encode(string)))
+        # never add specials inside request scoring: a BOS spliced into a
+        # continuation corrupts every loglikelihood (the reference encodes
+        # with add_special_tokens=False, `models/LMClass.py:81-88`)
+        try:
+            ids = self.tokenizer.encode(string, add_special_tokens=False)
+        except TypeError:  # tokenizers without the kwarg add none anyway
+            ids = self.tokenizer.encode(string)
+        return list(map(int, ids))
 
     def tok_decode(self, tokens) -> str:
         return self.tokenizer.decode(list(tokens))
@@ -244,20 +258,32 @@ class JAXLM(BaseLM):
         return np.asarray(lls), np.asarray(greedy_ok)
 
     def _model_generate(self, context: List[int], max_gen: int, stops: List[str]) -> str:
-        import jax
         import jax.numpy as jnp
-        from functools import partial
 
-        from ...models.transformer import decode_step, init_kv_cache
+        from ...models.transformer import init_kv_cache
 
-        total = self._bucket(len(context) + max_gen)
+        if self._gen_step is None:
+            import jax
+            from functools import partial
+
+            from ...models.transformer import decode_step
+
+            # ONE jitted step reused for every request (a fresh jit wrapper
+            # per call would defeat the compile cache); prompt lengths pad
+            # to pow2 buckets so compiles are per bucket, not per length
+            self._gen_step = jax.jit(partial(decode_step, cfg=self.cfg, rq=self.rq))
+        step = self._gen_step
+        n_ctx = len(context)
+        ctx_b = self._bucket(n_ctx)
+        total = self._bucket(ctx_b + max_gen)
         cache = init_kv_cache(self.cfg, 1, total)
-        step = jax.jit(partial(decode_step, cfg=self.cfg, rq=self.rq))
-        ctx = jnp.asarray(np.asarray(context, dtype=np.int32)[None, :])
+        padded = np.zeros(ctx_b, dtype=np.int32)
+        padded[:n_ctx] = np.asarray(context, dtype=np.int32)
+        ctx = jnp.asarray(padded[None, :])
         logits, cache = step(self.params, cache, ctx, jnp.int32(0))
         out_tokens: List[int] = []
-        nxt = int(np.asarray(jnp.argmax(logits[0, -1])))
-        pos = len(context)
+        nxt = int(np.asarray(jnp.argmax(logits[0, n_ctx - 1])))
+        pos = n_ctx
         text = ""
         for _ in range(max_gen):
             out_tokens.append(nxt)

@@ -87,9 +87,10 @@ class HFCausalLM(BaseLM):
             for _ in range(max_gen):
                 inp = torch.as_tensor([toks[-self.max_length:]], dtype=torch.long)
                 nxt = int(self.model(inp).logits[0, -1].argmax())
+                if nxt == self.eot_token_id:
+                    break  # EOS itself is not part of the generation
                 toks.append(nxt)
-                out = self.tok_decode(toks[len(context):])
-                if nxt == self.eot_token_id or any(s in out for s in stops):
+                if any(s in self.tok_decode(toks[len(context):]) for s in stops):
                     break
         return self.tok_decode(toks[len(context):])
 
@@ -155,7 +156,11 @@ class HFSeq2SeqLM(LM):
                     torch.as_tensor([enc], dtype=torch.long),
                     max_new_tokens=256, do_sample=False,
                 )
-            text = self.tokenizer.decode(out[0].tolist())
+            # drop decoder-start/pad/eos token text from the generation
+            try:
+                text = self.tokenizer.decode(out[0].tolist(), skip_special_tokens=True)
+            except TypeError:  # non-HF test tokenizers have no specials
+                text = self.tokenizer.decode(out[0].tolist())
             for stop in until:
                 text = text.split(stop)[0]
             res.append(text)
@@ -223,7 +228,9 @@ class GPT3LM(LM):
                 make_disjoint_window(w)
                 for w in get_rolling_token_windows(
                     self.tokenizer.encode(string),
-                    prefix_token=0,
+                    # EOT prefix, as in the reference gpt3 adapter
+                    # (`lm_eval/models/gpt3.py` uses eot 50256)
+                    prefix_token=getattr(self.tokenizer, "eot_token_id", 0),
                     max_seq_len=self.max_length,
                     context_len=1,
                 )

@@ -50,7 +50,10 @@ def config_from_hf(path: str) -> ModelConfig:
             intermediate_size=4 * raw["hidden_size"],
             num_layers=raw.get("num_hidden_layers", raw.get("n_layer")),
             num_heads=n_heads,
-            num_kv_heads=raw.get("num_kv_heads", 1 if raw.get("multi_query", True) else n_heads),
+            num_kv_heads=raw.get(
+                "num_kv_heads",
+                raw.get("n_head_kv", 1 if raw.get("multi_query", True) else n_heads),
+            ),
             max_position_embeddings=raw.get("max_position_embeddings", 2048),
             rope_theta=raw.get("rope_theta", 10000.0),
             activation="gelu",
@@ -132,30 +135,65 @@ _OPT_LAYER = {
 }
 
 
+def _split_falcon_qkv(qkv: np.ndarray, cfg: ModelConfig, grouped: bool):
+    """Split a fused query_key_value weight [(rows), D] into q/k/v row
+    blocks, matching HF Falcon's `_split_heads`
+    (`models/int_falcon_layer.py:65-94`):
+
+    - new-decoder-architecture (40B/180B): rows grouped per KV group as
+      [q_1..q_{H/Hkv}, k, v] × Hkv;
+    - multi-query (7B): contiguous [all H q-heads, k, v];
+    - classic MHA (Hkv == H): per-head interleaved [q, k, v] × H.
+    """
+    hd = cfg.head_dim_
+    h, hkv = cfg.num_heads, cfg.num_kv_heads
+    d = qkv.shape[1]
+    if grouped:
+        blocks = qkv.reshape(hkv, h // hkv + 2, hd, d)
+        q = blocks[:, :-2].reshape(h * hd, d)
+        k = blocks[:, -2].reshape(hkv * hd, d)
+        v = blocks[:, -1].reshape(hkv * hd, d)
+    elif hkv == 1:
+        q = qkv[: h * hd]
+        k = qkv[h * hd : (h + 1) * hd]
+        v = qkv[(h + 1) * hd :]
+    else:  # interleaved per head; hkv == h
+        blocks = qkv.reshape(h, 3, hd, d)
+        q = blocks[:, 0].reshape(h * hd, d)
+        k = blocks[:, 1].reshape(h * hd, d)
+        v = blocks[:, 2].reshape(h * hd, d)
+    return q, k, v
+
+
 def _falcon_layers(raw, cfg: ModelConfig, dtype) -> Dict[str, Any]:
-    """Falcon shards: split the fused query_key_value projection
-    ([ (H + 2·Hkv)·hd, D ] rows: H query heads then Hkv k and Hkv v heads)
-    into the framework's separate q/k/v entries."""
-    L, hd = cfg.num_layers, cfg.head_dim_
-    nq = cfg.num_heads * hd
-    nkv = cfg.num_kv_heads * hd
-    qs, ks, vs, os_, f1, f2, ln_w, ln_b = [], [], [], [], [], [], [], []
+    """Falcon shards: split the fused query_key_value projection into the
+    framework's separate q/k/v entries. The 40B new-decoder layout (dual
+    ln_attn/ln_mlp norms, per-group QKV rows) is detected by key."""
+    L = cfg.num_layers
+    new_arch = f"transformer.h.0.ln_attn.weight" in raw
+    qs, ks, vs, os_, f1, f2 = [], [], [], [], [], []
+    ln_w, ln_b, ln2_w, ln2_b = [], [], [], []
     for i in range(L):
         pre = f"transformer.h.{i}"
         qkv = raw[f"{pre}.self_attention.query_key_value.weight"].astype(np.float32)
-        qs.append(qkv[:nq].T)
-        ks.append(qkv[nq : nq + nkv].T)
-        vs.append(qkv[nq + nkv : nq + 2 * nkv].T)
+        q, k, v = _split_falcon_qkv(qkv, cfg, grouped=new_arch)
+        qs.append(q.T)
+        ks.append(k.T)
+        vs.append(v.T)
         os_.append(raw[f"{pre}.self_attention.dense.weight"].astype(np.float32).T)
         f1.append(raw[f"{pre}.mlp.dense_h_to_4h.weight"].astype(np.float32).T)
         f2.append(raw[f"{pre}.mlp.dense_4h_to_h.weight"].astype(np.float32).T)
-        ln_w.append(raw[f"{pre}.input_layernorm.weight"].astype(np.float32))
-        ln_b.append(raw[f"{pre}.input_layernorm.bias"].astype(np.float32))
+        ln1_name = "ln_attn" if new_arch else "input_layernorm"
+        ln_w.append(raw[f"{pre}.{ln1_name}.weight"].astype(np.float32))
+        ln_b.append(raw[f"{pre}.{ln1_name}.bias"].astype(np.float32))
+        if new_arch:
+            ln2_w.append(raw[f"{pre}.ln_mlp.weight"].astype(np.float32))
+            ln2_b.append(raw[f"{pre}.ln_mlp.bias"].astype(np.float32))
 
     def stk(xs):
         return jnp.asarray(np.stack(xs), dtype)
 
-    return {
+    out = {
         "q": {"w": stk(qs)},
         "k": {"w": stk(ks)},
         "v": {"w": stk(vs)},
@@ -164,6 +202,9 @@ def _falcon_layers(raw, cfg: ModelConfig, dtype) -> Dict[str, Any]:
         "fc2": {"w": stk(f2)},
         "ln1": {"w": stk(ln_w), "b": stk(ln_b)},
     }
+    if new_arch:
+        out["ln2"] = {"w": stk(ln2_w), "b": stk(ln2_b)}
+    return out
 
 
 def from_hf_checkpoint(

@@ -393,7 +393,10 @@ def decoder_layer(
         attn_out, new_cache = _attn_block(
             p, x, cfg, rq, cos_sin, mask, kv_cache, cache_pos, attn_impl
         )
-        return h + attn_out + _mlp_block(p, x, cfg, rq), new_cache
+        # Falcon-40B new-decoder: the parallel MLP reads its OWN norm
+        # (ln_mlp); 7B shares the single input_layernorm
+        mlp_x = _norm(p["ln2"], h, cfg) if "ln2" in p else x
+        return h + attn_out + _mlp_block(p, mlp_x, cfg, rq), new_cache
     attn_in = _norm(p["ln1"], h, cfg)
     attn_out, new_cache = _attn_block(
         p, attn_in, cfg, rq, cos_sin, mask, kv_cache, cache_pos, attn_impl

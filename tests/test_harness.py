@@ -337,3 +337,34 @@ def test_make_table_latex():
     assert "|piqa|0|acc|0.5000|" in md
     tex = make_table(res, fmt="latex")
     assert r"\begin{tabular}" in tex and "piqa & 0 & acc & 0.5000" in tex
+
+
+def test_jaxlm_no_bos_in_continuations():
+    """BOS-adding tokenizers must not splice a BOS into scored
+    continuations, and eot_token_id must come from the tokenizer."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.models import TINY_LLAMA, init_params
+
+    class FakeBOSTok:
+        vocab_size = 64
+        eot_token_id = 2
+
+        def encode(self, s, add_special_tokens=True):
+            ids = [ord(c) % 64 for c in s]
+            return np.asarray(([1] + ids) if add_special_tokens else ids, np.int32)
+
+        def decode(self, ids):
+            return "".join(chr(97 + int(i) % 26) for i in ids)
+
+    params = init_params(TINY_LLAMA, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lm = JAXLM(params, TINY_LLAMA, FakeBOSTok(), batch_size=2)
+    assert lm.eot_token_id == 2
+    assert lm.tok_encode("ab") == [ord("a") % 64, ord("b") % 64]
+    # empty context conditions on EOT, not token 0
+    (_, _), = [lm.loglikelihood([("", " x")])[0]][:1],
+    # greedy_until reserves generation room in the position budget
+    keep = lm.max_length - lm.max_gen_toks
+    assert keep > 0

@@ -192,3 +192,75 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.asarray(forward_logits(qp, toks, cfg)),
         rtol=1e-5,
     )
+
+
+def test_hf_loader_falcon_gqa_new_decoder(tmp_path):
+    """Falcon-40B-style checkpoint: grouped QKV rows ([q.. k v] per KV
+    group), dual ln_attn/ln_mlp norms, n_head_kv config key."""
+    import dataclasses
+
+    from safetensors.numpy import save_file
+
+    from llama3_quantization_tpu.models.configs import TINY_FALCON
+    from llama3_quantization_tpu.models.hf_loader import from_hf_checkpoint
+    from llama3_quantization_tpu.models.transformer import forward_logits
+
+    base = TINY_FALCON
+    cfg = dataclasses.replace(base, num_kv_heads=2)
+    rng = np.random.default_rng(0)
+    d, hd, h, hkv = cfg.hidden_size, cfg.head_dim_, cfg.num_heads, cfg.num_kv_heads
+    assert h % hkv == 0 and hkv > 1
+
+    # known q/k/v, fused in the grouped layout
+    q = rng.standard_normal((h * hd, d)).astype(np.float32) * 0.05
+    k = rng.standard_normal((hkv * hd, d)).astype(np.float32) * 0.05
+    v = rng.standard_normal((hkv * hd, d)).astype(np.float32) * 0.05
+    group = h // hkv
+    blocks = []
+    for g in range(hkv):
+        blocks.append(q.reshape(h, hd, d)[g * group : (g + 1) * group].reshape(-1, d))
+        blocks.append(k.reshape(hkv, hd, d)[g].reshape(-1, d))
+        blocks.append(v.reshape(hkv, hd, d)[g].reshape(-1, d))
+    fused = np.concatenate(blocks, axis=0)
+
+    tensors = {
+        "transformer.word_embeddings.weight": rng.standard_normal((cfg.vocab_size, d)).astype(np.float32) * 0.02,
+        "transformer.ln_f.weight": np.ones(d, np.float32),
+        "transformer.ln_f.bias": np.zeros(d, np.float32),
+        "lm_head.weight": rng.standard_normal((cfg.vocab_size, d)).astype(np.float32) * 0.02,
+    }
+    for l in range(cfg.num_layers):
+        p = f"transformer.h.{l}"
+        tensors.update({
+            f"{p}.self_attention.query_key_value.weight": fused,
+            f"{p}.self_attention.dense.weight": rng.standard_normal((d, h * hd)).astype(np.float32) * 0.05,
+            f"{p}.mlp.dense_h_to_4h.weight": rng.standard_normal((cfg.intermediate_size, d)).astype(np.float32) * 0.05,
+            f"{p}.mlp.dense_4h_to_h.weight": rng.standard_normal((d, cfg.intermediate_size)).astype(np.float32) * 0.05,
+            f"{p}.ln_attn.weight": np.ones(d, np.float32),
+            f"{p}.ln_attn.bias": np.zeros(d, np.float32),
+            f"{p}.ln_mlp.weight": np.full(d, 1.5, np.float32),
+            f"{p}.ln_mlp.bias": np.zeros(d, np.float32),
+        })
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+    config = {
+        "model_type": "falcon",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": d,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": h,
+        "n_head_kv": hkv,  # RefinedWeb-style key
+        "multi_query": False,
+        "new_decoder_architecture": True,
+        "parallel_attn": True,
+        "max_position_embeddings": cfg.max_position_embeddings,
+    }
+    (tmp_path / "config.json").write_text(json.dumps(config))
+
+    params, loaded_cfg = from_hf_checkpoint(str(tmp_path), dtype=jnp.float32)
+    assert loaded_cfg.num_kv_heads == hkv
+    np.testing.assert_allclose(np.asarray(params["layers"]["q"]["w"][0]), q.T, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["layers"]["k"]["w"][0]), k.T, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["layers"]["v"]["w"][0]), v.T, rtol=1e-6)
+    assert "ln2" in params["layers"]  # ln_mlp loaded
+    out = forward_logits(params, jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0, cfg.vocab_size), loaded_cfg)
+    assert bool(jnp.isfinite(out).all())
