@@ -364,7 +364,8 @@ def test_jaxlm_no_bos_in_continuations():
     assert lm.eot_token_id == 2
     assert lm.tok_encode("ab") == [ord("a") % 64, ord("b") % 64]
     # empty context conditions on EOT, not token 0
-    (_, _), = [lm.loglikelihood([("", " x")])[0]][:1],
+    ll, _ = lm.loglikelihood([("", " x")])[0]
+    assert np.isfinite(ll)
     # greedy_until reserves generation room in the position budget
     keep = lm.max_length - lm.max_gen_toks
     assert keep > 0
