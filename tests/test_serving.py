@@ -221,3 +221,22 @@ def test_moe_serving_recode(setup):
     err = float(jnp.mean(jnp.abs(out - ref)))
     scale = float(jnp.mean(jnp.abs(ref))) + 1e-9
     assert err / scale < 0.05, err / scale
+
+
+def test_engine_with_tp_sharded_params(setup):
+    """The engine works unchanged over tensor-sharded weights (GSPMD
+    inserts the collectives into its jitted decode step)."""
+    from llama3_quantization_tpu.parallel import make_mesh, shard_params
+
+    cfg, params = setup
+    ref_eng = ServingEngine(params, cfg, max_slots=2, max_len=64)
+    r = ref_eng.add_request([1, 2, 3, 4], max_new_tokens=6)
+    ref_eng.run()
+    want = ref_eng.result(r)
+
+    mesh = make_mesh(tp=8)
+    sharded = shard_params(params, cfg=cfg, mesh=mesh)
+    eng = ServingEngine(sharded, cfg, max_slots=2, max_len=64)
+    r2 = eng.add_request([1, 2, 3, 4], max_new_tokens=6)
+    eng.run()
+    assert eng.result(r2) == want
