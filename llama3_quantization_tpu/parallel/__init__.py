@@ -17,4 +17,5 @@ from .pipeline import (  # noqa: F401
     shard_params_pipeline,
 )
 from .ring_attention import make_sp_forward, ring_attention  # noqa: F401
+from .tp_overlap import make_tp_overlap_forward, tp_overlap_pspecs  # noqa: F401
 from .sharding import model_pspecs, shard_params, make_sharded_forward  # noqa: F401

@@ -339,3 +339,34 @@ def test_pipeline_parallel_all_archs():
             np.asarray(out), np.asarray(ref), atol=2e-4,
             err_msg=f"pipeline mismatch for {base.arch}",
         )
+
+
+def test_tp_overlap_forward():
+    """Megatron-SP TP forward with ring-overlapped collectives == the
+    single-device forward (fp and quantized weights)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.models import (
+        forward_logits,
+        init_params,
+        quantize_model_rtn,
+    )
+    from llama3_quantization_tpu.models.configs import TINY_LLAMA
+    from llama3_quantization_tpu.parallel import make_mesh, make_tp_overlap_forward
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, cfg.vocab_size)
+    mesh = make_mesh(tp=2, devices=jax.devices()[:2])
+
+    ref = forward_logits(params, toks, cfg)
+    out = make_tp_overlap_forward(cfg, mesh)(params, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=8, group_size=32))
+    qref = forward_logits(qp, toks, cfg)
+    qout = make_tp_overlap_forward(cfg, mesh)(qp, toks)
+    np.testing.assert_allclose(np.asarray(qout), np.asarray(qref), atol=1e-4)
