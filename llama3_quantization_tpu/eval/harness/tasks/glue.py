@@ -80,8 +80,11 @@ class SST(_GlueBinaryTask):
     CHOICES = (" positive", " negative")
 
     def doc_to_text(self, doc):
+        from ..text_utils import general_detokenize
+
         return (
-            f"{doc['sentence']}\nQuestion: Is this sentence positive or negative?\nAnswer:"
+            f"{general_detokenize(doc['sentence'])}\n"
+            "Question: Is this sentence positive or negative?\nAnswer:"
         )
 
 
@@ -90,8 +93,11 @@ class MRPC(_GlueBinaryTask):
     METRICS = ("acc", "f1")
 
     def doc_to_text(self, doc):
+        from ..text_utils import general_detokenize
+
         return (
-            f"Sentence 1: {doc['sentence1']}\nSentence 2: {doc['sentence2']}\n"
+            f"Sentence 1: {general_detokenize(doc['sentence1'])}\n"
+            f"Sentence 2: {general_detokenize(doc['sentence2'])}\n"
             "Question: Do both sentences mean the same thing?\nAnswer:"
         )
 

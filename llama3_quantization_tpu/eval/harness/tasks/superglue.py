@@ -92,15 +92,24 @@ class WiC(_YesNoSuperGlue):
 
 
 class WSC(_YesNoSuperGlue):
-    """Winograd Schema Challenge: pronoun coreference as yes/no."""
+    """Winograd Schema Challenge: pronoun coreference as yes/no. The
+    pronoun is *starred* in the detokenized passage
+    (`lm_eval/tasks/superglue.py:453-466`)."""
 
     DATASET_NAME = "wsc"
 
     def doc_to_text(self, doc):
+        from ..text_utils import general_detokenize
+
+        raw = doc["text"]
+        # HF span indices are word-based
+        pre = " ".join(raw.split()[: doc["span2_index"]])
+        post = raw[len(pre) + len(doc["span2_text"]) + 1 :]
+        passage = general_detokenize(pre + " *{}*".format(doc["span2_text"]) + post)
         return (
-            f"Passage: {doc['text']}\n"
-            f'Question: In the passage above, does the pronoun "{doc["span2_text"]}" '
-            f'refer to "{doc["span1_text"]}"?\nAnswer:'
+            f"Passage: {passage}\n"
+            f'Question: In the passage above, does the pronoun "*{doc["span2_text"]}*" '
+            f'refer to "*{doc["span1_text"]}*"?\nAnswer:'
         )
 
 
