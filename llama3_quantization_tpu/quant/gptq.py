@@ -232,14 +232,12 @@ def gptq_solve(
 
             def refresh(sz):
                 scales, zeros = sz
-                # group params from the *updated* W over this group's columns:
-                # the group always starts at c (c % gs == 0 when triggered)
-                Wg_block = jax.lax.dynamic_slice(W1, (0, i), (r, min(gs, blocksize)))
-                if gs > blocksize:
-                    # group spans blocks: use full-W view
-                    Wg = jax.lax.dynamic_slice(W, (0, c), (r, gs))
-                else:
-                    Wg = Wg_block
+                # group params from the PRISTINE W (the reference's
+                # find_params reads the un-updated full matrix,
+                # `gptq.py:188-195` — W's block region only receives the
+                # error feedback after the inner loop); the group always
+                # starts at c (c % gs == 0 when triggered)
+                Wg = jax.lax.dynamic_slice(W, (0, c), (r, gs))
                 s, z = gptq_find_params(Wg, n_bits, sym)
                 g = c // gs
                 scales = jax.lax.dynamic_update_slice(scales, s[:, None], (0, g))
@@ -320,6 +318,12 @@ def gptq_quantize_weight(
         raise NotImplementedError(
             "actorder with grouping stores permuted groups; run actorder=False "
             "(the reference study's configuration) or ungrouped."
+        )
+    if spec.n_bits > 8:
+        # codes live in int8 containers; 9-15-bit grids would wrap silently
+        raise NotImplementedError(
+            f"{spec.n_bits}-bit codes exceed int8 storage; use fake-quant "
+            "(fake_quant_dynamic) for 9-15 bit studies"
         )
     codes, scales, zeros, g_idx, err = gptq_solve(
         w_kn.T,

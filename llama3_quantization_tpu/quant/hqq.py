@@ -31,10 +31,11 @@ from .quantizer import CLIPMIN, QuantSpec
 
 
 def _shrink_lp(x: jax.Array, beta: float, p: float) -> jax.Array:
-    """Generalized soft-threshold for the l_p (p<1) proximal step."""
+    """Generalized soft-threshold for the l_p (p<1) proximal step — the
+    `shrink_lp_op` of the hqq package: threshold (1/beta)·|x|^(p-1)."""
     mag = jnp.abs(x)
     thresh = jnp.maximum(
-        mag - (p / beta) * jnp.power(jnp.maximum(mag, 1e-8), p - 1.0), 0.0
+        mag - (1.0 / beta) * jnp.power(jnp.maximum(mag, 1e-8), p - 1.0), 0.0
     )
     return jnp.sign(x) * thresh
 
@@ -46,7 +47,7 @@ def hqq_solve(
     group_size: int,
     iters: int = 20,
     p: float = 0.7,
-    beta0: float = 1.0,
+    beta0: float = 10.0,
     kappa: float = 1.01,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (codes uint8 [K, N], scale [G, N], zero [G, N]).
@@ -67,8 +68,9 @@ def hqq_solve(
 
     def body(_, carry):
         zero, e, beta = carry
-        we = wg - e
-        q = jnp.clip(jnp.round(we / scale + zero), 0, qmax)
+        # the hqq package's optimize_weights_proximal: quantize W directly,
+        # shrink the residual, re-center the zero with the error removed
+        q = jnp.clip(jnp.round(wg / scale + zero), 0, qmax)
         r = wg - scale * (q - zero)
         e = _shrink_lp(r, beta, p)
         zero = jnp.mean(q - (wg - e) / scale, axis=1, keepdims=True)
@@ -77,7 +79,7 @@ def hqq_solve(
     zero, e, _ = jax.lax.fori_loop(
         0, iters, body, (zero, jnp.zeros_like(wg), jnp.float32(beta0))
     )
-    q = jnp.clip(jnp.round((wg - e) / scale + zero), 0, qmax)
+    q = jnp.clip(jnp.round(wg / scale + zero), 0, qmax)
     # final zero is kept continuous (HQQ stores float zeros); round for the
     # packed integer format only at dequant time via float zero support
     codes = q.reshape(k, n).astype(jnp.uint8)
@@ -113,13 +115,23 @@ def hqq_quantize_model(
     reference's `quantize_llama_model`, `quantizehqq.py:36-46`)."""
     out = dict(params)
     layers = dict(params["layers"])
+
+    def q_one(w):
+        return hqq_quantize_weight(w, spec, iters=iters, p=p, pack=pack)
+
     for name in linear_names(cfg):
         entry = dict(layers[name])
-
-        def q_one(w):
-            return hqq_quantize_weight(w, spec, iters=iters, p=p, pack=pack)
-
         entry["w"] = jax.vmap(q_one)(entry["w"])
         layers[name] = entry
+    if cfg.is_moe:
+        # expert stacks [L, E, K, N] carry most MoE parameters
+        from ..models.params import MOE_EXPERT_LINEARS
+
+        experts = dict(layers["experts"])
+        for name in MOE_EXPERT_LINEARS:
+            entry = dict(experts[name])
+            entry["w"] = jax.vmap(jax.vmap(q_one))(entry["w"])
+            experts[name] = entry
+        layers["experts"] = experts
     out["layers"] = layers
     return out

@@ -117,7 +117,7 @@ def irqlora_quantize_model(
     params,
     cfg,
     tau_range: float = 0.1,
-    tau_n: int = 20,
+    tau_n: int = 100,  # the reference's 201-point grid (`irqlora.py:18`)
     blocksize2: int = 256,
 ):
     """Model-level IR-QLoRA: every decoder linear ICQ-NF4-quantized.
@@ -149,6 +149,27 @@ def irqlora_quantize_model(
 
         entry["w"] = jax.vmap(q_one)(w)
         layers[name] = entry
+    if cfg.is_moe:
+        # expert stacks [L, E, K, N]: ICQ per expert weight
+        from ..models.params import MOE_EXPERT_LINEARS
+
+        experts = dict(layers["experts"])
+        for name in MOE_EXPERT_LINEARS:
+            entry = dict(experts[name])
+            w = entry["w"]
+
+            def q_expert(w_l):
+                numel = w_l.size
+                if numel % (blocksize2 * 64):
+                    return w_l
+                q = icq_search(w_l.reshape(-1), tau_range=tau_range, tau_n=tau_n,
+                               blocksize2=blocksize2)
+                q = ICQWeight(q.codes, q.absmax, q.tau_codes, q.tau_absmax, w_l.shape)
+                return icq_dequantize(q).astype(w_l.dtype)
+
+            entry["w"] = jax.vmap(jax.vmap(q_expert))(w)
+            experts[name] = entry
+        layers["experts"] = experts
     out["layers"] = layers
     return out
 

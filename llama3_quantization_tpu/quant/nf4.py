@@ -114,7 +114,12 @@ class NF4Tensor:
 
 @partial(jax.jit, static_argnames=("block_size", "double_quant"))
 def nf4_quantize(w: jax.Array, block_size: int = 64, double_quant: bool = True) -> NF4Tensor:
-    flat = w.astype(jnp.float32).reshape(-1, block_size)
+    # pad to whole blocks (bnb pads too); dequant slices back to w.size
+    flat1 = w.astype(jnp.float32).reshape(-1)
+    pad = (-flat1.shape[0]) % block_size
+    if pad:
+        flat1 = jnp.concatenate([flat1, jnp.zeros(pad, jnp.float32)])
+    flat = flat1.reshape(-1, block_size)
     absmax = jnp.max(jnp.abs(flat), axis=1)
     scaled = flat / jnp.clip(absmax[:, None], 1e-12, None)
     codes = quantize_to_codebook(scaled, NF4_CODE).reshape(-1)
@@ -123,7 +128,11 @@ def nf4_quantize(w: jax.Array, block_size: int = 64, double_quant: bool = True) 
         # bnb-style: offset by mean, 8-bit dynamic-map code + per-256 absmax
         amean = jnp.mean(absmax)
         centered = absmax - amean
-        g = centered.reshape(-1, min(256, centered.shape[0]))
+        gsize = min(256, centered.shape[0])
+        gpad = (-centered.shape[0]) % gsize
+        if gpad:
+            centered = jnp.concatenate([centered, jnp.zeros(gpad, jnp.float32)])
+        g = centered.reshape(-1, gsize)
         gmax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
         acodes = quantize_to_codebook(g / jnp.clip(gmax, 1e-12, None), DYNAMIC_FP8_MAP)
         return NF4Tensor(packed, acodes.reshape(-1), gmax[:, 0], amean, w.shape, block_size)
@@ -143,8 +152,12 @@ def nf4_dequantize(t: NF4Tensor) -> jax.Array:
         ).reshape(-1) + t.absmax_mean
     else:
         absmax = t.absmax
-    out = vals.reshape(-1, t.block_size) * absmax[:, None]
-    return out.reshape(t.shape)
+    blocks = vals.reshape(-1, t.block_size)
+    out = blocks * absmax[: blocks.shape[0], None]
+    numel = 1
+    for d in t.shape:
+        numel *= d
+    return out.reshape(-1)[:numel].reshape(t.shape)
 
 
 def nf4_codes(t: NF4Tensor) -> jax.Array:

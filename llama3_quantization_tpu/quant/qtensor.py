@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .pack import pack_factor, pack_subbyte, unpack_subbyte
+from .pack import pack_subbyte, unpack_subbyte
 from .quantizer import QuantSpec, minmax_scale_zp
 
 

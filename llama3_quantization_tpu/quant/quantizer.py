@@ -165,7 +165,11 @@ def fake_quant(
     x_int = round_ste(x / scale)
     if round_zp is not None:
         x_int = x_int + round_zp
-    x_int = clamp_ste(x_int, float(spec.qmin), float(spec.qmax))
+    # plain clamp (zero gradient outside the grid), matching the reference's
+    # `.clamp` (`quant/quantizer.py:106`) — saturated elements must NOT pass
+    # gradient to LWC logits through the value path; clamp_ste stays for the
+    # smoothing algebra's truncate_number, which IS a straight-through clamp
+    x_int = jnp.clip(x_int, float(spec.qmin), float(spec.qmax))
     x_dq = x_int - round_zp if round_zp is not None else x_int
     x_dq = x_dq * scale
     if spec.group_size:

@@ -273,3 +273,40 @@ def test_snr_diagnostics():
     y = jnp.ones((4, 8))
     assert snr_error(y, y) == 0.0
     assert snr_error(y * 1.1, y) > 0.0
+
+
+def test_gptq_group_smaller_than_block(rng):
+    """gs < blocksize: mid-block group refreshes read the pristine W (the
+    reference's blocked fasterquant semantics); solver runs and beats RTN."""
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.quant.gptq import gptq_quantize_weight
+    from llama3_quantization_tpu.quant.qtensor import dequantize, quantize_rtn
+    from llama3_quantization_tpu.quant.quantizer import QuantSpec
+
+    R, K = 16, 64
+    X = rng.standard_normal((256, K)).astype(np.float32)
+    # correlated inputs make error feedback matter
+    X = X @ (np.eye(K) + 0.4 * rng.standard_normal((K, K)).astype(np.float32) / np.sqrt(K))
+    H = (2 / 256) * X.T @ X
+    W = rng.standard_normal((R, K)).astype(np.float32)
+    spec = QuantSpec(n_bits=3, group_size=16)
+    qt, err = gptq_quantize_weight(jnp.asarray(W.T), jnp.asarray(H), spec, blocksize=32)
+    out_g = np.asarray(X @ np.asarray(dequantize(qt)))
+    out_r = np.asarray(X @ np.asarray(dequantize(quantize_rtn(jnp.asarray(W.T), spec))))
+    ref = X @ W.T
+    assert np.isfinite(err)
+    assert np.mean((out_g - ref) ** 2) <= np.mean((out_r - ref) ** 2) * 1.05
+
+
+def test_gptq_rejects_wide_bits(rng):
+    import jax.numpy as jnp
+    import pytest
+
+    from llama3_quantization_tpu.quant.gptq import gptq_quantize_weight
+    from llama3_quantization_tpu.quant.quantizer import QuantSpec
+
+    W = rng.standard_normal((8, 16)).astype(np.float32)
+    H = np.eye(16, dtype=np.float32)
+    with pytest.raises(NotImplementedError):
+        gptq_quantize_weight(jnp.asarray(W.T), jnp.asarray(H), QuantSpec(n_bits=12))

@@ -147,3 +147,50 @@ def test_api_dispatch_irqlora_and_mixed():
         calib_tokens=toks, pack=False, topk=2, blocksize=32,
     )
     assert bool(jnp.isfinite(forward_logits(mp, jnp.asarray(toks), cfg)).all())
+
+
+def test_nf4_odd_shapes_roundtrip():
+    """Shapes bnb handles must not crash: numel not a multiple of the block
+    size, and >256 absmax blocks not a multiple of 256."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.quant.nf4 import nf4_dequantize, nf4_quantize
+
+    for shape in [(7, 13), (64, 320), (300, 70)]:
+        w = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+        t = nf4_quantize(w, double_quant=True)
+        out = nf4_dequantize(t)
+        assert out.shape == shape
+        rel = float(jnp.linalg.norm(out - w) / jnp.linalg.norm(w))
+        assert rel < 0.12, (shape, rel)
+
+
+def test_hqq_irqlora_cover_moe_experts():
+    import jax
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.models import forward_logits, init_params
+    from llama3_quantization_tpu.models.configs import TINY_MIXTRAL
+    from llama3_quantization_tpu.quant import QuantSpec, QuantizedTensor
+    from llama3_quantization_tpu.quant.hqq import hqq_quantize_model
+    from llama3_quantization_tpu.quant.irqlora import irqlora_quantize_model
+
+    cfg = TINY_MIXTRAL
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size)
+    fp = forward_logits(params, toks, cfg)
+
+    hq = hqq_quantize_model(params, cfg, QuantSpec(n_bits=8, group_size=32), iters=5)
+    assert isinstance(hq["layers"]["experts"]["gate"]["w"], QuantizedTensor)
+    out = forward_logits(hq, toks, cfg)
+    assert float(jnp.mean(jnp.abs(out - fp))) / (float(jnp.mean(jnp.abs(fp))) + 1e-9) < 0.1
+
+    # tiny experts need a small double-quant block to be blockable
+    ir = irqlora_quantize_model(params, cfg, tau_n=4, blocksize2=16)
+    egate = ir["layers"]["experts"]["gate"]["w"]
+    # ICQ dequantizes in place: experts stay arrays but are changed
+    assert not isinstance(egate, QuantizedTensor)
+    assert float(jnp.max(jnp.abs(egate - params["layers"]["experts"]["gate"]["w"]))) > 0
+    out2 = forward_logits(ir, toks, cfg)
+    assert bool(jnp.isfinite(out2).all())
