@@ -33,6 +33,16 @@ def _tokenize(text: str) -> List[str]:
     return re.findall(r"[a-z0-9]+", text.lower())
 
 
+
+def _encode_plain(tok, text):
+    """Encode without special tokens (the reference's add_special_tokens=
+    False, `models/LMClass.py:81-88`) — a BOS spliced mid-sequence would
+    corrupt scoring."""
+    try:
+        return tok.encode(text, add_special_tokens=False)
+    except TypeError:
+        return tok.encode(text)
+
 class BM25Index:
     def __init__(self, corpus: Dict[str, str], k1: float = 0.9, b: float = 0.4):
         self.k1, self.b = k1, b
@@ -114,8 +124,8 @@ class UPRReranker:
 
         items = []
         for qi, (query, passage) in enumerate(pairs):
-            ctx = self.tok.encode(f"{self.header}{passage} {self.instruction}")
-            tgt = self.tok.encode(query)
+            ctx = _encode_plain(self.tok, f"{self.header}{passage} {self.instruction}")
+            tgt = _encode_plain(self.tok, query)
             seq = (list(ctx) + list(tgt))[-self.max_length :]
             n_tgt = min(len(tgt), len(seq) - 1)
             items.append((qi, seq, n_tgt))
@@ -193,5 +203,6 @@ def evaluate_retrieval(
                 if g > 0:
                     seen += 1
                     ap += seen / (i + 1)
-            metrics[f"MAP@{k}"].append(ap / min(n_rel, k) if n_rel else 0.0)
+            # trec_eval map_cut: AP normalized by the TOTAL relevant count
+            metrics[f"MAP@{k}"].append(ap / n_rel if n_rel else 0.0)
     return {m: float(np.mean(v)) for m, v in metrics.items()}

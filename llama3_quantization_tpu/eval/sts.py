@@ -18,6 +18,9 @@ import numpy as np
 PROMPT_TEMPLATE = "Sentence 1: {s1}\nSentence 2: {s2}\nSimilarity Score: {score}\n"
 
 
+from .retrieval import _encode_plain
+
+
 class STSEncoder:
     def __init__(
         self,
@@ -58,7 +61,7 @@ class STSEncoder:
         embs = [None] * len(sentences)
         items = sorted(
             (
-                (i, self.tok.encode(self.demo_prompt + f"Sentence: {s}\nEmbedding:")[-self.max_length :])
+                (i, _encode_plain(self.tok, self.demo_prompt + f"Sentence: {s}\nEmbedding:")[-self.max_length :])
                 for i, s in enumerate(sentences)
             ),
             key=lambda it: len(it[1]),

@@ -42,6 +42,15 @@ def mixed_precision_gptq(
         )
     if upgrade_spec.group_size != base_spec.group_size:
         raise ValueError("base and upgrade specs must share group_size")
+    base_zero = not (base_spec.symmetric or base_spec.disable_zero_point)
+    up_zero = not (upgrade_spec.symmetric or upgrade_spec.disable_zero_point)
+    if base_zero != up_zero:
+        # the graft swaps data/scale/zero leaf-wise; a zero-point-presence
+        # mismatch would silently drop (or crash on) the upgraded zeros
+        raise ValueError(
+            "base and upgrade specs must agree on zero-point presence "
+            "(symmetric/disable_zero_point)"
+        )
     from ..models.params import linear_names
 
     upgradable = set(linear_names(cfg))  # MoE expert pseudo-names excluded

@@ -66,10 +66,22 @@ class OmniConfig:
 # ---------------------------------------------------------------------------
 
 
-def init_layer_let(p_l: Dict[str, Any], cfg: ModelConfig, act_stats=None, alpha: float = 0.5):
+def init_layer_let(
+    p_l: Dict[str, Any],
+    cfg: ModelConfig,
+    act_stats=None,
+    alpha: float = 0.5,
+    use_shift: bool = False,
+):
     """Trainable smoothing params for one layer. Scales init from the
     SmoothQuant formula when activation stats are available (the reference's
-    act_scales init, `quant/omniquant.py:230-252`), else ones."""
+    act_scales init, `quant/omniquant.py:230-252`), else ones.
+
+    `use_shift` mirrors the reference's gate (`quant/omniquant.py:226-229`):
+    channel shifts train only for non-llama families with activation
+    quantization; otherwise the shift params are omitted entirely (the
+    reference registers them as zeros but excludes them from the optimizer,
+    `quant/utils.py:8-14`)."""
     import jax.numpy as jnp
 
     from .smoothing import smoothquant_scale
@@ -110,10 +122,14 @@ def init_layer_let(p_l: Dict[str, Any], cfg: ModelConfig, act_stats=None, alpha:
         fc1_scale = jnp.ones((d,), jnp.float32)
     let = {
         "qkv_scale": qkv_scale,
-        "qkv_shift": jnp.zeros((d,), jnp.float32),
+        **({"qkv_shift": jnp.zeros((d,), jnp.float32)} if use_shift else {}),
         "fc1_scale": fc1_scale,
         # no fc1_shift for MoE: the scale-only fold has no bias target
-        **({} if cfg.is_moe else {"fc1_shift": jnp.zeros((d,), jnp.float32)}),
+        **(
+            {"fc1_shift": jnp.zeros((d,), jnp.float32)}
+            if use_shift and not cfg.is_moe
+            else {}
+        ),
         "out_scale": jnp.ones((p_l["v"]["w"].shape[1],), jnp.float32),
         # q<->k scale: shared across heads AND equal within each RoPE
         # rotation pair (dims i and i+hd/2 mix under rotation, so only
@@ -137,7 +153,7 @@ def apply_let(p_l: Dict[str, Any], let, cfg: ModelConfig):
         mlp_in = ["gate", "up"] if cfg.arch == "llama" else ["fc1"]
         group = ["q", "k", "v"] + mlp_in
         p["ln1"], outs = fold_norm_linears(
-            p["ln1"], [p[m] for m in group], let["qkv_scale"], let["qkv_shift"]
+            p["ln1"], [p[m] for m in group], let["qkv_scale"], let.get("qkv_shift")
         )
         for m, e in zip(group, outs):
             p[m] = e
@@ -145,7 +161,7 @@ def apply_let(p_l: Dict[str, Any], let, cfg: ModelConfig):
         from .smoothing import fold_norm_moe
 
         p["ln1"], qkv = fold_norm_linears(
-            p["ln1"], [p["q"], p["k"], p["v"]], let["qkv_scale"], let["qkv_shift"]
+            p["ln1"], [p["q"], p["k"], p["v"]], let["qkv_scale"], let.get("qkv_shift")
         )
         p["q"], p["k"], p["v"] = qkv
         # scale-only: bias-free experts give a shift nowhere to fold
@@ -155,11 +171,11 @@ def apply_let(p_l: Dict[str, Any], let, cfg: ModelConfig):
     else:
         mlp_in = ["gate", "up"] if cfg.arch == "llama" else ["fc1"]
         p["ln1"], qkv = fold_norm_linears(
-            p["ln1"], [p["q"], p["k"], p["v"]], let["qkv_scale"], let["qkv_shift"]
+            p["ln1"], [p["q"], p["k"], p["v"]], let["qkv_scale"], let.get("qkv_shift")
         )
         p["q"], p["k"], p["v"] = qkv
         p["ln2"], outs = fold_norm_linears(
-            p["ln2"], [p[m] for m in mlp_in], let["fc1_scale"], let["fc1_shift"]
+            p["ln2"], [p[m] for m in mlp_in], let["fc1_scale"], let.get("fc1_shift")
         )
         for m, e in zip(mlp_in, outs):
             p[m] = e
@@ -285,15 +301,31 @@ def omniquant_model(
     ocfg: OmniConfig = OmniConfig(),
     rq: RuntimeQuantConfig = NO_QUANT,
     progress: Optional[Callable[[int, int, float], None]] = None,
+    act_stats=None,
 ):
     """Blockwise LWC calibration over all layers; returns real-quantized
     params. With `epochs=0` this reduces to plain RTN (the reference's
-    degenerate path, SURVEY.md §2.2)."""
+    degenerate path, SURVEY.md §2.2).
+
+    `act_stats`: per-layer activation statistics from
+    `smoothquant.collect_act_stats` (or loaded via `load_act_stats`); with
+    `let=True` they seed the LET scales with the SmoothQuant formula (the
+    reference's act_scales init, `quant/omniquant.py:230-252`). None
+    collects them in-line from the calibration stream when `let=True`."""
     tokens = jnp.asarray(calib_tokens, jnp.int32)
     n = tokens.shape[0]
     bs = min(ocfg.batch_size, n)
     h_fp, cos_sin, mask = embed_calibration(params, cfg, tokens)
     h_q = h_fp
+
+    if ocfg.let and act_stats is None:
+        from .smoothquant import collect_act_stats
+
+        act_stats = collect_act_stats(params, cfg, calib_tokens, batch_size=max(bs, 1))
+
+    # channel shifts train only for non-llama families under activation
+    # quantization (`quant/omniquant.py:226-229`)
+    use_shift = cfg.arch not in ("llama", "mixtral") and rq.act is not None
 
     run_fp = jax.jit(lambda p, hb: decoder_layer(p, hb, cfg, NO_QUANT, cos_sin, mask)[0])
     run_q = jax.jit(lambda p, hb: decoder_layer(p, hb, cfg, rq, cos_sin, mask)[0])
@@ -312,32 +344,42 @@ def omniquant_model(
         eff = apply_let(p_l, aux["let"], cfg) if "let" in aux else p_l
         return apply_lwc(eff, aux["lwc"], cfg, ocfg.wspec)
 
-    def loss_fn(aux, p_l, hq_b, target_b, hfp_b):
+    def loss_fn(aux, p_l, hq_b, target_b, target2_b):
         eff = apply_aux(aux, p_l)
         out = decoder_layer(eff, hq_b, cfg, rq, cos_sin, mask)[0]
         loss = jnp.mean((out.astype(jnp.float32) - target_b.astype(jnp.float32)) ** 2)
         if ocfg.aug_loss:
-            out2 = decoder_layer(eff, hfp_b, cfg, rq, cos_sin, mask)[0]
+            # reference aug loss (`quant/omniquant.py:219-221,277-278`):
+            # the SAME quantized output also matches the fp layer applied
+            # to the quantized input stream
             loss = loss + jnp.mean(
-                (out2.astype(jnp.float32) - target_b.astype(jnp.float32)) ** 2
+                (out.astype(jnp.float32) - target2_b.astype(jnp.float32)) ** 2
             )
         return loss
 
     @jax.jit
-    def train_step(aux, opt_state, p_l, hq_b, target_b, hfp_b):
-        loss, grads = jax.value_and_grad(loss_fn)(aux, p_l, hq_b, target_b, hfp_b)
+    def train_step(aux, opt_state, p_l, hq_b, target_b, target2_b):
+        loss, grads = jax.value_and_grad(loss_fn)(aux, p_l, hq_b, target_b, target2_b)
         updates, opt_state = opt.update(grads, opt_state, aux)
         return optax.apply_updates(aux, updates), opt_state, loss
 
     new_layers = []
-    act_stats_l = None
     for l in range(cfg.num_layers):
         p_l = _layer_slice(params["layers"], l)
         targets = [run_fp(p_l, h_fp[b0 : b0 + bs]) for b0 in range(0, n, bs)]
+        # aug targets: fp layer on the QUANTIZED input stream (fp_inps_2,
+        # `quant/omniquant.py:219-221`)
+        targets2 = (
+            [run_fp(p_l, h_q[b0 : b0 + bs]) for b0 in range(0, n, bs)]
+            if ocfg.aug_loss
+            else targets
+        )
 
         aux: Dict[str, Any] = {"lwc": init_layer_lwc(p_l, cfg, ocfg.wspec)}
         if ocfg.let:
-            aux["let"] = init_layer_let(p_l, cfg, act_stats_l)
+            aux["let"] = init_layer_let(
+                p_l, cfg, act_stats[l] if act_stats else None, use_shift=use_shift
+            )
         last_loss = float("nan")
         resumed = _load_aux(ocfg.resume_dir, l, aux)
         if resumed is not None:
@@ -353,7 +395,7 @@ def omniquant_model(
                         p_l,
                         h_q[b0 : b0 + bs],
                         targets[bi],
-                        h_fp[b0 : b0 + bs],
+                        targets2[bi],
                     )
                 last_loss = float(loss)
                 # NaN guard: the reference drops into pdb

@@ -96,33 +96,43 @@ def fold_q_k(
     q: Dict[str, jax.Array],
     k: Dict[str, jax.Array],
     scale: jax.Array,  # [Nq] per output channel of q_proj
+    head_dim: int = None,
 ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
     """Migrate a per-output-channel scale between q_proj and k_proj
     (`smooth_q_k_*`, transformation.py:62-69,107-114). With GQA the k scale
-    is the per-kv-head reduction of the q scale — the reference models have
-    matched head counts here (scale applied per head_dim column repeated);
-    we apply q/s and k*s with s laid out per flattened head column, so Nq
-    must equal Nk (MHA) or s must be head-shared (GQA-safe)."""
+    is the per-kv-head mean (over the q heads sharing that kv head) of the
+    q scale, which requires `head_dim` to regroup the head-major columns —
+    approximate unless scales are head-shared (the exact RoPE-safe form
+    `omniquant.apply_let` uses)."""
     s = sanitize_scale(scale)
     nq = dict(q)
     nq["w"] = (q["w"] / s[None, :].astype(q["w"].dtype)).astype(q["w"].dtype)
     if "b" in q:
         nq["b"] = (q["b"] / s).astype(q["b"].dtype)
     nk = dict(k)
-    sk = s if k["w"].shape[1] == q["w"].shape[1] else _gqa_reduce(s, k["w"].shape[1])
+    if k["w"].shape[1] == q["w"].shape[1]:
+        sk = s
+    else:
+        if head_dim is None:
+            raise ValueError("GQA fold_q_k needs head_dim to regroup columns")
+        sk = _gqa_reduce(s, k["w"].shape[1], head_dim)
     nk["w"] = (k["w"] * sk[None, :].astype(k["w"].dtype)).astype(k["w"].dtype)
     if "b" in k:
         nk["b"] = (k["b"] * sk).astype(k["b"].dtype)
     return nq, nk
 
 
-def _gqa_reduce(s: jax.Array, nk: int) -> jax.Array:
-    """Reduce a per-q-column scale to kv columns by averaging the q heads
-    that share each kv head (keeps q·kᵀ invariant only approximately; exact
-    invariance requires head-shared scales, which callers should use)."""
+def _gqa_reduce(s: jax.Array, nk: int, head_dim: int) -> jax.Array:
+    """Reduce a per-q-column scale [H·hd] to kv columns [Hkv·hd] by
+    averaging the q heads that share each kv head, respecting the
+    head-major column layout (keeps q·kᵀ invariant only approximately;
+    exact invariance requires head-shared scales, which callers should
+    use)."""
     rep = s.shape[0] // nk
-    hd = nk  # flattened layout [H*D]; regroup as [H_kv, rep, D] mean over rep
-    return s.reshape(-1, rep, 1).mean(axis=1).reshape(nk) if rep > 1 else s
+    if rep == 1:
+        return s
+    n_kv = nk // head_dim
+    return s.reshape(n_kv, rep, head_dim).mean(axis=1).reshape(nk)
 
 
 def smoothquant_scale(

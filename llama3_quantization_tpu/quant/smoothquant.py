@@ -38,13 +38,16 @@ def collect_act_stats(
     h, cos_sin, mask = embed_calibration(params, cfg, tokens)
     capture = jax.jit(lambda p, hb: layer_linear_inputs(p, hb, cfg, NO_QUANT, cos_sin, mask))
     run_layer = jax.jit(lambda p, hb: decoder_layer(p, hb, cfg, NO_QUANT, cos_sin, mask)[0])
-    names = linear_names(cfg)
+    names = list(linear_names(cfg))
+    if cfg.is_moe:
+        names.append("experts_in")  # shared router/expert gate-up input
     stats = []
     for l in range(cfg.num_layers):
         p_l = _layer_slice(params["layers"], l)
         absmax = {m: None for m in names}
         mean_acc = {m: 0.0 for m in names}
         count = 0
+        h_parts = []
         for b0 in range(0, n, batch_size):
             caps = capture(p_l, h[b0 : b0 + batch_size])
             for m in names:
@@ -53,7 +56,8 @@ def collect_act_stats(
                 absmax[m] = amax if absmax[m] is None else jnp.maximum(absmax[m], amax)
                 mean_acc[m] = mean_acc[m] + jnp.sum(x, axis=0)
             count += caps[names[0]].reshape(-1, caps[names[0]].shape[-1]).shape[0]
-            h = h.at[b0 : b0 + batch_size].set(run_layer(p_l, h[b0 : b0 + batch_size]))
+            h_parts.append(run_layer(p_l, h[b0 : b0 + batch_size]))
+        h = jnp.concatenate(h_parts, axis=0)
         stats.append(
             {
                 m: {"absmax": absmax[m], "mean": mean_acc[m] / count}
@@ -104,6 +108,32 @@ def smooth_layer(
     p = dict(p_l)
     mlp_in = ["gate", "up"] if cfg.arch == "llama" else ["fc1"]
 
+    if cfg.is_moe:
+        from .smoothing import fold_norm_moe
+
+        # norm1 -> q/k/v (standard), norm2 -> router + every expert's
+        # gate/up (scale-only — bias-free experts)
+        s1 = smoothquant_scale(
+            layer_stats["q"]["absmax"], _w_absmax_in([p[m] for m in ("q", "k", "v")]), alpha
+        )
+        shift1 = layer_stats["q"]["mean"] if use_shift else None
+        p["ln1"], qkv = fold_norm_linears(p["ln1"], [p["q"], p["k"], p["v"]], s1, shift1)
+        p["q"], p["k"], p["v"] = qkv
+        expert_wmax = jnp.max(
+            jnp.stack(
+                [
+                    jnp.max(jnp.abs(p["experts"][m]["w"].astype(jnp.float32)), axis=(0, 2))
+                    for m in ("gate", "up")
+                ]
+            ),
+            axis=0,
+        )
+        s2 = smoothquant_scale(layer_stats["experts_in"]["absmax"], expert_wmax, alpha)
+        p["ln2"], p["router"], p["experts"] = fold_norm_moe(
+            p["ln2"], p["router"], p["experts"], s2
+        )
+        return _smooth_v_o(p, layer_stats, cfg, alpha)
+
     if cfg.parallel_block:
         # Falcon: one shared LN feeds q/k/v AND the MLP input — fold once
         # across all of them
@@ -134,10 +164,14 @@ def smooth_layer(
         for m, e in zip(mlp_in, outs):
             p[m] = e
 
-    # v -> o: per o-input channel (== v output channel for MHA). With GQA
-    # the o input is the repeated-v layout, so stats and weight ranges are
-    # max-reduced over each kv head's repeat group first, and the fold
-    # scales v once / o per repeated copy.
+    return _smooth_v_o(p, layer_stats, cfg, alpha)
+
+
+def _smooth_v_o(p, layer_stats, cfg: ModelConfig, alpha: float):
+    """v -> o fold: per o-input channel (== v output channel for MHA). With
+    GQA the o input is the repeated-v layout, so stats and weight ranges
+    are max-reduced over each kv head's repeat group first, and the fold
+    scales v once / o per repeated copy."""
     nv = p["v"]["w"].shape[1]
     o_in_amax = _reduce_to_v_layout(layer_stats["o"]["absmax"], cfg, nv)
     w_o_amax = _reduce_to_v_layout(

@@ -315,3 +315,66 @@ def test_act_stats_save_load(tmp_path):
         np.asarray(forward_logits(params, toks, cfg)),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_fold_q_k_gqa_reduce_respects_head_layout(rng):
+    """GQA fold: k scales = mean over the q heads sharing each kv head,
+    in head-major layout; q·kᵀ approximately preserved for mildly varying
+    scales and exactly for head-shared ones."""
+    import jax.numpy as jnp
+
+    hd, h, hkv = 8, 4, 2
+    nq, nk = h * hd, hkv * hd
+    q = {"w": jnp.asarray(rng.standard_normal((16, nq)).astype(np.float32))}
+    k = {"w": jnp.asarray(rng.standard_normal((16, nk)).astype(np.float32))}
+    # head-shared scale: exactly invariant per (q-head, kv-head) pair mean
+    s_head = jnp.asarray(rng.uniform(0.5, 2.0, hd).astype(np.float32))
+    scale = jnp.tile(s_head, h)
+    q2, k2 = fold_q_k(q, k, scale, head_dim=hd)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    qh = (x @ q["w"]).reshape(4, h, hd)
+    kh = (x @ k["w"]).reshape(4, hkv, hd)
+    qh2 = (x @ q2["w"]).reshape(4, h, hd)
+    kh2 = (x @ k2["w"]).reshape(4, hkv, hd)
+    rep = h // hkv
+    for g in range(hkv):
+        for r in range(rep):
+            a = jnp.einsum("bd,cd->bc", qh[:, g * rep + r], kh[:, g])
+            b = jnp.einsum("bd,cd->bc", qh2[:, g * rep + r], kh2[:, g])
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+
+
+def test_omniquant_act_stats_and_aug_loss():
+    """LET initializes from collected activation stats (not ones), and
+    aug_loss trains without error; llama omits shift params."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.models import TINY_LLAMA, forward_logits, init_params
+    from llama3_quantization_tpu.quant.omniquant import (
+        OmniConfig,
+        init_layer_let,
+        omniquant_model,
+    )
+    from llama3_quantization_tpu.quant.calibration import _layer_slice
+    from llama3_quantization_tpu.quant.smoothquant import collect_act_stats
+    from llama3_quantization_tpu.quant.quantizer import QuantSpec
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    calib = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16))
+    stats = collect_act_stats(params, cfg, calib, batch_size=2)
+    p0 = _layer_slice(params["layers"], 0)
+    let = init_layer_let(p0, cfg, stats[0])
+    assert float(jnp.std(let["qkv_scale"])) > 0  # seeded, not ones
+    assert "qkv_shift" not in let  # llama: no trained shifts
+
+    fp = forward_logits(params, calib[:1], cfg)
+    qp = omniquant_model(
+        params, cfg, calib,
+        OmniConfig(wspec=QuantSpec(n_bits=8, group_size=32, lwc=True),
+                   epochs=1, let=True, aug_loss=True, batch_size=2),
+    )
+    out = forward_logits(qp, calib[:1], cfg)
+    err = float(jnp.mean(jnp.abs(out - fp))) / (float(jnp.mean(jnp.abs(fp))) + 1e-9)
+    assert err < 0.1, err
