@@ -116,6 +116,13 @@ def main():
         params = jax.block_until_ready(params)
         log(f"params built in {time.time()-t0:.1f}s")
         return prefill_bench(cfg, params, cfg_name, backend)
+    if backend == "a8" and os.environ.get("L3Q_BENCH_FUSE", "1") == "1":
+        # horizontal QKV / gate+up fusion: 7 -> 5 weight dots per layer and
+        # 2 fewer per-token activation quantizations (numerically exact)
+        from llama3_quantization_tpu.quant.serving import fuse_for_decode
+
+        params = fuse_for_decode(params, cfg)
+        log("fused qkv + gateup projections for decode")
     params = jax.block_until_ready(params)
     log(f"params built in {time.time()-t0:.1f}s")
 

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="worst linears upgraded to W8 for --quant_method mixed")
     p.add_argument("--recode_head", action="store_true",
                    help="with --serving_recode: also recode lm_head to s8")
+    p.add_argument("--fuse_decode", action="store_true",
+                   help="with --serving_recode: horizontally fuse qkv and "
+                        "gate/up projections (single-replica decode)")
     p.add_argument("--moe_capacity", type=float, default=None,
                    help="GShard-style MoE capacity factor (e.g. 1.25); "
                         "default dense exact routing")
@@ -193,6 +196,13 @@ def main(argv=None):
         params = recode_model_s8(params, cfg, include_head=args.recode_head)
         mm.set_backend("a8")
         print("[cli] serving recode: per-column s8 weights, a8 backend", file=sys.stderr)
+        if args.fuse_decode:
+            if args.tp or args.dp:
+                raise SystemExit("--fuse_decode is single-replica only (no --tp/--dp)")
+            from .quant.serving import fuse_for_decode
+
+            params = fuse_for_decode(params, cfg)
+            print("[cli] fused qkv + gate/up projections", file=sys.stderr)
 
     if args.tp or args.dp:
         from .parallel import make_mesh, shard_params

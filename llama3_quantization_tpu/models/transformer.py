@@ -227,9 +227,17 @@ def _attn_block(
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     b, s, _ = h.shape
     hd = cfg.head_dim_
-    q = qlinear(h, p["q"]["w"], p["q"].get("b"), rq.act).reshape(b, s, cfg.num_heads, hd)
-    k = qlinear(h, p["k"]["w"], p["k"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
-    v = qlinear(h, p["v"]["w"], p["v"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
+    if "qkv" in p:
+        # horizontally fused projection (quant.serving.fuse_for_decode)
+        nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+        qkv = qlinear(h, p["qkv"]["w"], p["qkv"].get("b"), rq.act)
+        q = qkv[..., :nq].reshape(b, s, cfg.num_heads, hd)
+        k = qkv[..., nq : nq + nkv].reshape(b, s, cfg.num_kv_heads, hd)
+        v = qkv[..., nq + nkv :].reshape(b, s, cfg.num_kv_heads, hd)
+    else:
+        q = qlinear(h, p["q"]["w"], p["q"].get("b"), rq.act).reshape(b, s, cfg.num_heads, hd)
+        k = qlinear(h, p["k"]["w"], p["k"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
+        v = qlinear(h, p["v"]["w"], p["v"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
     if cos_sin is not None:
         cos, sin = cos_sin
         q = apply_rope(q, cos, sin)
@@ -360,8 +368,12 @@ def _mlp_block(p: Params, h: jax.Array, cfg: ModelConfig, rq: RuntimeQuantConfig
     if cfg.is_moe:
         return _moe_block(p, h, cfg, rq)
     if cfg.arch == "llama":
-        gate = qlinear(h, p["gate"]["w"], p["gate"].get("b"), rq.act)
-        up = qlinear(h, p["up"]["w"], p["up"].get("b"), rq.act)
+        if "gateup" in p:
+            gu = qlinear(h, p["gateup"]["w"], p["gateup"].get("b"), rq.act)
+            gate, up = gu[..., : cfg.intermediate_size], gu[..., cfg.intermediate_size :]
+        else:
+            gate = qlinear(h, p["gate"]["w"], p["gate"].get("b"), rq.act)
+            up = qlinear(h, p["up"]["w"], p["up"].get("b"), rq.act)
         return qlinear(jax.nn.silu(gate) * up, p["down"]["w"], p["down"].get("b"), rq.act)
     fc1 = qlinear(h, p["fc1"]["w"], p["fc1"].get("b"), rq.act)
     act = jax.nn.relu(fc1) if cfg.activation == "relu" else jax.nn.gelu(fc1)

@@ -59,6 +59,81 @@ def recode_head_s8(w):
     )
 
 
+def _concat_qt(qts):
+    """Concat per-column containers along N (stacked `[L, K, N]` layout)."""
+    base = qts[0]
+    return QuantizedTensor(
+        data=jnp.concatenate([q.data for q in qts], axis=-1),
+        scale=jnp.concatenate([q.scale for q in qts], axis=-1),
+        zero=None,
+        bits=base.bits,
+        group_size=None,
+        sym=True,
+        k=base.k,
+        n=sum(q.n for q in qts),
+        packed=False,
+        out_dtype=base.out_dtype,
+    )
+
+
+def _fusible(ws) -> bool:
+    if all(isinstance(w, jnp.ndarray) for w in ws):
+        return True
+    return all(
+        isinstance(w, QuantizedTensor)
+        and not w.packed
+        and w.group_size is None
+        and w.zero is None
+        for w in ws
+    ) and len({(w.bits, w.k, str(w.out_dtype)) for w in ws}) == 1
+
+
+def _fuse_group(layers, names, fused_name):
+    """Merge `names` entries into one horizontally-concatenated linear."""
+    entries = [layers[n] for n in names]
+    ws = [e["w"] for e in entries]
+    if not _fusible(ws):
+        return False
+    biases = [e.get("b") for e in entries]
+    if any(b is not None for b in biases) and not all(b is not None for b in biases):
+        return False
+    fused = {
+        "w": _concat_qt(ws)
+        if isinstance(ws[0], QuantizedTensor)
+        else jnp.concatenate(ws, axis=-1)
+    }
+    if biases[0] is not None:
+        fused["b"] = jnp.concatenate(biases, axis=-1)
+    for n in names:
+        del layers[n]
+    layers[fused_name] = fused
+    return True
+
+
+def fuse_for_decode(params, cfg):
+    """Horizontally fuse q/k/v -> qkv and gate/up -> gateup for decode.
+
+    Single-chip decode dispatches ~7 weight dots per layer; each carries a
+    fixed kernel cost that at s=1 is a visible slice of the 8 GB/token
+    budget. Fusing the three QKV projections and the two SwiGLU inputs cuts
+    that to 5 dots AND drops two redundant per-token activation
+    quantizations (`a8_matmul` re-quantizes its input per call). Numerics
+    are unchanged: per-output-column scales concatenate exactly.
+
+    Only fuses zero-free per-column containers (the s8 serving recode) or
+    raw fp arrays. NOT for tensor-parallel execution — TP shards attention
+    by heads, which the concatenated [q|k|v] column layout does not respect.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    if all(n in layers for n in ("q", "k", "v")):
+        _fuse_group(layers, ("q", "k", "v"), "qkv")
+    if all(n in layers for n in ("gate", "up")):
+        _fuse_group(layers, ("gate", "up"), "gateup")
+    out["layers"] = layers
+    return out
+
+
 def recode_model_s8(params, cfg, include_head: bool = False):
     """Recode every quantized decoder linear for s8 serving.
 

@@ -60,11 +60,18 @@ class ServingEngine:
         top_k: int = 0,
         top_p: float = 1.0,
         seed: int = 0,
+        fuse: bool = False,
     ):
         import jax
         import jax.numpy as jnp
 
         self._jax, self._jnp = jax, jnp
+        if fuse:
+            # horizontal qkv/gateup fusion (quant.serving.fuse_for_decode):
+            # fewer weight dots per decode step; single-replica only
+            from ..quant.serving import fuse_for_decode
+
+            params = fuse_for_decode(params, cfg)
         self.params = params
         self.cfg = cfg
         self.max_slots = max_slots

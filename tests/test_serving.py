@@ -240,3 +240,85 @@ def test_engine_with_tp_sharded_params(setup):
     r2 = eng.add_request([1, 2, 3, 4], max_new_tokens=6)
     eng.run()
     assert eng.result(r2) == want
+
+
+def test_fuse_for_decode_matches_unfused():
+    """QKV/gate-up horizontal fusion is numerically exact vs separate dots
+    (per-column scales concatenate), on both the xla and a8 backends, for
+    the full forward and the greedy decode loop."""
+    import dataclasses as dc
+
+    from llama3_quantization_tpu.models import forward_logits
+    from llama3_quantization_tpu.models.params import quantize_model_rtn
+    from llama3_quantization_tpu.ops.matmul import backend
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.quant.qtensor import QuantizedTensor
+    from llama3_quantization_tpu.quant.serving import fuse_for_decode, recode_model_s8
+
+    cfg = dc.replace(TINY_LLAMA, tie_word_embeddings=False)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=4, group_size=32))
+    rp = recode_model_s8(qp, cfg, include_head=True)
+    fp = fuse_for_decode(rp, cfg)
+    assert "qkv" in fp["layers"] and "q" not in fp["layers"]
+    assert "gateup" in fp["layers"] and "gate" not in fp["layers"]
+    qkv = fp["layers"]["qkv"]["w"]
+    assert isinstance(qkv, QuantizedTensor)
+    hd = cfg.head_dim_
+    assert qkv.n == (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
+
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+    for be in ("xla", "a8"):
+        with backend(be):
+            ref = forward_logits(rp, toks, cfg)
+            out = forward_logits(fp, toks, cfg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    with backend("a8"):
+        tok0 = toks[:1, :1]
+        cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+        ref_toks, _ = greedy_generate(rp, cache, tok0, jnp.int32(0), 8, cfg)
+        cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+        fused_toks, _ = greedy_generate(fp, cache, tok0, jnp.int32(0), 8, cfg)
+    np.testing.assert_array_equal(np.asarray(ref_toks), np.asarray(fused_toks))
+
+
+def test_fuse_for_decode_fp_weights():
+    """Fusion also applies to plain fp params (decode without quantization)."""
+    from llama3_quantization_tpu.models import forward_logits
+    from llama3_quantization_tpu.quant.serving import fuse_for_decode
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    fp = fuse_for_decode(params, cfg)
+    assert "qkv" in fp["layers"]
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
+    ref = forward_logits(params, toks, cfg)
+    out = forward_logits(fp, toks, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fuse_for_decode_skips_grouped():
+    """Grouped (non-percol) containers are left unfused rather than broken."""
+    from llama3_quantization_tpu.models.params import quantize_model_rtn
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.quant.serving import fuse_for_decode
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=4, group_size=32))
+    fp = fuse_for_decode(qp, cfg)
+    assert "qkv" not in fp["layers"] and "q" in fp["layers"]
+
+
+def test_engine_fuse_matches(setup):
+    """ServingEngine(fuse=True) produces identical generations."""
+    cfg, params = setup
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+    outs = []
+    for fuse in (False, True):
+        eng = ServingEngine(params, cfg, max_slots=2, max_len=64, fuse=fuse)
+        rids = [eng.add_request(p, max_new_tokens=6) for p in prompts]
+        eng.run()
+        outs.append([eng.result(r) for r in rids])
+    assert outs[0] == outs[1]
