@@ -52,10 +52,16 @@ def ring_attention(
     """Causal blockwise attention with KV blocks rotating around the ring.
 
     Must run inside `shard_map` with `axis_name` bound. GQA via the same
-    head-group einsum as the eager path; fp32 accumulation. The eager
-    path's q/k/v fake-quant hooks apply (`int_llama_layer.py:141-163`);
-    the probs hook (`rq.p`) cannot — probabilities only exist after the
-    global online-softmax merge — and is rejected by `make_sp_forward`.
+    head-group einsum as the eager path; fp32 accumulation. All four eager
+    fake-quant hooks apply (`int_llama_layer.py:141-163`): q/k/v are
+    quantized per local shard (their reduction axis is token-local), and
+    the probs hook (`rq.p`) — whose per-token statistics span the whole
+    key axis — runs as a second ring pass: pass 1 collects the exact
+    per-row (max, min, denominator) online, pass 2 materializes each
+    block's normalized probs, quantizes them with the globally-correct
+    scale (max prob = 1/l, min prob = exp(min_score - m)/l), and
+    accumulates PV. Restrictions: no group_size/LWC on the p-spec (groups
+    along the key axis would straddle ring blocks).
     """
     from ..models.transformer import _maybe_fq
 
@@ -102,6 +108,18 @@ def ring_attention(
         kb, vb = jax.lax.ppermute((kb, vb), axis_name, perm)
         return acc, m_new, l, kb, vb
 
+    if rq.p is not None and rq.p.enabled:
+        if rq.p.group_size or rq.p.lwc:
+            raise NotImplementedError(
+                "rq.p under ring attention supports per-token specs only "
+                "(groups along the key axis would straddle ring blocks)"
+            )
+        out = _two_pass_pv(qg, k, v, intra, zeros_m, neg_m, my, sp, perm,
+                           scale, axis_name, rq.p)
+        return (
+            jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, s, h, d).astype(q.dtype)
+        )
+
     init = (
         jnp.zeros((b, g, rep, s, d), jnp.float32),
         jnp.full((b, g, rep, s), _NEG, jnp.float32),
@@ -113,6 +131,80 @@ def ring_attention(
     out = acc / l[..., None]
     # [b,g,rep,s,d] -> [b,s,h,d]
     return jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(b, s, h, d).astype(q.dtype)
+
+
+def _two_pass_pv(qg, k, v, intra, zeros_m, neg_m, my, sp, perm, scale,
+                 axis_name, p_spec):
+    """Ring attention with the softmax-probs fake-quant hook.
+
+    The single-device path quantizes the *normalized* prob row before PV
+    (`/root/reference/models/int_llama_layer.py:161-163`); one online pass
+    cannot reproduce that (the row max/denominator are only known at the
+    end), so: pass 1 rotates K blocks collecting the exact row statistics
+    (m = max score, mn = min score, l = Σexp(s-m)); pass 2 rotates K and V,
+    recomputes each block's scores, forms exp(s-m)/l — the true normalized
+    probs — quantizes with the per-token scale derived from
+    (exp(mn-m)/l, 1/l), and accumulates PV with no final renormalization
+    (quantized probs already sum to ≈1, exactly as the eager path). Costs a
+    second ring rotation of K; opt-in via the p-spec.
+    """
+    from ..quant.quantizer import fake_quant, scale_zp_from_minmax
+
+    b, s, g, rep, d = qg.shape
+
+    def scores_for(r, kb):
+        blk = (my - r) % sp
+        sc = (
+            jnp.einsum(
+                "bsgrd,btgd->bgrst", qg, kb.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        msk = jnp.where(blk == my, intra, jnp.where(blk < my, zeros_m, neg_m))
+        return sc + msk
+
+    def stats_step(r, carry):
+        m, mn, l, kb = carry
+        sc = scores_for(r, kb)
+        m_new = jnp.maximum(m, jnp.max(sc, axis=-1))
+        l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(sc - m_new[..., None]), axis=-1)
+        mn = jnp.minimum(mn, jnp.min(sc, axis=-1))
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        return m_new, mn, l, kb
+
+    stat_init = (
+        jnp.full((b, g, rep, s), _NEG, jnp.float32),
+        jnp.full((b, g, rep, s), -_NEG, jnp.float32),
+        jnp.zeros((b, g, rep, s), jnp.float32),
+        k,
+    )
+    m, mn, l, k = jax.lax.fori_loop(0, sp, stats_step, stat_init)
+
+    if p_spec.metric == "fix0to1":
+        levels = 2**p_spec.n_bits - 1
+        quantize = lambda p: jnp.round(p * levels) / levels  # noqa: E731
+    else:
+        # masked entries underflow to prob 0 exactly, like the eager row
+        pmin = (jnp.exp(mn - m) / l)[..., None]
+        pmax = (1.0 / l)[..., None]
+        p_scale, p_zp = scale_zp_from_minmax(pmin, pmax, p_spec)
+        quantize = lambda p: fake_quant(p, p_scale, p_zp, p_spec)  # noqa: E731
+
+    def pv_step(r, carry):
+        acc, kb, vb = carry
+        p = jnp.exp(scores_for(r, kb) - m[..., None]) / l[..., None]
+        p = quantize(p)
+        acc = acc + jnp.einsum(
+            "bgrst,btgd->bgrsd", p, vb.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        kb, vb = jax.lax.ppermute((kb, vb), axis_name, perm)
+        return acc, kb, vb
+
+    pv_init = (jnp.zeros((b, g, rep, s, d), jnp.float32), k, v)
+    acc, _, _ = jax.lax.fori_loop(0, sp, pv_step, pv_init)
+    return acc
 
 
 def make_sp_forward(
@@ -130,10 +222,9 @@ def make_sp_forward(
     """
     if cfg.parallel_block or not cfg.uses_rope:
         raise NotImplementedError("sp forward supports pre-norm RoPE archs")
-    if rq.p is not None:
+    if rq.p is not None and rq.p.enabled and (rq.p.group_size or rq.p.lwc):
         raise NotImplementedError(
-            "rq.p (softmax-probs fake-quant) has no equivalent under the "
-            "ring online-softmax merge; use the single-device path for it"
+            "rq.p under ring attention supports per-token specs only"
         )
     sp = mesh.shape["sp"]
     ring = partial(ring_attention, rq=rq)

@@ -134,6 +134,20 @@ def minmax_scale_zp(
             raise ValueError("LWC spec requires lwc_up/lwc_low logits")
         xmax = jax.nn.sigmoid(lwc_up) * xmax
         xmin = jax.nn.sigmoid(lwc_low) * xmin
+    return scale_zp_from_minmax(xmin, xmax, spec)
+
+
+def scale_zp_from_minmax(
+    xmin: jax.Array, xmax: jax.Array, spec: QuantSpec
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """(scale, round_zero_point) from already-reduced min/max statistics.
+
+    The tail of `per_token_dynamic_calibration`
+    (`/root/reference/quant/quantizer.py:140-159`), split out so callers
+    that know the row statistics without materializing the row — e.g. ring
+    attention's softmax-probs quantization, where max = 1/l and
+    min = exp(min_score - m)/l fall out of the online-softmax stats — can
+    produce bit-identical parameters."""
     if spec.symmetric or spec.disable_zero_point:
         abs_max = jnp.maximum(jnp.abs(xmax), jnp.abs(xmin))
         scale = abs_max / (2 ** (spec.n_bits - 1) - 1)

@@ -222,7 +222,7 @@ def test_ring_attention_matches_eager_directly():
 
 def test_ring_attention_honors_attn_quant_hooks():
     """rq.k/v hooks change sp outputs the same way they change the eager
-    path; rq.p is rejected."""
+    path; grouped/LWC p-specs are rejected."""
     import numpy as np
     import pytest
     import jax
@@ -250,7 +250,42 @@ def test_ring_attention_honors_attn_quant_hooks():
     assert float(jnp.max(jnp.abs(ref - base))) > 1e-3
 
     with pytest.raises(NotImplementedError):
-        make_sp_forward(cfg, mesh, rq=RuntimeQuantConfig(p=QuantSpec(n_bits=8)))
+        make_sp_forward(
+            cfg, mesh, rq=RuntimeQuantConfig(p=QuantSpec(n_bits=8, group_size=16))
+        )
+
+
+def test_ring_attention_probs_quant_matches_eager():
+    """rq.p (softmax-probs fake-quant) under ring attention == the eager
+    path: the two-pass ring derives the per-token prob statistics
+    (max = 1/l, min = exp(mn-m)/l) without materializing the row, for both
+    the dynamic-minmax and the fix0to1 metrics."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from llama3_quantization_tpu.models import forward_logits, init_params
+    from llama3_quantization_tpu.models.configs import TINY_LLAMA
+    from llama3_quantization_tpu.models.transformer import RuntimeQuantConfig
+    from llama3_quantization_tpu.parallel import make_sp_forward
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, cfg.vocab_size)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))
+    base = forward_logits(params, toks, cfg)
+
+    for spec in (QuantSpec(n_bits=8), QuantSpec(n_bits=8, metric="fix0to1")):
+        rq = RuntimeQuantConfig(p=spec)
+        ref = forward_logits(params, toks, cfg, rq)
+        out = make_sp_forward(cfg, mesh, rq=rq)(params, toks)
+        # rounding-edge prob flips aside (ring's online l vs eager's one-shot
+        # sum differ in ulps), the quantized rows are identical
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+        # and the hook genuinely bites (differs from the unquantized run)
+        assert float(jnp.max(jnp.abs(ref - base))) > 1e-3
 
 
 def test_collective_matmuls():
