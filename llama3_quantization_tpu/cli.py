@@ -33,7 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--symmetric", action="store_true")
     p.add_argument("--disable_zero_point", action="store_true")
     p.add_argument("--calib_dataset", default="wikitext2",
-                   choices=["wikitext2", "ptb", "c4", "mix", "synthetic"])
+                   choices=["wikitext2", "ptb", "c4", "mix", "pile",
+                            "ptb-new", "c4-new", "synthetic"])
+    p.add_argument("--pile_data_file", default=None,
+                   help="local val.jsonl(.zst) for --calib_dataset pile "
+                        "(the reference hard-codes a cluster path)")
     p.add_argument("--nsamples", type=int, default=128)
     p.add_argument("--seqlen", type=int, default=2048)
     p.add_argument("--seed", type=int, default=2)
@@ -110,9 +114,12 @@ def get_calib(args, tokenizer, vocab_size: int) -> np.ndarray:
         return rng.integers(0, vocab_size, (args.nsamples, args.seqlen))
     from .eval.data import get_loaders
 
+    kw = {}
+    if args.calib_dataset == "pile" and getattr(args, "pile_data_file", None):
+        kw["data_file"] = args.pile_data_file
     loader, _ = get_loaders(
         args.calib_dataset, nsamples=args.nsamples, seed=args.seed,
-        seqlen=args.seqlen, tokenizer=tokenizer,
+        seqlen=args.seqlen, tokenizer=tokenizer, **kw,
     )
     return np.concatenate([inp for inp, _ in loader], axis=0)
 

@@ -160,6 +160,71 @@ def get_ptb(nsamples, seed, seqlen, tokenizer, train_text=None, test_text=None):
     return _sample_windows(trainenc, nsamples, seed, seqlen), testenc
 
 
+def get_pile(nsamples, seed, seqlen, tokenizer, train_docs=None, data_file=None):
+    """`datautils.get_pile` (`datautils.py:14-32`): the first 1000 Pile val
+    documents joined with "\\n\\n", random calibration windows, no test
+    stream. The reference reads a hard-coded cluster-local `val.jsonl.zst`;
+    here `data_file` points at any local jsonl(.zst) with a `text` field
+    (the decontamination/archiver on-disk format), or `train_docs` injects
+    document texts directly."""
+    if train_docs is None:
+        if data_file is None:
+            raise RuntimeError(
+                "pile loader needs data_file=<val.jsonl(.zst)> or train_docs "
+                "(the reference's path is cluster-local, datautils.py:17)"
+            )
+        from ..decontamination.archiver import Reader
+
+        train_docs = list(Reader().read(data_file))
+    trainenc = tokenizer.encode("\n\n".join(train_docs[:1000]))
+    return _sample_windows(trainenc, nsamples, seed, seqlen), None
+
+
+def get_ptb_new(nsamples, seed, seqlen, tokenizer, train_text=None, test_text=None):
+    """`datautils.get_ptb_new` (`datautils.py:124-144`): space-joined
+    sentences (vs the base loader's "\\n\\n") and the *test* split (vs
+    validation) — the GPTQ-paper variant."""
+    if train_text is None:
+        train_text = " ".join(
+            _load_hf_text("ptb_text_only", "penn_treebank", "train", "sentence")
+        )
+    if test_text is None:
+        test_text = " ".join(
+            _load_hf_text("ptb_text_only", "penn_treebank", "test", "sentence")
+        )
+    trainenc = tokenizer.encode(train_text)
+    testenc = tokenizer.encode(test_text)[None, :]
+    return _sample_windows(trainenc, nsamples, seed, seqlen), testenc
+
+
+def get_c4_new(nsamples, seed, seqlen, tokenizer, train_docs=None, val_docs=None):
+    """`datautils.get_c4_new` (`datautils.py:147-175`): same per-document
+    train resampling as `get_c4`, but val = the first 1100 validation docs
+    space-joined and truncated to 256*seqlen tokens (one contiguous stream
+    instead of 256 hstacked windows)."""
+    if train_docs is None:
+        train_docs = _load_hf_text("allenai/c4", None, "train", "text")  # pragma: no cover
+    if val_docs is None:
+        val_docs = _load_hf_text("allenai/c4", None, "validation", "text")  # pragma: no cover
+
+    random.seed(seed)
+    trainloader = []
+    for _ in range(nsamples):
+        while True:
+            i = random.randint(0, len(train_docs) - 1)
+            trainenc = tokenizer.encode(train_docs[i])
+            if trainenc.shape[0] > seqlen:
+                break
+        i = random.randint(0, trainenc.shape[0] - seqlen - 1)
+        inp = trainenc[i : i + seqlen][None, :]
+        tar = inp.copy()
+        tar[:, :-1] = -100
+        trainloader.append((inp, tar))
+
+    valenc = tokenizer.encode(" ".join(val_docs[:1100]))[None, : 256 * seqlen]
+    return trainloader, valenc
+
+
 def get_c4(nsamples, seed, seqlen, tokenizer, train_docs=None, val_docs=None):
     """`datautils.get_c4` (`datautils.py:80-121`): per-document resampling
     until a document longer than seqlen is hit; val = 256 fixed-seed windows
@@ -253,9 +318,15 @@ def get_loaders(
         return loader, testenc
     if "wikitext2" in name:
         return get_wikitext2(nsamples, seed, seqlen, tokenizer, **overrides)
+    if "pile" in name:
+        return get_pile(nsamples, seed, seqlen, tokenizer, **overrides)
     if "ptb" in name:
+        if "new" in name:
+            return get_ptb_new(nsamples, seed, seqlen, tokenizer, **overrides)
         return get_ptb(nsamples, seed, seqlen, tokenizer, **overrides)
     if "c4" in name:
+        if "new" in name:
+            return get_c4_new(nsamples, seed, seqlen, tokenizer, **overrides)
         return get_c4(nsamples, seed, seqlen, tokenizer, **overrides)
     if "mix" in name:
         # per-corpus injection: plain train_text/test_text go to wikitext2,
