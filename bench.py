@@ -35,10 +35,11 @@ HBM_GBPS = {"v5e": 819.0, "v5": 819.0}
 
 
 def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None,
-                          head_bits: int = 16) -> float:
+                          head_bits: int = 16, kv_bits: int = 16) -> float:
     """HBM bytes touched per decode step: packed decoder weights + scales +
     fp head/embed reads + KV cache. `container_bits` overrides the storage
-    width (the a8 path stores sub-byte codes in int8 containers)."""
+    width (the a8 path stores sub-byte codes in int8 containers); `kv_bits`
+    16 = bf16 cache, 8/4 = quantized codes + f32 per-(token, head) scales."""
     d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim_
     lin = (
         d * cfg.num_heads * hd
@@ -50,7 +51,10 @@ def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None,
     gs = spec.group_size or 1
     scale_bytes = (lin / gs) * 8 if spec.group_size else 0  # f32 scale+zero
     lm_head = d * cfg.vocab_size * head_bits / 8
-    kv = 2 * cfg.num_layers * cache_len * cfg.num_kv_heads * hd * 2
+    kv_elems = 2 * cfg.num_layers * cache_len * cfg.num_kv_heads
+    kv = kv_elems * hd * kv_bits / 8
+    if kv_bits < 16:
+        kv += kv_elems * 4  # f32 scale per (token, head)
     return w_bytes + scale_bytes + lm_head + kv
 
 
@@ -132,7 +136,15 @@ def main():
     # dispatch). A scalar fetch forces real completion — this backend's
     # block_until_ready returns early, yielding impossible
     # >speed-of-light rates if trusted.
-    cache = init_kv_cache(cfg, batch, cache_len)
+    # L3Q_BENCH_KV=8|4: int8 / int4-packed quantized KV cache
+    # (ops/kvcache.py) — the long-context decode lever: KV bytes dominate
+    # once cache_len x batch grows past the weight reads
+    kv_bits = int(os.environ.get("L3Q_BENCH_KV", 16))
+    cache = init_kv_cache(
+        cfg, batch, cache_len, quantized=kv_bits if kv_bits < 16 else False
+    )
+    if kv_bits < 16:
+        log(f"int{kv_bits} quantized KV cache")
     gen = jax.jit(
         partial(greedy_generate, cfg=cfg, n_steps=decode_steps), donate_argnums=(1,)
     )
@@ -207,7 +219,8 @@ def main():
         hb = 8 if head_s8 else 16
         bpt = model_bytes_per_token(cfg, spec, 0, container_bits=container, head_bits=hb)
         kv_bytes = (
-            model_bytes_per_token(cfg, spec, cache_len, container_bits=container, head_bits=hb)
+            model_bytes_per_token(cfg, spec, cache_len, container_bits=container,
+                                  head_bits=hb, kv_bits=kv_bits)
             - bpt
         )
         # batch decode amortizes weight reads; KV reads scale with batch
@@ -216,6 +229,8 @@ def main():
         log(f"bytes/token={bpt_eff/1e9:.2f} GB, speed-of-light={sol:.1f} tok/s")
         vs = tok_s / sol
         suffix = f"_b{batch}" if batch > 1 else ""
+        if kv_bits < 16:
+            suffix += f"_kv{kv_bits}"
         metric = f"decode_tok_s_chip_llama3_8b_w4g128_{backend}{suffix}"
     else:
         vs = 0.0

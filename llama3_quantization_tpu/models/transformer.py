@@ -158,26 +158,35 @@ def _flash_attention(q, k, v, cfg: ModelConfig) -> jax.Array:
 
 def _attention(
     q: jax.Array,  # [B, S, H, D]
-    k: jax.Array,  # [B, T, Hkv, D]
-    v: jax.Array,  # [B, T, Hkv, D]
+    k: jax.Array,  # [B, T, Hkv, D] (or [B, Hkv, T, D] with kv_heads_major)
+    v: jax.Array,  # same layout as k
     mask: Optional[jax.Array],  # [S, T] additive fp32 mask or None
     cfg: ModelConfig,
     rq: RuntimeQuantConfig,
     allow_flash: bool = False,
+    kv_heads_major: bool = False,
 ) -> jax.Array:
     """Eager attention with the reference's quantization hook points: Q/K
     fake-quant before QK^T, probs/V before PV
     (`models/int_llama_layer.py:141-163`). GQA via head-group einsum instead
-    of repeat_kv materialization."""
+    of repeat_kv materialization.
+
+    `kv_heads_major` is the KV-cache decode layout ([B, Hkv, T, D]): the
+    dot's batch dims (b, g) are then majormost, so XLA reads the cache
+    in place — the seq-major layout forces a strided whole-cache transpose
+    copy every step (measured 26x slower at T=4096)."""
     if allow_flash and q.shape[1] >= 128 and _flash_enabled(rq):
         return _flash_attention(q, k, v, cfg)
     b, s, h, d = q.shape
-    t = k.shape[1]
-    rep = h // k.shape[2]
+    g = k.shape[1] if kv_heads_major else k.shape[2]
+    rep = h // g
     q = _maybe_fq(q, rq.q)
-    k = _maybe_fq(k, rq.k)
-    qg = q.reshape(b, s, k.shape[2], rep, d)
-    scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k, preferred_element_type=jnp.float32)
+    k = _maybe_fq(k, rq.k)  # last-axis (D) reduction: layout-independent
+    qg = q.reshape(b, s, g, rep, d)
+    kd = "bgtd" if kv_heads_major else "btgd"
+    scores = jnp.einsum(
+        f"bsgrd,{kd}->bgrst", qg, k, preferred_element_type=jnp.float32
+    )
     scores = scores / jnp.sqrt(d).astype(jnp.float32)
     if mask is not None:
         if mask.ndim == 3:  # per-batch-row mask [B, S, T] (multi-slot decode)
@@ -187,7 +196,9 @@ def _attention(
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     probs = _maybe_fq(probs, rq.p).astype(q.dtype)
     v = _maybe_fq(v, rq.v)
-    out = jnp.einsum("bgrst,btgd->bsgrd", probs, v, preferred_element_type=jnp.float32)
+    out = jnp.einsum(
+        f"bgrst,{kd}->bsgrd", probs, v, preferred_element_type=jnp.float32
+    )
     return out.reshape(b, s, h, d).astype(q.dtype)
 
 
@@ -205,13 +216,16 @@ def causal_mask(s: int, t: Optional[int] = None, offset: int = 0) -> jax.Array:
 
 
 def _write_cache(buf: jax.Array, new: jax.Array, pos) -> jax.Array:
-    """Write `new` [B, s, H, D] into `buf` [B, T, H, D] at position `pos` —
-    a scalar (shared slot) or a per-row vector [B] (multi-slot decode,
-    s == 1)."""
+    """Write `new` [B, s, H, D] into the heads-major cache [B, H, T, D] at
+    position `pos` — a scalar (shared slot) or a per-row vector [B]
+    (multi-slot decode, s == 1). Only the written slice transposes (tiny at
+    decode); reads then need no layout change at all."""
+    new = jnp.swapaxes(new, 1, 2)  # [B, H, s, D]
     if getattr(pos, "ndim", 0) == 1:
         b = buf.shape[0]
-        return buf.at[jnp.arange(b), pos].set(new[:, 0])
-    return jax.lax.dynamic_update_slice(buf, new, (0, pos, 0, 0))
+        # advanced indices (rows, pos) around the H slice -> result [B, H, D]
+        return buf.at[jnp.arange(b), :, pos, :].set(new[:, :, 0])
+    return jax.lax.dynamic_update_slice(buf, new, (0, 0, pos, 0))
 
 
 def _attn_block(
@@ -243,7 +257,7 @@ def _attn_block(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
     if kv_cache is not None and len(kv_cache) == 4:
-        # int8 quantized ring buffer (ops/kvcache.py)
+        # int8 quantized ring buffer (ops/kvcache.py), heads-major
         from ..ops.kvcache import cache_read, cache_update
 
         new_cache = cache_update(kv_cache, k, v, cache_pos)
@@ -263,7 +277,11 @@ def _attn_block(
     if attn_impl is not None:
         attn = attn_impl(q, k_all, v_all)
     else:
-        attn = _attention(q, k_all, v_all, mask, cfg, rq, allow_flash=kv_cache is None)
+        attn = _attention(
+            q, k_all, v_all, mask, cfg, rq,
+            allow_flash=kv_cache is None,
+            kv_heads_major=kv_cache is not None,  # cache layout [B, H, T, D]
+        )
     out = qlinear(attn.reshape(b, s, cfg.num_heads * hd), p["o"]["w"], p["o"].get("b"), rq.act)
     return out, new_cache
 
@@ -497,16 +515,19 @@ def forward_logits(
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_len: int, dtype=None, quantized=False
 ) -> Dict[str, jax.Array]:
-    """Preallocated KV cache; `quantized=True` (or 8) -> int8 codes +
-    per-token-head scales, `quantized=4` -> int4-packed codes (quarter the
-    bf16 bytes) — ops/kvcache.py."""
+    """Preallocated heads-major KV cache [L, B, Hkv, T, D] (T after heads:
+    the decode attention dot then reads the cache in place — seq-major
+    forces a strided whole-cache transpose copy every step);
+    `quantized=True` (or 8) -> int8 codes + per-token-head scales,
+    `quantized=4` -> int4-packed codes (quarter the bf16 bytes) —
+    ops/kvcache.py."""
     if quantized:
         from ..ops.kvcache import init_quantized_kv_cache
 
         bits = 4 if quantized == 4 else 8
         return init_quantized_kv_cache(cfg, batch, max_len, bits=bits)
     dtype = dtype or jnp.dtype(cfg.dtype)
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim_)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -555,7 +576,7 @@ def decode_step(
     [B, S_step, V], updated cache)."""
     b, s = tokens.shape
     cache_keys = sorted(cache.keys())  # ("k","v") or ("k_q","k_s","v_q","v_s")
-    max_len = cache[cache_keys[0]].shape[2]
+    max_len = cache[cache_keys[0]].shape[3]  # [L, B, H, T, ...]
     positions = pos + jnp.arange(s)[None, :]
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
@@ -596,7 +617,7 @@ def decode_step_multi(
     b, s = tokens.shape
     assert s == 1, "multi-slot decode is single-token"
     cache_keys = sorted(cache.keys())
-    max_len = cache[cache_keys[0]].shape[2]
+    max_len = cache[cache_keys[0]].shape[3]  # [L, B, H, T, ...]
     positions = pos[:, None]  # [B, 1]
     h = embed(params, tokens, cfg, positions)
     cos_sin = (

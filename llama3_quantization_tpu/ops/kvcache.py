@@ -36,7 +36,9 @@ def kv_dequantize(codes: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax
 def init_quantized_kv_cache(
     cfg, batch: int, max_len: int, bits: int = 8
 ) -> Dict[str, jax.Array]:
-    """Preallocated quantized ring buffer + scales, stacked over layers.
+    """Preallocated quantized ring buffer + scales, stacked over layers,
+    heads-major [L, B, Hkv, T, *] (same reasoning as the fp cache: the
+    decode dot reads it in place instead of transposing it every step).
 
     bits=8: one int8 code per element; bits=4: two codes per byte packed
     along head_dim (quarter the bf16 bytes)."""
@@ -47,8 +49,8 @@ def init_quantized_kv_cache(
         hd = hd // 2
     elif bits != 8:
         raise ValueError("KV cache bits must be 4 or 8")
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, hd)
-    sshape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, 1)
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, hd)
+    sshape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, 1)
     code_dtype = jnp.uint8 if bits == 4 else jnp.int8
     return {
         "k_q": jnp.zeros(shape, code_dtype),
@@ -84,10 +86,13 @@ def cache_update(
     v_new: jax.Array,
     pos: jax.Array,
 ):
-    """Quantize and write new K/V at pos (scalar, or per-row vector [B] for
-    multi-slot decode with S_step == 1); return updated layer cache.
-    int4 caches (uint8 codes, packed head_dim) are detected by shape."""
+    """Quantize and write new K/V [B, S, H, D] into the heads-major cache
+    [B, H, T, *] at pos (scalar, or per-row vector [B] for multi-slot
+    decode with S_step == 1); return updated layer cache. int4 caches
+    (uint8 codes, packed head_dim) are detected by shape."""
     kq, ks, vq, vs = layer_cache
+    k_new = jnp.swapaxes(k_new, 1, 2)  # [B, H, S, D]
+    v_new = jnp.swapaxes(v_new, 1, 2)
     if kq.shape[-1] != k_new.shape[-1]:  # int4-packed cache
         nk, nks = kv4_quantize(k_new)
         nv, nvs = kv4_quantize(v_new)
@@ -96,12 +101,13 @@ def cache_update(
         nv, nvs = kv_quantize(v_new)
     if getattr(pos, "ndim", 0) == 1:
         rows = jnp.arange(kq.shape[0])
-        kq = kq.at[rows, pos].set(nk[:, 0])
-        ks = ks.at[rows, pos].set(nks[:, 0])
-        vq = vq.at[rows, pos].set(nv[:, 0])
-        vs = vs.at[rows, pos].set(nvs[:, 0])
+        # advanced indices (rows, pos) around the H slice -> [B, H, *]
+        kq = kq.at[rows, :, pos, :].set(nk[:, :, 0])
+        ks = ks.at[rows, :, pos, :].set(nks[:, :, 0])
+        vq = vq.at[rows, :, pos, :].set(nv[:, :, 0])
+        vs = vs.at[rows, :, pos, :].set(nvs[:, :, 0])
         return kq, ks, vq, vs
-    idx = (0, pos, 0, 0)
+    idx = (0, 0, pos, 0)
     kq = jax.lax.dynamic_update_slice(kq, nk, idx)
     ks = jax.lax.dynamic_update_slice(ks, nks, idx)
     vq = jax.lax.dynamic_update_slice(vq, nv, idx)
@@ -110,7 +116,7 @@ def cache_update(
 
 
 def cache_read(layer_cache, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
-    """Dequantized full K/V views [B, T, H, D]."""
+    """Dequantized full K/V views, heads-major [B, H, T, D]."""
     kq, ks, vq, vs = layer_cache
     if kq.dtype == jnp.uint8:  # int4-packed
         return kv4_dequantize(kq, ks, dtype), kv4_dequantize(vq, vs, dtype)

@@ -147,8 +147,8 @@ def shard_params(params, mesh: Mesh, cfg: ModelConfig, expert_parallel: bool = F
 
 
 def kv_cache_pspecs(cache):
-    """KV cache [L, B, S, Hkv, D]: batch on dp, kv-heads on tp."""
-    return {k: P(None, "dp", None, "tp", None) for k in cache}
+    """KV cache [L, B, Hkv, T, D] (heads-major): batch on dp, kv-heads on tp."""
+    return {k: P(None, "dp", "tp", None, None) for k in cache}
 
 
 def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, rq=None):
