@@ -216,6 +216,11 @@ def main(argv=None):
 
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         params = shard_params(params, mesh, cfg)
+        # the Pallas flash-decode kernel is not partition-aware: pjit cannot
+        # shard the custom call over the tp'd KV cache
+        from .models import set_decode_kernel
+
+        set_decode_kernel(False)
         print(f"[cli] sharded over mesh {dict(mesh.shape)}", file=sys.stderr)
 
     results = {}

@@ -22,6 +22,7 @@ from .transformer import (  # noqa: F401
     speculative_generate,
     flatten_speculative,
     sample_logits,
+    set_decode_kernel,
     set_moe_capacity,
     init_kv_cache,
 )

@@ -228,6 +228,55 @@ def _write_cache(buf: jax.Array, new: jax.Array, pos) -> jax.Array:
     return jax.lax.dynamic_update_slice(buf, new, (0, 0, pos, 0))
 
 
+#: int8-KV flash-decode kernel switch ("auto" = on TPU when applicable;
+#: "interpret" runs the kernel interpreted for CPU tests; False = XLA
+#: dequant path). NOT partition-aware: disable for tensor-sharded decode
+#: over a quantized cache (pjit cannot partition the custom call).
+_DECODE_KERNEL = "auto"
+
+
+def set_decode_kernel(mode) -> None:
+    global _DECODE_KERNEL
+    if mode not in (True, False, "auto", "interpret"):
+        raise ValueError(mode)
+    _DECODE_KERNEL = mode
+
+
+def _decode_kernel_ok(rq: RuntimeQuantConfig, cache, s: int) -> bool:
+    """Route the cached decode step through the Pallas flash-decode kernel?
+    Conditions: single-token step, int8 codes or fp cache (int4-packed
+    stays on the XLA path), no runtime attention fake-quant hooks (for the
+    quantized cache, the cache IS the k/v quantization), MXU-aligned
+    head_dim, and a TPU backend (or the interpret-mode override in tests)."""
+    if _DECODE_KERNEL is False or s != 1:
+        return False
+    if any(sp is not None and sp.enabled for sp in (rq.q, rq.k, rq.v, rq.p)):
+        return False
+    kq = cache[0]  # [B, H, T, D]
+    if kq.dtype not in (jnp.int8, jnp.bfloat16, jnp.float32):
+        return False
+    if _DECODE_KERNEL == "interpret":
+        return True
+    if kq.dtype != jnp.int8 and _DECODE_KERNEL != True:  # noqa: E712
+        # fp-cache decode: XLA's einsum is faster at model level (measured
+        # 166.7 vs 157.9 tok/s at T=4096 b4) — auto only routes the int8
+        # cache, where codes-to-MXU beats dequant by +21..48%; True forces
+        return False
+    if kq.shape[-1] % 128 or kq.shape[2] % 512:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _kernel_mask(mask, b: int, t: int):
+    """[s=1, T] / [B, 1, T] additive mask -> finite [B, T] for the kernel."""
+    from ..ops.decode_attention import NEG
+
+    if mask is None:
+        return jnp.zeros((b, t), jnp.float32)
+    m = mask[:, 0] if mask.ndim == 3 else jnp.broadcast_to(mask[-1:], (b, t))
+    return jnp.maximum(m.astype(jnp.float32), NEG)
+
+
 def _attn_block(
     p: Params,
     h: jax.Array,
@@ -261,13 +310,46 @@ def _attn_block(
         from ..ops.kvcache import cache_read, cache_update
 
         new_cache = cache_update(kv_cache, k, v, cache_pos)
+        if attn_impl is None and _decode_kernel_ok(rq, new_cache, s):
+            # Pallas s8 flash decode: cache codes feed the MXU directly
+            # (~600 GB/s measured vs ~190 for the XLA dequant path) —
+            # ops/decode_attention.py
+            from ..ops.decode_attention import flash_decode_gqa_s8
+
+            t_len = new_cache[0].shape[2]
+            attn = flash_decode_gqa_s8(
+                q, *new_cache, _kernel_mask(mask, b, t_len),
+                out_dtype=h.dtype,
+                block_t=1024 if t_len % 1024 == 0 else 512,
+                interpret=_DECODE_KERNEL == "interpret",
+            )
+            out = qlinear(
+                attn.reshape(b, s, cfg.num_heads * hd),
+                p["o"]["w"], p["o"].get("b"), rq.act,
+            )
+            return out, new_cache
         k_all, v_all = cache_read(new_cache, h.dtype)
     elif kv_cache is not None:
         ck, cv = kv_cache
         ck = _write_cache(ck, k.astype(ck.dtype), cache_pos)
         cv = _write_cache(cv, v.astype(cv.dtype), cache_pos)
-        k_all, v_all = ck.astype(h.dtype), cv.astype(h.dtype)
         new_cache = (ck, cv)
+        if attn_impl is None and _decode_kernel_ok(rq, new_cache, s):
+            # Pallas flash decode on the fp cache (ops/decode_attention.py)
+            from ..ops.decode_attention import flash_decode_gqa
+
+            t_len = ck.shape[2]
+            attn = flash_decode_gqa(
+                q.astype(ck.dtype), ck, cv, _kernel_mask(mask, b, t_len),
+                block_t=1024 if t_len % 1024 == 0 else 512,
+                interpret=_DECODE_KERNEL == "interpret",
+            ).astype(h.dtype)
+            out = qlinear(
+                attn.reshape(b, s, cfg.num_heads * hd),
+                p["o"]["w"], p["o"].get("b"), rq.act,
+            )
+            return out, new_cache
+        k_all, v_all = ck.astype(h.dtype), cv.astype(h.dtype)
     else:
         k_all, v_all, new_cache = k, v, None
     # flash path only for the cache-free full-sequence forward (plain

@@ -1,0 +1,254 @@
+"""Pallas flash-decode attention over the heads-major KV cache.
+
+Decode attention is a GQA matvec: one query token per sequence against the
+whole [B, G, T, D] cache. XLA's einsum path tops out well under HBM
+bandwidth at long T (~190-260 GB/s measured on v5e at T=4096 — the [1, T]
+probs row and fp32 softmax round-trips keep it VPU-entangled). This kernel
+streams the cache through VMEM in [BT, D] blocks with the standard
+flash/online-softmax recurrence, so per block the only VPU work is one
+exp over [rep, BT] and the MXU does two small dots — the HBM stream is
+the critical path, which is the speed-of-light regime for decode.
+
+The reference has no decode kernel at all (its eager fake-quant attention
+materializes full score matrices,
+`/root/reference/models/int_llama_layer.py:141-163`); this is the
+TPU-native serving analogue of its `llama.py benchmark` decode path.
+
+Semantics match the eager cache path (`models/transformer._attention` with
+`kv_heads_major=True`) for s == 1: additive mask (finite -1e30 for
+disallowed slots), fp32 scores/softmax, output cast to the query dtype.
+The softmax-probs hook (`rq.p`) is NOT representable here (probs are never
+normalized until the end); callers fall back to eager for it.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30  # finite mask value: keeps the online recurrence NaN-free
+
+
+def _decode_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc_ref):
+    """Grid (B, G, NT), T-blocks innermost; online-softmax state in scratch."""
+    t = pl.program_id(2)
+    nt = pl.num_programs(2)
+    rep = q_ref.shape[2]
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]  # [rep, D]
+    k = k_ref[0, 0]  # [BT, D]
+    v = v_ref[0, 0]  # [BT, D]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [rep, BT]
+    # mask block is [B, BT] (a (1, BT) block would violate the sublane-8
+    # tiling rule); pick this program's row
+    s = s * scale + mask_ref[pl.program_id(0)][None, :]
+
+    m_prev = m_ref[:rep, :1]  # [rep, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:rep, :1] = l_ref[:rep, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:rep, :1] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [rep, D]
+    acc_ref[:rep] = acc_ref[:rep] * alpha + pv
+
+    @pl.when(t == nt - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:rep] / l_ref[:rep, :1]).astype(o_ref.dtype)
+
+
+def _decode_kernel_s8(
+    q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, o_ref, m_ref, l_ref, acc_ref
+):
+    """int8-KV flash decode: codes go STRAIGHT to the MXU (s8 x s8 -> s32),
+    per-token scales fold into the small [rep, BT] score matrix — the cache
+    is never dequantized elementwise (the VPU trap that made the XLA
+    quantized-KV path slower than bf16). Probs are re-quantized to s8 with
+    the per-token V scale pre-folded, so PV is a second s8 MXU dot; the
+    extra probs rounding is the same compromise the reference itself makes
+    with its softmax-probs quantizer (`quant/int_matmul.py`, rq.p).
+
+    Grid (B, NT) with ALL G head-groups inside each program: the per-
+    program fixed cost (~7 us measured on v5e) dominates any per-(b, g)
+    grid, so fewer/bigger programs is the lever that matters."""
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    g_all = q_ref.shape[1]
+    rep = q_ref.shape[2]
+    rp = max(rep, 8)
+    d = q_ref.shape[3]
+    scale = 1.0 / math.sqrt(d)
+
+    @pl.when(t == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    msk = mask_ref[pl.program_id(0)][None, :]
+    for g in range(g_all):  # static unroll: one MXU-dot pair per group
+        q = q_ref[0, g].astype(jnp.float32)  # [rep, D]
+        qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+        qs = jnp.maximum(qa, 1e-8) / 127.0
+        qc = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+
+        s32 = jax.lax.dot_general(
+            qc, kq_ref[0, g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [rep, BT]
+        s = s32.astype(jnp.float32) * (qs * scale) * ks_ref[0, g] + msk
+
+        m_prev = m_ref[g * rp : g * rp + rep, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [rep, BT]
+        l_ref[g * rp : g * rp + rep, :1] = (
+            l_ref[g * rp : g * rp + rep, :1] * alpha
+            + jnp.sum(p, axis=-1, keepdims=True)
+        )
+        m_ref[g * rp : g * rp + rep, :1] = m_new
+
+        pv_f = p * vs_ref[0, g]
+        pa = jnp.max(jnp.abs(pv_f), axis=-1, keepdims=True)
+        ps = jnp.maximum(pa, 1e-20) / 127.0
+        pc = jnp.clip(jnp.round(pv_f / ps), -127, 127).astype(jnp.int8)
+        pv32 = jax.lax.dot_general(
+            pc, vq_ref[0, g], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [rep, D]
+        acc_ref[g * rp : g * rp + rep] = (
+            acc_ref[g * rp : g * rp + rep] * alpha
+            + pv32.astype(jnp.float32) * ps
+        )
+
+    @pl.when(t == nt - 1)
+    def _():
+        for g in range(g_all):
+            o_ref[0, g] = (
+                acc_ref[g * rp : g * rp + rep]
+                / l_ref[g * rp : g * rp + rep, :1]
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_t", "interpret"))
+def flash_decode_gqa_s8(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k_q: jax.Array,  # [B, G, T, D] int8 codes (heads-major quantized cache)
+    k_s: jax.Array,  # [B, G, T, 1] f32 per-(token, head) scales
+    v_q: jax.Array,
+    v_s: jax.Array,
+    mask: jax.Array,  # [B, T] additive fp32, finite (-1e30) for masked
+    out_dtype=jnp.bfloat16,
+    block_t: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:  # [B, 1, Hq, D]
+    b, s, hq, d = q.shape
+    assert s == 1, "flash decode is single-token"
+    g, t = k_q.shape[1], k_q.shape[2]
+    rep = hq // g
+    bt = min(block_t, t)
+    assert t % bt == 0, f"cache len {t} must be a multiple of block {bt}"
+    qg = q.reshape(b, g, rep, d)
+    mask = mask.astype(jnp.float32)
+    # scales lane-major: a [BT, 1] f32 block pads to 128 lanes in VMEM
+    # (2 MB at BT=4096 — wrecks double buffering); [1, BT] stays 4*BT bytes
+    k_s = k_s.reshape(b, g, 1, t)
+    v_s = v_s.reshape(b, g, 1, t)
+
+    grid = (b, t // bt)
+    rp = max(rep, 8)
+    kv_spec = pl.BlockSpec((1, g, bt, d), lambda i, k_: (i, 0, k_, 0))
+    sc_spec = pl.BlockSpec((1, g, 1, bt), lambda i, k_: (i, 0, 0, k_))
+    out = pl.pallas_call(
+        _decode_kernel_s8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, g, rep, d), lambda i, k_: (i, 0, 0, 0)),
+            kv_spec, sc_spec, kv_spec, sc_spec,
+            pl.BlockSpec((b, bt), lambda i, k_: (0, k_)),
+        ],
+        out_specs=pl.BlockSpec((1, g, rep, d), lambda i, k_: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, g, rep, d), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g * rp, 128), jnp.float32),  # m (col 0 used)
+            pltpu.VMEM((g * rp, 128), jnp.float32),  # l (col 0 used)
+            pltpu.VMEM((g * rp, d), jnp.float32),  # acc
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * t * d,
+            bytes_accessed=2 * b * g * t * (d + 4),
+            transcendentals=b * hq * t,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qg, k_q, k_s, v_q, v_s, mask)
+    return out.reshape(b, 1, hq, d)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def flash_decode_gqa(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k: jax.Array,  # [B, G, T, D] heads-major cache (bf16/fp32)
+    v: jax.Array,  # [B, G, T, D]
+    mask: jax.Array,  # [B, T] additive fp32, finite (-1e30) for masked
+    block_t: int = 512,
+    interpret: bool = False,
+) -> jax.Array:  # [B, 1, Hq, D]
+    b, s, hq, d = q.shape
+    assert s == 1, "flash decode is single-token"
+    g, t = k.shape[1], k.shape[2]
+    rep = hq // g
+    bt = min(block_t, t)
+    assert t % bt == 0, f"cache len {t} must be a multiple of block {bt}"
+    qg = q.reshape(b, g, rep, d)
+    mask = mask.astype(jnp.float32)
+
+    grid = (b, g, t // bt)
+    rp = max(rep, 8)
+    out = pl.pallas_call(
+        _decode_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, d), lambda i, j, k_: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, bt, d), lambda i, j, k_: (i, j, k_, 0)),
+            pl.BlockSpec((1, 1, bt, d), lambda i, j, k_: (i, j, k_, 0)),
+            pl.BlockSpec((b, bt), lambda i, j, k_: (0, k_)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, d), lambda i, j, k_: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, g, rep, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rp, 128), jnp.float32),  # m (col 0 used)
+            pltpu.VMEM((rp, 128), jnp.float32),  # l (col 0 used)
+            pltpu.VMEM((rp, d), jnp.float32),  # acc
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * t * d,
+            bytes_accessed=2 * b * g * t * d * k.dtype.itemsize,
+            transcendentals=b * hq * t,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qg, k, v, mask)
+    return out.reshape(b, 1, hq, d)

@@ -185,3 +185,73 @@ def test_int4_kv_cache_decode():
     b4 = sum(v.size * v.dtype.itemsize for v in cache.values())
     b8 = sum(v.size * v.dtype.itemsize for v in c8.values())
     assert b4 < b8
+
+
+def test_flash_decode_kernel_matches_xla_path():
+    """The Pallas s8 flash-decode kernel (interpret mode on CPU) matches the
+    XLA dequant path over a full greedy decode on the int8 cache, for both
+    the scalar-pos and the multi-slot (per-row pos) masks."""
+    from llama3_quantization_tpu.models import set_decode_kernel
+    from llama3_quantization_tpu.models.transformer import decode_step_multi
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+
+    outs = {}
+    for mode in (False, "interpret"):
+        set_decode_kernel(mode)
+        try:
+            cache = init_kv_cache(cfg, 2, 16, quantized=True)
+            lg, cache = decode_step(params, cache, toks[:, :4], jnp.int32(0), cfg)
+            seq = [lg[:, -1]]
+            for i in range(4, 12):
+                lg, cache = decode_step(params, cache, toks[:, i:i+1], jnp.int32(i), cfg)
+                seq.append(lg[:, 0])
+            # multi-slot step at staggered positions
+            mcache = init_kv_cache(cfg, 2, 16, quantized=True)
+            _, mcache = decode_step(params, mcache, toks[:, :4], jnp.int32(0), cfg)
+            mlg, _ = decode_step_multi(
+                params, mcache, toks[:, 4:5], jnp.array([4, 2]), cfg
+            )
+            outs[mode] = (jnp.stack(seq), mlg)
+        finally:
+            set_decode_kernel("auto")
+    np.testing.assert_allclose(
+        np.asarray(outs["interpret"][0]), np.asarray(outs[False][0]),
+        rtol=0.05, atol=0.05,  # kernel re-quantizes q and probs to s8
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["interpret"][1]), np.asarray(outs[False][1]),
+        rtol=0.05, atol=0.05,
+    )
+    # and both track the fp forward loosely (sanity: same model)
+    full = forward_logits(params, toks, cfg)
+    d = float(jnp.max(jnp.abs(outs["interpret"][0][-1] - full[:, -1])))
+    assert d < 0.2, d
+
+
+def test_flash_decode_kernel_fp_cache_matches_eager():
+    """The fp-cache flash-decode kernel (interpret mode) matches the eager
+    XLA decode path essentially exactly (same fp32 math, online softmax)."""
+    from llama3_quantization_tpu.models import set_decode_kernel
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+    outs = {}
+    for mode in (False, "interpret"):
+        set_decode_kernel(mode)
+        try:
+            cache = init_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+            lg, cache = decode_step(params, cache, toks[:, :4], jnp.int32(0), cfg)
+            seq = [lg[:, -1]]
+            for i in range(4, 12):
+                lg, cache = decode_step(params, cache, toks[:, i:i+1], jnp.int32(i), cfg)
+                seq.append(lg[:, 0])
+            outs[mode] = jnp.stack(seq)
+        finally:
+            set_decode_kernel("auto")
+    np.testing.assert_allclose(
+        np.asarray(outs["interpret"]), np.asarray(outs[False]), rtol=1e-4, atol=1e-4
+    )
