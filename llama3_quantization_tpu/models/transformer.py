@@ -244,25 +244,26 @@ def set_decode_kernel(mode) -> None:
 
 def _decode_kernel_ok(rq: RuntimeQuantConfig, cache, s: int) -> bool:
     """Route the cached decode step through the Pallas flash-decode kernel?
-    Conditions: single-token step, int8 codes or fp cache (int4-packed
-    stays on the XLA path), no runtime attention fake-quant hooks (for the
-    quantized cache, the cache IS the k/v quantization), MXU-aligned
-    head_dim, and a TPU backend (or the interpret-mode override in tests)."""
+    Conditions: single-token step, int8/int4 codes or fp cache, no runtime
+    attention fake-quant hooks (for the quantized cache, the cache IS the
+    k/v quantization), MXU-aligned head_dim, and a TPU backend (or the
+    interpret-mode override in tests)."""
     if _DECODE_KERNEL is False or s != 1:
         return False
     if any(sp is not None and sp.enabled for sp in (rq.q, rq.k, rq.v, rq.p)):
         return False
-    kq = cache[0]  # [B, H, T, D]
-    if kq.dtype not in (jnp.int8, jnp.bfloat16, jnp.float32):
+    kq = cache[0]  # [B, H, T, D] (uint8 = int4-packed codes, D/2)
+    if kq.dtype not in (jnp.int8, jnp.uint8, jnp.bfloat16, jnp.float32):
         return False
     if _DECODE_KERNEL == "interpret":
         return True
-    if kq.dtype != jnp.int8 and _DECODE_KERNEL != True:  # noqa: E712
+    if kq.dtype not in (jnp.int8, jnp.uint8) and _DECODE_KERNEL != True:  # noqa: E712
         # fp-cache decode: XLA's einsum is faster at model level (measured
         # 166.7 vs 157.9 tok/s at T=4096 b4) — auto only routes the int8
         # cache, where codes-to-MXU beats dequant by +21..48%; True forces
         return False
-    if kq.shape[-1] % 128 or kq.shape[2] % 512:
+    d_logical = kq.shape[-1] * (2 if kq.dtype == jnp.uint8 else 1)
+    if d_logical % 128 or kq.shape[2] % 512:
         return False
     return jax.default_backend() == "tpu"
 

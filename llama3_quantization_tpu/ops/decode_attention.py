@@ -103,6 +103,21 @@ def _decode_kernel_s8(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    int4 = kq_ref.dtype == jnp.uint8  # packed nibbles, split-halves layout
+
+    def codes(ref, g):
+        blk = ref[0, g]
+        if not int4:
+            return blk
+        # split-halves pack (ops/kvcache.kv4_quantize): element j pairs with
+        # j + D/2, so unpack = lane-dim concat of the two nibble planes.
+        # ALL arithmetic in i32 — Mosaic legalizes neither i8 vector
+        # subtraction nor u8 vector shifts on this backend.
+        b32 = blk.astype(jnp.int32)
+        lo = ((b32 & 0xF) - 8).astype(jnp.int8)
+        hi = ((b32 >> 4) - 8).astype(jnp.int8)
+        return jnp.concatenate([lo, hi], axis=-1)
+
     msk = mask_ref[pl.program_id(0)][None, :]
     for g in range(g_all):  # static unroll: one MXU-dot pair per group
         q = q_ref[0, g].astype(jnp.float32)  # [rep, D]
@@ -111,7 +126,7 @@ def _decode_kernel_s8(
         qc = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
 
         s32 = jax.lax.dot_general(
-            qc, kq_ref[0, g], (((1,), (1,)), ((), ())),
+            qc, codes(kq_ref, g), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [rep, BT]
         s = s32.astype(jnp.float32) * (qs * scale) * ks_ref[0, g] + msk
@@ -131,7 +146,7 @@ def _decode_kernel_s8(
         ps = jnp.maximum(pa, 1e-20) / 127.0
         pc = jnp.clip(jnp.round(pv_f / ps), -127, 127).astype(jnp.int8)
         pv32 = jax.lax.dot_general(
-            pc, vq_ref[0, g], (((1,), (0,)), ((), ())),
+            pc, codes(vq_ref, g), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [rep, D]
         acc_ref[g * rp : g * rp + rep] = (
@@ -151,7 +166,8 @@ def _decode_kernel_s8(
 @functools.partial(jax.jit, static_argnames=("out_dtype", "block_t", "interpret"))
 def flash_decode_gqa_s8(
     q: jax.Array,  # [B, 1, Hq, D]
-    k_q: jax.Array,  # [B, G, T, D] int8 codes (heads-major quantized cache)
+    k_q: jax.Array,  # [B, G, T, D] int8 codes — or uint8 [B, G, T, D/2]
+    #                  int4 split-halves pack (ops/kvcache.kv4_quantize)
     k_s: jax.Array,  # [B, G, T, 1] f32 per-(token, head) scales
     v_q: jax.Array,
     v_s: jax.Array,
@@ -163,6 +179,7 @@ def flash_decode_gqa_s8(
     b, s, hq, d = q.shape
     assert s == 1, "flash decode is single-token"
     g, t = k_q.shape[1], k_q.shape[2]
+    dk = k_q.shape[-1]  # D for int8 codes, D/2 for the int4 pack
     rep = hq // g
     bt = min(block_t, t)
     assert t % bt == 0, f"cache len {t} must be a multiple of block {bt}"
@@ -175,7 +192,7 @@ def flash_decode_gqa_s8(
 
     grid = (b, t // bt)
     rp = max(rep, 8)
-    kv_spec = pl.BlockSpec((1, g, bt, d), lambda i, k_: (i, 0, k_, 0))
+    kv_spec = pl.BlockSpec((1, g, bt, dk), lambda i, k_: (i, 0, k_, 0))
     sc_spec = pl.BlockSpec((1, g, 1, bt), lambda i, k_: (i, 0, 0, k_))
     out = pl.pallas_call(
         _decode_kernel_s8,

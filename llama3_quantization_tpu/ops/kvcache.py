@@ -62,21 +62,27 @@ def init_quantized_kv_cache(
 
 def kv4_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """x [..., D] -> (packed uint8 [..., D/2], scale [..., 1]); asymmetric
-    4-bit with a fixed zero of 8 (symmetric around it)."""
+    4-bit with a fixed zero of 8 (symmetric around it).
+
+    Packing pairs element j with element j + D/2 (split halves, NOT
+    even/odd interleave): unpacking is then a lane-dim CONCAT of the two
+    nibble planes — cheap on the TPU VPU — which is what the in-kernel
+    unpack in `ops/decode_attention.py` relies on."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.clip(absmax / 7.0, 1e-8, None)
     codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale) + 8, 0, 15).astype(
         jnp.uint8
     )
-    lo = codes[..., 0::2]
-    hi = codes[..., 1::2]
+    half = codes.shape[-1] // 2
+    lo = codes[..., :half]
+    hi = codes[..., half:]
     return (lo | (hi << 4)).astype(jnp.uint8), scale
 
 
 def kv4_dequantize(packed: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     lo = (packed & 0xF).astype(jnp.float32) - 8.0
     hi = (packed >> 4).astype(jnp.float32) - 8.0
-    vals = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+    vals = jnp.concatenate([lo, hi], axis=-1)
     return (vals * scale).astype(dtype)
 
 

@@ -54,7 +54,7 @@ class ServingEngine:
         max_slots: int = 8,
         max_len: int = 512,
         rq: RuntimeQuantConfig = NO_QUANT,
-        quantized_cache: bool = False,
+        quantized_cache=False,  # False | True/8 (int8) | 4 (int4-packed)
         sink_tokens: int = 0,
         temperature: float = 0.0,
         top_k: int = 0,

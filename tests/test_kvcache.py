@@ -255,3 +255,30 @@ def test_flash_decode_kernel_fp_cache_matches_eager():
     np.testing.assert_allclose(
         np.asarray(outs["interpret"]), np.asarray(outs[False]), rtol=1e-4, atol=1e-4
     )
+
+
+def test_flash_decode_kernel_int4_matches_xla_path():
+    """int4-packed cache through the kernel (in-kernel split-halves nibble
+    unpack) matches the XLA dequant path."""
+    from llama3_quantization_tpu.models import set_decode_kernel
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+    outs = {}
+    for mode in (False, "interpret"):
+        set_decode_kernel(mode)
+        try:
+            cache = init_kv_cache(cfg, 2, 16, quantized=4)
+            lg, cache = decode_step(params, cache, toks[:, :4], jnp.int32(0), cfg)
+            seq = [lg[:, -1]]
+            for i in range(4, 12):
+                lg, cache = decode_step(params, cache, toks[:, i:i+1], jnp.int32(i), cfg)
+                seq.append(lg[:, 0])
+            outs[mode] = jnp.stack(seq)
+        finally:
+            set_decode_kernel("auto")
+    np.testing.assert_allclose(
+        np.asarray(outs["interpret"]), np.asarray(outs[False]),
+        rtol=0.08, atol=0.08,  # int4 noise + kernel's q/probs s8 rounding
+    )

@@ -322,3 +322,36 @@ def test_engine_fuse_matches(setup):
         eng.run()
         outs.append([eng.result(r) for r in rids])
     assert outs[0] == outs[1]
+
+
+def test_engine_quantized_cache_modes(setup):
+    """Engine slot pool / splice plumbing works with the 4-array quantized
+    caches (int8 and int4-packed): generations are deterministic and match
+    a manual decode loop over the same quantized cache."""
+    from llama3_quantization_tpu.models.transformer import decode_step
+
+    cfg, params = setup
+    prompt = [1, 2, 3, 4]
+    for bits in (True, 4):
+        eng = ServingEngine(params, cfg, max_slots=2, max_len=32,
+                            quantized_cache=bits)
+        rid = eng.add_request(prompt, max_new_tokens=5)
+        eng.run()
+        got = eng.result(rid)
+        assert len(got) == 5
+
+        # manual loop: prefill + greedy over the same quantized cache
+        cache = init_kv_cache(cfg, 1, 32, quantized=bits)
+        toks = jnp.asarray([prompt], jnp.int32)
+        lg, cache = decode_step(params, cache, toks, jnp.int32(0), cfg)
+        cur = int(jnp.argmax(lg[:, -1], axis=-1)[0])
+        want = [cur]
+        pos = len(prompt)
+        for _ in range(4):
+            lg, cache = decode_step(
+                params, cache, jnp.asarray([[cur]], jnp.int32), jnp.int32(pos), cfg
+            )
+            cur = int(jnp.argmax(lg[:, -1], axis=-1)[0])
+            want.append(cur)
+            pos += 1
+        assert got == want, (bits, got, want)
