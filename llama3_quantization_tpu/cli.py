@@ -216,11 +216,12 @@ def main(argv=None):
 
         mesh = make_mesh(dp=args.dp, tp=args.tp)
         params = shard_params(params, mesh, cfg)
-        # the Pallas flash-decode kernel is not partition-aware: pjit cannot
-        # shard the custom call over the tp'd KV cache
-        from .models import set_decode_kernel
+        # partition-aware flash decode: the kernel call is shard_map-wrapped
+        # over this mesh (batch on dp, KV head groups on tp); shapes that
+        # don't divide fall back to the eager path automatically
+        from .models import set_decode_mesh
 
-        set_decode_kernel(False)
+        set_decode_mesh(mesh)
         print(f"[cli] sharded over mesh {dict(mesh.shape)}", file=sys.stderr)
 
     results = {}

@@ -23,6 +23,7 @@ from .transformer import (  # noqa: F401
     flatten_speculative,
     sample_logits,
     set_decode_kernel,
+    set_decode_mesh,
     set_moe_capacity,
     init_kv_cache,
 )

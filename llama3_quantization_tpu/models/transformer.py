@@ -230,9 +230,17 @@ def _write_cache(buf: jax.Array, new: jax.Array, pos) -> jax.Array:
 
 #: int8-KV flash-decode kernel switch ("auto" = on TPU when applicable;
 #: "interpret" runs the kernel interpreted for CPU tests; False = XLA
-#: dequant path). NOT partition-aware: disable for tensor-sharded decode
-#: over a quantized cache (pjit cannot partition the custom call).
+#: dequant path). The raw pallas_call is not partition-aware (pjit cannot
+#: shard the custom call); under a tensor/data-sharded decode set a decode
+#: mesh (`set_decode_mesh`) and the call is shard_map-wrapped instead.
 _DECODE_KERNEL = "auto"
+
+#: Mesh for partition-aware flash decode (None = single-replica). With a
+#: mesh set, kernel calls are wrapped in `jax.shard_map` — batch rows on
+#: the `dp` axis, KV head groups on `tp` — which is sound because the
+#: kernel grid is embarrassingly parallel over (B, G); only the cache T
+#: axis (reduced by the online softmax) must stay local.
+_DECODE_MESH = None
 
 
 def set_decode_kernel(mode) -> None:
@@ -240,6 +248,41 @@ def set_decode_kernel(mode) -> None:
     if mode not in (True, False, "auto", "interpret"):
         raise ValueError(mode)
     _DECODE_KERNEL = mode
+
+
+def set_decode_mesh(mesh) -> None:
+    """Enable the flash-decode kernel under tensor/data-sharded decode.
+
+    `mesh` is a `jax.sharding.Mesh` with axes named "dp"/"tp" (either may
+    be absent or size 1, e.g. the framework's `parallel.make_mesh`). Pass
+    None to return to single-replica kernel dispatch. When the sharded
+    shapes don't divide the mesh (batch % dp, kv_heads % tp) the decode
+    step silently falls back to the eager XLA path, which GSPMD partitions
+    on its own."""
+    global _DECODE_MESH
+    _DECODE_MESH = mesh
+
+
+def _sharded_decode(fd, b: int, g: int, quantized: bool):
+    """shard_map-wrap a flash-decode call over the decode mesh. Returns the
+    wrapped callable, or None when (b, g) don't divide the mesh axes — the
+    caller then takes the eager path rather than risk an unpartitioned
+    pallas_call being replicated (with its full-cache all-gather) by GSPMD."""
+    mesh = _DECODE_MESH
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+    if b % dp or g % tp:
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    q_spec = P("dp", None, "tp", None)  # [B, 1, Hq, D]: heads chunk == group chunk
+    kv_spec = P("dp", "tp", None, None)  # [B, G, T, *]: T (softmax axis) local
+    in_specs = (q_spec,) + (kv_spec,) * (4 if quantized else 2) + (P("dp", None),)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # metadata; the wrapper has no collectives, so the check adds nothing
+    return jax.shard_map(
+        fd, mesh=mesh, in_specs=in_specs, out_specs=q_spec, check_vma=False
+    )
 
 
 def _decode_kernel_ok(rq: RuntimeQuantConfig, cache, s: int) -> bool:
@@ -318,17 +361,21 @@ def _attn_block(
             from ..ops.decode_attention import flash_decode_gqa_s8
 
             t_len = new_cache[0].shape[2]
-            attn = flash_decode_gqa_s8(
-                q, *new_cache, _kernel_mask(mask, b, t_len),
+            fd = partial(
+                flash_decode_gqa_s8,
                 out_dtype=h.dtype,
                 block_t=1024 if t_len % 1024 == 0 else 512,
                 interpret=_DECODE_KERNEL == "interpret",
             )
-            out = qlinear(
-                attn.reshape(b, s, cfg.num_heads * hd),
-                p["o"]["w"], p["o"].get("b"), rq.act,
-            )
-            return out, new_cache
+            if _DECODE_MESH is not None:
+                fd = _sharded_decode(fd, b, new_cache[0].shape[1], quantized=True)
+            if fd is not None:
+                attn = fd(q, *new_cache, _kernel_mask(mask, b, t_len))
+                out = qlinear(
+                    attn.reshape(b, s, cfg.num_heads * hd),
+                    p["o"]["w"], p["o"].get("b"), rq.act,
+                )
+                return out, new_cache
         k_all, v_all = cache_read(new_cache, h.dtype)
     elif kv_cache is not None:
         ck, cv = kv_cache
@@ -340,16 +387,22 @@ def _attn_block(
             from ..ops.decode_attention import flash_decode_gqa
 
             t_len = ck.shape[2]
-            attn = flash_decode_gqa(
-                q.astype(ck.dtype), ck, cv, _kernel_mask(mask, b, t_len),
+            fd = partial(
+                flash_decode_gqa,
                 block_t=1024 if t_len % 1024 == 0 else 512,
                 interpret=_DECODE_KERNEL == "interpret",
-            ).astype(h.dtype)
-            out = qlinear(
-                attn.reshape(b, s, cfg.num_heads * hd),
-                p["o"]["w"], p["o"].get("b"), rq.act,
             )
-            return out, new_cache
+            if _DECODE_MESH is not None:
+                fd = _sharded_decode(fd, b, ck.shape[1], quantized=False)
+            if fd is not None:
+                attn = fd(
+                    q.astype(ck.dtype), ck, cv, _kernel_mask(mask, b, t_len)
+                ).astype(h.dtype)
+                out = qlinear(
+                    attn.reshape(b, s, cfg.num_heads * hd),
+                    p["o"]["w"], p["o"].get("b"), rq.act,
+                )
+                return out, new_cache
         k_all, v_all = ck.astype(h.dtype), cv.astype(h.dtype)
     else:
         k_all, v_all, new_cache = k, v, None

@@ -22,7 +22,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.configs import ModelConfig
@@ -143,7 +143,7 @@ def make_pipeline_forward(
             mesh=mesh,
             in_specs=(specs, P(None, None)),
             out_specs=P(None, None, None),
-            check_rep=False,
+            check_vma=False,
         )
         return inner(params, tokens)
 

@@ -26,7 +26,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.configs import ModelConfig
@@ -256,7 +256,7 @@ def make_sp_forward(
             mesh=mesh,
             in_specs=(repl_specs(params), P(None, "sp")),
             out_specs=P(None, "sp", None),
-            check_rep=False,
+            check_vma=False,
         )
         return inner(params, tokens)
 

@@ -21,7 +21,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.configs import ModelConfig
@@ -136,7 +136,7 @@ def make_tp_overlap_forward(
             mesh=mesh,
             in_specs=(tp_overlap_pspecs(params), P(None, None)),
             out_specs=P(None, None, None),
-            check_rep=False,
+            check_vma=False,
         )
         return inner(params, tokens)
 

@@ -190,7 +190,7 @@ def test_ring_attention_matches_eager_directly():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from llama3_quantization_tpu.parallel import ring_attention
@@ -214,7 +214,7 @@ def test_ring_attention_matches_eager_directly():
         ring_attention, mesh=mesh,
         in_specs=(P(None, "sp", None, None),) * 3,
         out_specs=P(None, "sp", None, None),
-        check_rep=False,
+        check_vma=False,
     )
     out = jax.jit(ring)(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
@@ -296,7 +296,7 @@ def test_collective_matmuls():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from llama3_quantization_tpu.ops.matmul import qmatmul
@@ -312,12 +312,12 @@ def test_collective_matmuls():
 
     ag = jax.jit(shard_map(partial(ag_matmul, axis_name="tp"), mesh=mesh,
         in_specs=(P("tp", None), P(None, "tp")), out_specs=P(None, "tp"),
-        check_rep=False))
+        check_vma=False))
     np.testing.assert_allclose(np.asarray(ag(x, w)), dense, rtol=2e-5, atol=1e-4)
 
     rs = jax.jit(shard_map(partial(rs_matmul, axis_name="tp"), mesh=mesh,
         in_specs=(P(None, "tp"), P("tp", None)), out_specs=P("tp", None),
-        check_rep=False))
+        check_vma=False))
     np.testing.assert_allclose(np.asarray(rs(x, w)), dense, rtol=2e-5, atol=1e-4)
 
     # quantized column shard through ag; group-aligned row shard through rs
@@ -328,7 +328,7 @@ def test_collective_matmuls():
         zero=None if wq.zero is None else P(None, "tp"))
     agq = jax.jit(shard_map(partial(ag_matmul, axis_name="tp"), mesh=mesh,
         in_specs=(P("tp", None), col_spec), out_specs=P(None, "tp"),
-        check_rep=False))
+        check_vma=False))
     np.testing.assert_allclose(np.asarray(agq(x, wq)), refq, rtol=2e-5, atol=1e-4)
 
     row_spec = dataclasses.replace(
@@ -336,7 +336,7 @@ def test_collective_matmuls():
         zero=None if wq.zero is None else P("tp", None))
     rsq = jax.jit(shard_map(partial(rs_matmul, axis_name="tp"), mesh=mesh,
         in_specs=(P(None, "tp"), row_spec), out_specs=P("tp", None),
-        check_rep=False))
+        check_vma=False))
     np.testing.assert_allclose(np.asarray(rsq(x, wq)), refq, rtol=2e-5, atol=1e-4)
 
 
@@ -405,3 +405,80 @@ def test_tp_overlap_forward():
     qref = forward_logits(qp, toks, cfg)
     qout = make_tp_overlap_forward(cfg, mesh)(qp, toks)
     np.testing.assert_allclose(np.asarray(qout), np.asarray(qref), atol=1e-4)
+
+
+def test_flash_decode_kernel_sharded_matches_single_replica():
+    """Partition-aware flash decode: with `set_decode_mesh`, the Pallas
+    kernel call is shard_map-wrapped (batch on dp, KV head groups on tp)
+    and reproduces the single-replica kernel decode on both the int8 and
+    the fp cache — the kernel grid is embarrassingly parallel over (B, G),
+    so per-shard programs see exactly the same numbers."""
+    from llama3_quantization_tpu.models import (
+        decode_step,
+        init_kv_cache,
+        set_decode_kernel,
+        set_decode_mesh,
+    )
+
+    cfg = TINY_LLAMA  # 4 q heads over 2 kv groups
+    dmesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, cfg.vocab_size)
+
+    for quantized in (True, False):
+        outs = {}
+        for m in (None, dmesh):
+            set_decode_kernel("interpret")
+            set_decode_mesh(m)
+            try:
+                p = shard_params(params, dmesh, cfg) if m is not None else params
+                cache = init_kv_cache(cfg, 2, 16, quantized=quantized)
+                lg, cache = decode_step(p, cache, toks[:, :4], jnp.int32(0), cfg)
+                seq = [lg[:, -1]]
+                for i in range(4, 10):
+                    lg, cache = decode_step(
+                        params if m is None else p, cache, toks[:, i : i + 1],
+                        jnp.int32(i), cfg,
+                    )
+                    seq.append(lg[:, 0])
+                outs[m is not None] = jnp.stack(seq)
+            finally:
+                set_decode_kernel("auto")
+                set_decode_mesh(None)
+        np.testing.assert_allclose(
+            np.asarray(outs[True]), np.asarray(outs[False]), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_flash_decode_mesh_fallback_when_shapes_dont_divide(mesh):
+    """kv_heads (2) % tp (4) != 0 -> the decode step silently takes the
+    eager XLA path under the mesh and still matches the kernel-off run."""
+    from llama3_quantization_tpu.models import (
+        decode_step,
+        init_kv_cache,
+        set_decode_kernel,
+        set_decode_mesh,
+    )
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
+
+    def run(kernel_mode, m):
+        set_decode_kernel(kernel_mode)
+        set_decode_mesh(m)
+        try:
+            cache = init_kv_cache(cfg, 2, 16, quantized=True)
+            lg, cache = decode_step(params, cache, toks[:, :4], jnp.int32(0), cfg)
+            for i in range(4, 8):
+                lg, cache = decode_step(
+                    params, cache, toks[:, i : i + 1], jnp.int32(i), cfg
+                )
+            return lg[:, 0]
+        finally:
+            set_decode_kernel("auto")
+            set_decode_mesh(None)
+
+    ref = run(False, None)  # XLA dequant path
+    out = run("interpret", mesh)  # mesh set, shapes don't divide -> same path
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
