@@ -355,3 +355,35 @@ def test_engine_quantized_cache_modes(setup):
             want.append(cur)
             pos += 1
         assert got == want, (bits, got, want)
+
+
+def test_engine_tp_sharded_uses_flash_kernel(setup):
+    """Sharded serving keeps the Pallas flash-decode path: with a decode
+    mesh set, the engine's jitted multi-slot decode shard_maps the kernel
+    over tp'd KV head groups and reproduces the single-replica kernel run
+    token-for-token."""
+    from llama3_quantization_tpu.models import set_decode_kernel, set_decode_mesh
+    from llama3_quantization_tpu.parallel import make_mesh, shard_params
+
+    cfg, params = setup
+    set_decode_kernel("interpret")
+    try:
+        ref_eng = ServingEngine(
+            params, cfg, max_slots=2, max_len=64, quantized_cache=True
+        )
+        r = ref_eng.add_request([1, 2, 3, 4], max_new_tokens=6)
+        ref_eng.run()
+        want = ref_eng.result(r)
+
+        mesh = make_mesh(tp=2, devices=jax.devices()[:2])
+        set_decode_mesh(mesh)
+        sharded = shard_params(params, cfg=cfg, mesh=mesh)
+        eng = ServingEngine(
+            sharded, cfg, max_slots=2, max_len=64, quantized_cache=True
+        )
+        r2 = eng.add_request([1, 2, 3, 4], max_new_tokens=6)
+        eng.run()
+        assert eng.result(r2) == want
+    finally:
+        set_decode_kernel("auto")
+        set_decode_mesh(None)
