@@ -269,15 +269,20 @@ def _sharded_decode(fd, b: int, g: int, quantized: bool):
     caller then takes the eager path rather than risk an unpartitioned
     pallas_call being replicated (with its full-cache all-gather) by GSPMD."""
     mesh = _DECODE_MESH
+    names = set(mesh.axis_names)
+    dpa = "dp" if "dp" in names else None
+    tpa = "tp" if "tp" in names else None
+    if dpa is None and tpa is None:
+        return None  # unknown axis naming — take the eager path
     dp = mesh.shape.get("dp", 1)
     tp = mesh.shape.get("tp", 1)
     if b % dp or g % tp:
         return None
     from jax.sharding import PartitionSpec as P
 
-    q_spec = P("dp", None, "tp", None)  # [B, 1, Hq, D]: heads chunk == group chunk
-    kv_spec = P("dp", "tp", None, None)  # [B, G, T, *]: T (softmax axis) local
-    in_specs = (q_spec,) + (kv_spec,) * (4 if quantized else 2) + (P("dp", None),)
+    q_spec = P(dpa, None, tpa, None)  # [B, 1, Hq, D]: heads chunk == group chunk
+    kv_spec = P(dpa, tpa, None, None)  # [B, G, T, *]: T (softmax axis) local
+    in_specs = (q_spec,) + (kv_spec,) * (4 if quantized else 2) + (P(dpa, None),)
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
     # metadata; the wrapper has no collectives, so the check adds nothing
     return jax.shard_map(
