@@ -135,7 +135,7 @@ def _fused_qmm(
     xp = _pad_axis(xp, 1, k_pad)
     mp = xp.shape[0]
     grid = (mp // bm, n // bn, k_pad // bk)
-    kernel_fn = _qmm_v2_kernel if version == 2 else _qmm_kernel
+    kernel_fn = {2: _qmm_v2_kernel, 3: _qmm_v3_kernel}.get(version, _qmm_kernel)
     kernel = functools.partial(
         kernel_fn, bits=bits, gs=gs, nsteps=grid[2], packed=packed
     )
@@ -238,6 +238,88 @@ def _qmm_v2_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, nste
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# v3 decode kernel: s8 codes straight to the MXU
+# ---------------------------------------------------------------------------
+#
+# The v1/v2 kernels convert every unpacked code to bf16 before the dot —
+# per-element VPU work that caps the weight stream at ~200-340 GB/s. v3
+# applies the flash-decode kernel's lesson (`ops/decode_attention.py`) to
+# the weight matmul: activations are pre-quantized per token to s8 (the
+# same compromise as the a8 serving path), unpacked code bitfields are
+# cast i32 -> i8 and contracted with s8 x s8 -> s32 MXU dots, and the
+# grouped scale/zero algebra moves to the [bm, bn] output:
+#
+#   y = qs · Σ_g s_g ⊙ ( Σ_s (xq_{g,s} @ c_{g,s}) − z_g · Σ_k xq_{g,k} )
+#
+# so the only per-weight-element VPU ops are shift+mask+i8-cast.
+#
+# MEASURED RESULT (v5e, [4096, 14336] W4 g128, m=1, best-of-5 x300):
+# v3 191 GB/s of packed bytes vs v2 196 — i.e. the shift/mask unpack
+# itself is the cap, not the bf16 convert or the dot type; and grouped
+# a8 (batched per-group s8 dots on int8 containers) reaches only ~353
+# GB/s vs ~820 for the per-column single-dot recode. The per-column s8
+# recode (`quant/serving.py`) therefore remains the decode fast path;
+# v3 stays as the true-W4A8 compute path (grouped W4 numerics with s8
+# activations at half the int8-container HBM footprint) and as the
+# recorded refutation of the s8-unpack hypothesis (docs/BENCH_NOTES.md).
+
+
+def _qmm_v3_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *, bits, gs, nsteps, packed):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    f = pack_factor(bits) if packed else 1
+    bn = w_ref.shape[-1]
+    bk = w_ref.shape[0] * f
+    groups = bk // gs
+    sub = gs // f
+    mask = (1 << bits) - 1 if packed and f > 1 else None
+
+    if nsteps == 1:
+        scale = s_ref[:]
+        zero = z_ref[:]
+    else:
+        off = pl.multiple_of(j * groups, GROUPS_PER_TILE)
+        scale = s_ref[pl.ds(off, groups), :]
+        zero = z_ref[pl.ds(off, groups), :]
+
+    xq = x_ref[:]  # [bm, bk] int8 (pre-quantized per token)
+    acc = jnp.zeros_like(acc_ref)
+    for g in range(groups):
+        if mask is None:
+            cg = w_ref[g * gs : (g + 1) * gs, :].astype(jnp.int8)
+            xg = xq[:, g * gs : (g + 1) * gs]
+            dot_g = jax.lax.dot_general(
+                xg, cg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            xsum_g = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True)
+        else:
+            pk = w_ref[g * sub : (g + 1) * sub, :].astype(jnp.int32)
+            dot_g = jnp.zeros((xq.shape[0], bn), jnp.int32)
+            xsum_g = jnp.zeros((xq.shape[0], 1), jnp.int32)
+            for s in range(f):
+                c = ((pk >> (s * bits)) & mask).astype(jnp.int8)
+                xs = xq[:, g * gs + s * sub : g * gs + (s + 1) * sub]
+                dot_g += jax.lax.dot_general(
+                    xs, c, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                xsum_g += jnp.sum(xs.astype(jnp.int32), axis=1, keepdims=True)
+        sg = scale[g, :][None, :]
+        zg = zero[g, :][None, :]
+        acc += (dot_g.astype(jnp.float32) - xsum_g.astype(jnp.float32) * zg) * sg
+    acc_ref[:] += acc
+
+    @pl.when(j == nsteps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def fused_dequant_matmul(
     x: jax.Array,
     qt: QuantizedTensor,
@@ -319,6 +401,20 @@ def fused_dequant_matmul(
 
         env = os.environ.get("L3Q_QMM_V")
         version = int(env) if env else (2 if m <= 64 else 1)
+
+    if version == 3:
+        # s8-direct decode path: activations quantized per token (the a8
+        # serving compromise), codes stay integer all the way to the MXU
+        from .a8_matmul import quantize_activations_s8
+
+        xq, s_x = quantize_activations_s8(x2d)
+        out = _fused_qmm(
+            xq, data, scale, zero,
+            bits=qt.bits, gs=gs, packed=packed,
+            bm=bm, bn=bn, bk=bk, out_dtype=jnp.float32,
+            interpret=interpret, version=3,
+        )
+        return (out * s_x).astype(out_dtype).reshape(*lead, qt.n)
 
     out = _fused_qmm(
         x2d,
