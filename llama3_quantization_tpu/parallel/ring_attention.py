@@ -60,8 +60,10 @@ def ring_attention(
     per-row (max, min, denominator) online, pass 2 materializes each
     block's normalized probs, quantizes them with the globally-correct
     scale (max prob = 1/l, min prob = exp(min_score - m)/l), and
-    accumulates PV. Restrictions: no group_size/LWC on the p-spec (groups
-    along the key axis would straddle ring blocks).
+    accumulates PV. Grouped p-specs are supported when the ring block width
+    is a multiple of group_size (groups then never straddle blocks and
+    their dynamic min/max is block-local == globally exact); LWC p-specs
+    are not supported.
     """
     from ..models.transformer import _maybe_fq
 
@@ -109,10 +111,15 @@ def ring_attention(
         return acc, m_new, l, kb, vb
 
     if rq.p is not None and rq.p.enabled:
-        if rq.p.group_size or rq.p.lwc:
+        if rq.p.lwc:
             raise NotImplementedError(
-                "rq.p under ring attention supports per-token specs only "
-                "(groups along the key axis would straddle ring blocks)"
+                "LWC on the p-spec is not supported under ring attention"
+            )
+        if rq.p.group_size and s % rq.p.group_size:
+            raise NotImplementedError(
+                f"grouped rq.p needs the ring block width ({s}) to be a "
+                f"multiple of group_size ({rq.p.group_size}) so groups do "
+                "not straddle ring blocks"
             )
         out = _two_pass_pv(qg, k, v, intra, zeros_m, neg_m, my, sp, perm,
                            scale, axis_name, rq.p)
@@ -184,6 +191,15 @@ def _two_pass_pv(qg, k, v, intra, zeros_m, neg_m, my, sp, perm, scale,
     if p_spec.metric == "fix0to1":
         levels = 2**p_spec.n_bits - 1
         quantize = lambda p: jnp.round(p * levels) / levels  # noqa: E731
+    elif p_spec.group_size:
+        # grouped minmax: the ring guard guarantees the block width is a
+        # multiple of group_size, so every group lies inside one block and
+        # its dynamic min/max is block-local == globally exact — plain
+        # dynamic fake-quant of the normalized block reproduces the eager
+        # hook with no extra statistics
+        from ..quant.quantizer import fake_quant_dynamic
+
+        quantize = lambda p: fake_quant_dynamic(p, p_spec)  # noqa: E731
     else:
         # masked entries underflow to prob 0 exactly, like the eager row
         pmin = (jnp.exp(mn - m) / l)[..., None]
@@ -222,10 +238,10 @@ def make_sp_forward(
     """
     if cfg.parallel_block or not cfg.uses_rope:
         raise NotImplementedError("sp forward supports pre-norm RoPE archs")
-    if rq.p is not None and rq.p.enabled and (rq.p.group_size or rq.p.lwc):
+    if rq.p is not None and rq.p.enabled and rq.p.lwc:
         raise NotImplementedError(
-            "rq.p under ring attention supports per-token specs only"
-        )
+            "LWC on the p-spec is not supported under ring attention"
+        )  # grouped p-specs: block-width divisibility checked per call
     sp = mesh.shape["sp"]
     ring = partial(ring_attention, rq=rq)
 

@@ -482,3 +482,33 @@ def test_flash_decode_mesh_fallback_when_shapes_dont_divide(mesh):
     ref = run(False, None)  # XLA dequant path
     out = run("interpret", mesh)  # mesh set, shapes don't divide -> same path
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_ring_attention_grouped_probs_quant_matches_eager():
+    """Grouped rq.p under ring attention == the eager path when the ring
+    block width is a multiple of group_size (each group then lies inside
+    one block, so its dynamic min/max is block-local and globally exact);
+    indivisible group sizes are rejected."""
+    from jax.sharding import Mesh
+
+    from llama3_quantization_tpu.models import forward_logits, init_params
+    from llama3_quantization_tpu.models.configs import TINY_LLAMA
+    from llama3_quantization_tpu.models.transformer import RuntimeQuantConfig
+    from llama3_quantization_tpu.parallel import make_sp_forward
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 64), 0, cfg.vocab_size)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("sp",))  # block width 8
+    base = forward_logits(params, toks, cfg)
+
+    rq = RuntimeQuantConfig(p=QuantSpec(n_bits=4, group_size=4))
+    ref = forward_logits(params, toks, cfg, rq)
+    out = make_sp_forward(cfg, mesh, rq=rq)(params, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+    assert float(jnp.max(jnp.abs(ref - base))) > 1e-3  # the hook bites
+
+    with pytest.raises(NotImplementedError, match="multiple of group_size"):
+        bad = RuntimeQuantConfig(p=QuantSpec(n_bits=4, group_size=3))
+        make_sp_forward(cfg, mesh, rq=bad)(params, toks)
