@@ -249,10 +249,19 @@ def test_ring_attention_honors_attn_quant_hooks():
     base = forward_logits(params, toks, cfg)
     assert float(jnp.max(jnp.abs(ref - base))) > 1e-3
 
+    # LWC p-specs are rejected up front; grouped p-specs are accepted at
+    # construction but require the ring block width (s/sp) to divide into
+    # whole groups, checked per call.
     with pytest.raises(NotImplementedError):
         make_sp_forward(
-            cfg, mesh, rq=RuntimeQuantConfig(p=QuantSpec(n_bits=8, group_size=16))
+            cfg, mesh,
+            rq=RuntimeQuantConfig(p=QuantSpec(n_bits=8, lwc=True)),
         )
+    bad_group = make_sp_forward(
+        cfg, mesh, rq=RuntimeQuantConfig(p=QuantSpec(n_bits=8, group_size=3))
+    )
+    with pytest.raises(NotImplementedError):
+        bad_group(params, toks)  # 64/8 = 8-wide blocks, group_size 3
 
 
 def test_ring_attention_probs_quant_matches_eager():
