@@ -163,6 +163,100 @@ def hessian_update(state: HessianState, x: jax.Array) -> HessianState:
 
 
 # ---------------------------------------------------------------------------
+# Cholesky plumbing
+# ---------------------------------------------------------------------------
+#
+# XLA's CholeskyExpander fully unrolls an N² Cholesky into N/128
+# constant-index iterations; at K=14336 (Llama-3 down_proj) the unrolled
+# trailing-update temps stop aliasing and the program asks for 44.5 GB of
+# HBM (measured — OOM on a 16 GB chip). The fori_loop formulation below
+# keeps *dynamic* block indices so the whole factorization lives in one
+# reused [K, K] buffer (~3 buffers peak ≈ 2.4 GB at K=14336).
+
+
+def _chol_lower_blocked(A: jax.Array, block: int = 512) -> jax.Array:
+    """Right-looking blocked lower Cholesky of an SPD [K, K] matrix via
+    `lax.fori_loop` (dynamic indices — no expander unrolling). Requires
+    `K % block == 0`; callers fall back to `lax.linalg.cholesky` otherwise."""
+    k = A.shape[0]
+    col = jnp.arange(k)
+
+    def body(j, A):
+        i0 = j * block
+        D = jax.lax.dynamic_slice(A, (i0, i0), (block, block))
+        Ld = jax.lax.linalg.cholesky(D)  # block² — expander temps negligible
+        strip = jax.lax.dynamic_slice(A, (0, i0), (k, block))
+        # panel rows below the diagonal block: strip @ Ld^-T
+        pan = jax.lax.linalg.triangular_solve(
+            Ld, strip, left_side=False, lower=True, transpose_a=True
+        )
+        below = (col >= i0 + block)[:, None]
+        pan = jnp.where(below, pan, 0.0)
+        # trailing Schur update touches only rows/cols >= i0+block because
+        # pan is zeroed elsewhere
+        A = A - pan @ pan.T
+        # write the factored strip back: zeros above, Ld on the diagonal
+        # block, panel below
+        in_blk = ((col >= i0) & (col < i0 + block))[:, None]
+        ld_full = jnp.zeros((k, block), A.dtype)
+        ld_full = jax.lax.dynamic_update_slice(ld_full, Ld, (i0, 0))
+        new_strip = jnp.where(below, pan, jnp.where(in_blk, ld_full, 0.0))
+        return jax.lax.dynamic_update_slice(A, new_strip, (0, i0))
+
+    A = jax.lax.fori_loop(0, k // block, body, A)
+    return jnp.tril(A)
+
+
+def _tri_inv_lower_blocked(L: jax.Array, block: int = 512) -> jax.Array:
+    """L^-1 for lower-triangular [K, K] L via block forward substitution in
+    a `lax.fori_loop`. XLA's TriangularSolveExpander unrolls a K×K solve
+    into K/128 constant-index iterations whose trailing temps do not alias
+    (44.9 GB at K=14336, measured); this keeps everything in one X buffer."""
+    k = L.shape[0]
+    col = jnp.arange(k)
+    eyeb = jnp.eye(block, dtype=L.dtype)
+
+    def body(i, X):
+        i0 = i * block
+        D = jax.lax.dynamic_slice(L, (i0, i0), (block, block))
+        strip = jax.lax.dynamic_slice(L, (i0, 0), (block, k))
+        strip = jnp.where(col[None, :] < i0, strip, 0.0)
+        rhs = -(strip @ X)  # rows of X past i0 are still zero
+        diag_blk = jax.lax.dynamic_slice(rhs, (0, i0), (block, block)) + eyeb
+        rhs = jax.lax.dynamic_update_slice(rhs, diag_blk, (0, i0))
+        Xi = jax.lax.linalg.triangular_solve(
+            D, rhs, left_side=True, lower=True
+        )
+        return jax.lax.dynamic_update_slice(X, Xi, (i0, 0))
+
+    return jax.lax.fori_loop(0, k // block, body, jnp.zeros_like(L))
+
+
+def inv_cholesky_upper(Hd: jax.Array) -> jax.Array:
+    """Upper-triangular U with `Hd^-1 = Uᵀ U` — what GPTQ's error feedback
+    consumes (reference `gptq.py:164-167` computes it as
+    cholesky(cholesky_inverse(cholesky(H)), upper=True)).
+
+    Computed here WITHOUT forming Hd^-1, via the reversal identity: with
+    P the index-reversal permutation and L = chol_lower(P Hd P),
+    P L^-1 P is upper-triangular with positive diagonal and
+    (P L^-1 P)ᵀ (P L^-1 P) = P L^-T L^-1 P = P (P Hd P)^-1 P = Hd^-1,
+    so by uniqueness it IS that factor — one Cholesky + one triangular
+    inverse instead of cholesky + 2 solves + cholesky."""
+    k = Hd.shape[0]
+    B = Hd[::-1, ::-1]
+    if k % 512 == 0 and k > 512:
+        L = _chol_lower_blocked(B)
+        Linv = _tri_inv_lower_blocked(L)
+    else:
+        L = jax.lax.linalg.cholesky(B)
+        Linv = jax.lax.linalg.triangular_solve(
+            L, jnp.eye(k, dtype=Hd.dtype), left_side=True, lower=True
+        )
+    return Linv[::-1, ::-1]
+
+
+# ---------------------------------------------------------------------------
 # The blocked solver
 # ---------------------------------------------------------------------------
 
@@ -210,9 +304,7 @@ def gptq_solve(
     damp = percdamp * jnp.mean(jnp.diag(H))
     Hd = H.at[jnp.diag_indices(k)].add(damp)
     # Hinv = upper-Cholesky factor of H^-1 (reference gptq.py:164-167)
-    L = jax.scipy.linalg.cholesky(Hd, lower=True)
-    Hinv_full = jax.scipy.linalg.cho_solve((L, True), jnp.eye(k, dtype=jnp.float32))
-    Hinv = jax.scipy.linalg.cholesky(Hinv_full, lower=False)
+    Hinv = inv_cholesky_upper(Hd)
 
     col_idx = jnp.arange(k)
     blk_idx = jnp.arange(blocksize)

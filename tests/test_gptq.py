@@ -310,3 +310,32 @@ def test_gptq_rejects_wide_bits(rng):
     H = np.eye(16, dtype=np.float32)
     with pytest.raises(NotImplementedError):
         gptq_quantize_weight(jnp.asarray(W.T), jnp.asarray(H), QuantSpec(n_bits=12))
+
+
+def test_blocked_cholesky_factor_matches_scipy(rng):
+    """The fori_loop blocked Cholesky + triangular inverse (the K=14336
+    HBM fix: XLA's Cholesky/TriangularSolve expanders unroll constant-index
+    iterations whose temps stop aliasing — 44.5 GB at down_proj size) must
+    reproduce scipy's chol(H^-1, upper) factor exactly."""
+    import jax.numpy as jnp
+    import scipy.linalg as sla
+
+    from llama3_quantization_tpu.quant.gptq import (
+        _chol_lower_blocked, _tri_inv_lower_blocked, inv_cholesky_upper)
+
+    k = 1024  # divisible by 512 -> exercises both blocked paths
+    X = rng.standard_normal((2 * k, k)).astype(np.float32)
+    H = (X.T @ X / k + np.eye(k)).astype(np.float32)
+
+    L = np.asarray(_chol_lower_blocked(jnp.asarray(H)))
+    Ls = sla.cholesky(H, lower=True)
+    np.testing.assert_allclose(L, Ls, atol=5e-3 * np.abs(Ls).max())
+
+    Li = np.asarray(_tri_inv_lower_blocked(jnp.asarray(Ls.astype(np.float32))))
+    np.testing.assert_allclose(Li @ Ls, np.eye(k), atol=1e-3)
+
+    U = np.asarray(inv_cholesky_upper(jnp.asarray(H)))
+    Hinv = sla.cho_solve((Ls, True), np.eye(k, dtype=np.float32))
+    Us = sla.cholesky(Hinv, lower=False)
+    np.testing.assert_allclose(U, Us, atol=1e-2 * np.abs(Us).max())
+    assert np.allclose(np.triu(U), U)
