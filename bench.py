@@ -112,6 +112,91 @@ def prefill_bench(cfg, params, cfg_name, backend):
     }))
 
 
+def gptq_calib_bench(cfg, spec, cfg_name):
+    """GPTQ calibration throughput: run the REAL per-layer pipeline
+    (capture -> streaming Hessians -> blocked solves, quant/calibration.py)
+    on a single decoder layer at full model shapes with synthetic tokens,
+    then project to the whole model. The reference's GPTQ path streams
+    layers over one GPU for tens of minutes; per-layer shapes are identical
+    across layers so steady-state layer time × num_layers is the honest
+    model estimate (first-layer compile amortizes the same way)."""
+    import dataclasses
+
+    from llama3_quantization_tpu.models import init_params
+    from llama3_quantization_tpu.quant.calibration import gptq_quantize_model
+
+    n = int(os.environ.get("L3Q_BENCH_CALIB_N", 128))
+    seq = int(os.environ.get("L3Q_BENCH_CALIB_SEQ", 2048))
+    full_layers = cfg.num_layers
+    cfg1 = dataclasses.replace(cfg, num_layers=1)
+    params = init_params(cfg1, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params.pop("lm_head", None)  # unused during calibration; 1 GB at 8B
+    calib = np.random.default_rng(0).integers(0, cfg1.vocab_size, (n, seq))
+
+    t0 = time.time()
+    qp = gptq_quantize_model(params, cfg1, calib, spec, pack=True, batch_size=8)
+    _ = jax.block_until_ready(qp)
+    _ = float(qp["layers"]["down"]["w"].scale.ravel()[0])
+    log(f"layer 0 (compile+run): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    qp = gptq_quantize_model(params, cfg1, calib, spec, pack=True, batch_size=8)
+    _ = float(qp["layers"]["down"]["w"].scale.ravel()[0])
+    layer_s = time.time() - t0
+    model_min = layer_s * full_layers / 60.0
+    log(f"steady-state: {layer_s:.2f}s/layer -> {model_min:.1f} min for "
+        f"{full_layers} layers ({n}x{seq} calib tokens)")
+    print(json.dumps({
+        "metric": f"gptq_calib_min_{cfg_name}",
+        "value": round(model_min, 2),
+        "unit": "min",
+        "vs_baseline": 0.0,
+    }))
+
+
+def omniquant_calib_bench(cfg, spec, cfg_name):
+    """OmniQuant LWC(+LET) block-training throughput, same single-layer
+    projection scheme as `gptq_calib_bench`. The reference trains each
+    block with AdamW for --epochs over 128 samples (its slowest path —
+    hours on one GPU for an 8B); here the whole epoch is jitted train
+    steps over the stacked layer."""
+    import dataclasses
+
+    from llama3_quantization_tpu.models import init_params
+    from llama3_quantization_tpu.quant.omniquant import OmniConfig, omniquant_model
+
+    n = int(os.environ.get("L3Q_BENCH_CALIB_N", 128))
+    seq = int(os.environ.get("L3Q_BENCH_CALIB_SEQ", 2048))
+    epochs = int(os.environ.get("L3Q_BENCH_EPOCHS", 5))
+    let = os.environ.get("L3Q_BENCH_LET", "0") == "1"
+    full_layers = cfg.num_layers
+    cfg1 = dataclasses.replace(cfg, num_layers=1)
+    params = init_params(cfg1, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params.pop("lm_head", None)  # unused during calibration; 1 GB at 8B
+    calib = np.random.default_rng(0).integers(0, cfg1.vocab_size, (n, seq))
+    ocfg = OmniConfig(
+        wspec=dataclasses.replace(spec, lwc=True), epochs=epochs, let=let,
+        pack=True,
+    )
+
+    def run():
+        qp = omniquant_model(params, cfg1, calib, ocfg)
+        _ = float(qp["layers"]["down"]["w"].scale.ravel()[0])
+
+    t0 = time.time(); run()
+    log(f"layer 0 (compile+run): {time.time()-t0:.1f}s")
+    t0 = time.time(); run()
+    layer_s = time.time() - t0
+    model_min = layer_s * full_layers / 60.0
+    log(f"steady-state: {layer_s:.2f}s/layer -> {model_min:.1f} min for "
+        f"{full_layers} layers ({epochs} epochs, {n}x{seq}, let={let})")
+    print(json.dumps({
+        "metric": f"omniquant_calib_min_{cfg_name}",
+        "value": round(model_min, 2),
+        "unit": "min",
+        "vs_baseline": 0.0,
+    }))
+
+
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     from llama3_quantization_tpu.models import LLAMA3_8B, TINY_LLAMA
@@ -143,6 +228,10 @@ def main():
     params = init_quantized_params(
         cfg, spec, pack=backend != "a8", percol_s8=backend == "a8", head_s8=head_s8
     )
+    if os.environ.get("L3Q_BENCH_MODE") == "gptq":
+        return gptq_calib_bench(cfg, spec, cfg_name)
+    if os.environ.get("L3Q_BENCH_MODE") == "omniquant":
+        return omniquant_calib_bench(cfg, spec, cfg_name)
     if os.environ.get("L3Q_BENCH_MODE") == "prefill":
         # no QKV/gate-up fusion here: measured -2.3% at S=2048 (11892 vs
         # 12170 tok/s) — compute-bound prefill gains nothing from fewer

@@ -84,7 +84,12 @@ def layer_linear_inputs(
         cos, sin = cos_sin
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-    attn = _attention(q, k, v, mask, cfg, rq).reshape(b, s, cfg.num_heads * hd)
+    # allow_flash: the eager path materializes [B, H, S, S] scores (4.3 GB
+    # at b=8 S=2048) — flash keeps capture of 8B layers inside HBM; it
+    # auto-falls-back when rq carries q/k/v/p hooks (transformer._flash_enabled)
+    attn = _attention(q, k, v, mask, cfg, rq, allow_flash=True).reshape(
+        b, s, cfg.num_heads * hd
+    )
     out["o"] = attn
     attn_out = qlinear(attn, p["o"]["w"], p["o"].get("b"), rq.act)
     if cfg.parallel_block:
@@ -106,6 +111,20 @@ def layer_linear_inputs(
         fc1 = qlinear(mlp_in, p["fc1"]["w"], p["fc1"].get("b"), rq.act)
         out["fc2"] = jax.nn.relu(fc1) if cfg.activation == "relu" else jax.nn.gelu(fc1)
     return out
+
+
+def capture_aliases(cfg: ModelConfig) -> Dict[str, str]:
+    """Capture keys that read the SAME activation buffer in
+    `layer_linear_inputs` (q/k/v off attn_in; llama's gate/up off mlp_in;
+    Falcon's parallel block feeds the MLP from the shared LN). jit outputs
+    do not preserve object aliasing, so consumers dedup by this table —
+    one Hessian/stat accumulation and one HBM buffer per canonical key."""
+    al = {"k": "q", "v": "q"}
+    if cfg.arch == "llama" and not cfg.is_moe:
+        al["up"] = "gate"
+    if cfg.parallel_block:
+        al["fc1"] = "q"
+    return al
 
 
 def _layer_slice(layers, l: int):
@@ -169,9 +188,22 @@ def gptq_quantize_model(
     tokens = jnp.asarray(calib_tokens, jnp.int32)
     n = tokens.shape[0]
     h, cos_sin, mask = embed_calibration(params, cfg, tokens)
+    # per-batch list instead of one [n, S, d] monolith: slices free
+    # incrementally during re-propagation (at 8B shapes the monolith is
+    # 2.1 GB and a concat re-propagation would transiently hold 2x that)
+    h_list = [h[b0 : b0 + batch_size] for b0 in range(0, n, batch_size)]
+    del h
 
+    aliases = capture_aliases(cfg)
     capture = jax.jit(
-        lambda p, hb: layer_linear_inputs(p, hb, cfg, rq, cos_sin, mask)
+        # alias keys dropped INSIDE the jit: identical outputs are NOT
+        # deduplicated into one device buffer, so returning q/k/v three
+        # times would hold three copies of attn_in in HBM
+        lambda p, hb: {
+            k: v
+            for k, v in layer_linear_inputs(p, hb, cfg, rq, cos_sin, mask).items()
+            if k not in aliases
+        }
     )
     run_layer = jax.jit(
         lambda p, hb: decoder_layer(p, hb, cfg, rq, cos_sin, mask)[0]
@@ -188,32 +220,43 @@ def gptq_quantize_model(
         groups = [tuple(names)]
 
     def quantize_group(q_l, group, errs):
+        # names reading the SAME captured buffer (q/k/v off attn_in,
+        # gate/up off mlp_in — capture_aliases) share one Hessian
+        # accumulation: identical math, one xxᵀ instead of three
+        canon = {name: aliases.get(name, name) for name in group}
+        uses: Dict[str, int] = {}
+        for rep in canon.values():
+            uses[rep] = uses.get(rep, 0) + 1
         hstate: Dict[str, HessianState] = {
-            name: hessian_init(q_l[name]["w"].shape[0]) for name in group
+            rep: hessian_init(q_l[rep]["w"].shape[0]) for rep in uses
         }
         caps0 = None
-        for b0 in range(0, n, batch_size):
-            caps = capture(q_l, h[b0 : b0 + batch_size])
-            if caps0 is None:
-                caps0 = caps
-            for name in group:
-                hstate[name] = hessian_update(hstate[name], caps[name])
+        for hb in h_list:
+            caps = capture(q_l, hb)
+            if caps0 is None and snr_log is not None:
+                caps0 = caps  # ~1 GB at 8B shapes — keep only if SNR asked
+            for rep in uses:
+                hstate[rep] = hessian_update(hstate[rep], caps[rep])
         for name in group:
             entry = dict(q_l[name])
             t0 = time.perf_counter()
+            rep = canon[name]
+            uses[rep] -= 1
+            H = hstate.pop(rep).H if uses[rep] == 0 else hstate[rep].H
             qt, err = gptq_quantize_weight(
                 entry["w"],
-                hstate[name].H,
+                H,  # freed after its last consumer's solve (1.2 GB at 8B)
                 spec,
                 blocksize=blocksize,
                 actorder=actorder,
                 percdamp=percdamp,
                 pack=pack,
             )
+            del H
             errs[name] = float(err)
             if snr_log is not None:
                 snr_log.append(
-                    _snr_row(name, l, entry["w"], qt, caps0[name], float(err),
+                    _snr_row(name, l, entry["w"], qt, caps0[rep], float(err),
                              time.perf_counter() - t0)
                 )
             entry["w"] = qt
@@ -233,8 +276,8 @@ def gptq_quantize_model(
 
         caps_per_batch = []
         weights_per_batch = []  # [B, S, E] routing weights
-        for b0 in range(0, n, batch_size):
-            caps = capture(q_l, h[b0 : b0 + batch_size])
+        for hb in h_list:
+            caps = capture(q_l, hb)
             x = caps["experts_in"]
             caps_per_batch.append(x)
             weights_per_batch.append(_moe_routing_weights(q_l, x, cfg))
@@ -283,11 +326,10 @@ def gptq_quantize_model(
             q_l = quantize_group(q_l, group, errs)
         if cfg.is_moe:
             q_l = quantize_experts(q_l, errs)
-        # quantized-input propagation for the next layer
-        h_parts = [
-            run_layer(q_l, h[b0 : b0 + batch_size]) for b0 in range(0, n, batch_size)
-        ]
-        h = jnp.concatenate(h_parts, axis=0)
+        # quantized-input propagation for the next layer (in place: each
+        # old batch frees as soon as its replacement lands)
+        for bi in range(len(h_list)):
+            h_list[bi] = run_layer(q_l, h_list[bi])
         new_layers.append(q_l)
         if progress:
             progress(l + 1, cfg.num_layers, errs)

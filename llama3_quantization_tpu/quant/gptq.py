@@ -142,10 +142,11 @@ def hessian_init(k: int) -> HessianState:
     return HessianState(H=jnp.zeros((k, k), jnp.float32), nsamples=0)
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _hessian_step(H, x2d, old_n, new_n):
     """H' = H * old_n/new_n + (2/new_n) x xᵀ (reference `add_batch`,
-    `gptq.py:94-99`)."""
+    `gptq.py:94-99`). H is donated — at K=14336 the old and new Hessian
+    together would hold 1.6 GB."""
     xf = x2d.astype(jnp.float32) * jnp.sqrt(2.0 / new_n)
     return H * (old_n / new_n) + xf.T @ xf
 
@@ -381,6 +382,36 @@ def gptq_solve(
     return codes, scales, zeros, g_idx, loss
 
 
+#: one jitted program for solve + pack: eagerly, the Hinv pipeline and the
+#: post-solve transpose/pack each materialize full-size copies (4+ x 786 MB
+#: at K=14336) — under jit XLA reuses the buffers. No donation: MoE expert
+#: calibration reuses one input Hessian for both the gate and up solves.
+@partial(
+    jax.jit,
+    static_argnames=("spec", "blocksize", "sym", "actorder", "percdamp", "pack"),
+)
+def _solve_and_pack(w_kn, H, *, spec, blocksize, sym, actorder, percdamp, pack):
+    codes, scales, zeros, g_idx, err = gptq_solve(
+        w_kn.T,
+        H,
+        n_bits=spec.n_bits,
+        group_size=spec.group_size,
+        blocksize=blocksize,
+        sym=sym,
+        actorder=actorder,
+        percdamp=percdamp,
+    )
+    qt = from_codes(
+        codes.T,  # [K, N]
+        scales.T,  # [G, N]
+        zeros.T,
+        spec,
+        pack=pack,
+        out_dtype=w_kn.dtype if jnp.issubdtype(w_kn.dtype, jnp.floating) else jnp.bfloat16,
+    )
+    return qt, err
+
+
 def gptq_quantize_weight(
     w_kn: jax.Array,  # [K, N] framework layout
     H: jax.Array,
@@ -417,22 +448,13 @@ def gptq_quantize_weight(
             f"{spec.n_bits}-bit codes exceed int8 storage; use fake-quant "
             "(fake_quant_dynamic) for 9-15 bit studies"
         )
-    codes, scales, zeros, g_idx, err = gptq_solve(
-        w_kn.T,
+    return _solve_and_pack(
+        w_kn,
         H,
-        n_bits=spec.n_bits,
-        group_size=spec.group_size,
+        spec=spec,
         blocksize=blocksize,
         sym=spec.symmetric or spec.disable_zero_point,
         actorder=actorder,
         percdamp=percdamp,
-    )
-    qt = from_codes(
-        codes.T,  # [K, N]
-        scales.T,  # [G, N]
-        zeros.T,
-        spec,
         pack=pack,
-        out_dtype=w_kn.dtype if jnp.issubdtype(w_kn.dtype, jnp.floating) else jnp.bfloat16,
     )
-    return qt, err
