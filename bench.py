@@ -218,6 +218,14 @@ def main():
     log(f"bench: model={cfg_name} backend={backend} W{spec.n_bits} g{spec.group_size}")
     mm.set_backend(backend)
 
+    # calibration modes build their own single-layer model — dispatch
+    # BEFORE the decode model below (a full 8B of a8 weights would sit in
+    # HBM as dead weight under the calibration run: measured OOM)
+    if os.environ.get("L3Q_BENCH_MODE") == "gptq":
+        return gptq_calib_bench(cfg, spec, cfg_name)
+    if os.environ.get("L3Q_BENCH_MODE") == "omniquant":
+        return omniquant_calib_bench(cfg, spec, cfg_name)
+
     t0 = time.time()
     # a8 backend: serving-format per-column symmetric int8 weights (what
     # quant/serving.recode_model_s8 produces from any quantized model) ->
@@ -228,10 +236,6 @@ def main():
     params = init_quantized_params(
         cfg, spec, pack=backend != "a8", percol_s8=backend == "a8", head_s8=head_s8
     )
-    if os.environ.get("L3Q_BENCH_MODE") == "gptq":
-        return gptq_calib_bench(cfg, spec, cfg_name)
-    if os.environ.get("L3Q_BENCH_MODE") == "omniquant":
-        return omniquant_calib_bench(cfg, spec, cfg_name)
     if os.environ.get("L3Q_BENCH_MODE") == "prefill":
         # no QKV/gate-up fusion here: measured -2.3% at S=2048 (11892 vs
         # 12170 tok/s) — compute-bound prefill gains nothing from fewer

@@ -70,7 +70,11 @@ def awq_quantize_model(
     between layers as in GPTQ."""
     tokens = jnp.asarray(calib_tokens, jnp.int32)
     n = tokens.shape[0]
-    h, cos_sin, mask = embed_calibration(params, cfg, tokens)
+    h0, cos_sin, mask = embed_calibration(params, cfg, tokens)
+    # per-batch stream (see quant/calibration.py): in-place propagation
+    # frees each 8B-shape slice as its replacement lands
+    h = [h0[b0 : b0 + batch_size] for b0 in range(0, n, batch_size)]
+    del h0
     capture = jax.jit(lambda p, hb: layer_linear_inputs(p, hb, cfg, NO_QUANT, cos_sin, mask))
     run_layer = jax.jit(lambda p, hb: decoder_layer(p, hb, cfg, NO_QUANT, cos_sin, mask)[0])
 
@@ -79,7 +83,7 @@ def awq_quantize_model(
     new_layers: List[Dict[str, Any]] = []
     for l in range(cfg.num_layers):
         p_l = _layer_slice(params["layers"], l)
-        caps = capture(p_l, h[: min(n, batch_size)])
+        caps = capture(p_l, h[0])
 
         def sample(name):
             x = caps[name].reshape(-1, caps[name].shape[-1])
@@ -144,8 +148,8 @@ def awq_quantize_model(
                 experts[name] = entry
             p["experts"] = experts
 
-        h_parts = [run_layer(p, h[b0 : b0 + batch_size]) for b0 in range(0, n, batch_size)]
-        h = jnp.concatenate(h_parts, axis=0)
+        for bi in range(len(h)):
+            h[bi] = run_layer(p, h[bi])
         new_layers.append(p)
 
     out = dict(params)

@@ -315,8 +315,13 @@ def omniquant_model(
     tokens = jnp.asarray(calib_tokens, jnp.int32)
     n = tokens.shape[0]
     bs = min(ocfg.batch_size, n)
-    h_fp, cos_sin, mask = embed_calibration(params, cfg, tokens)
-    h_q = h_fp
+    h0, cos_sin, mask = embed_calibration(params, cfg, tokens)
+    # per-batch lists (not one [n, S, d] monolith): propagation then frees
+    # slices incrementally — at 8B shapes each stream is 2.1 GB and a
+    # concat-based update transiently doubles it (measured OOM)
+    h_fp = [h0[b0 : b0 + bs] for b0 in range(0, n, bs)]
+    h_q = list(h_fp)
+    del h0
 
     if ocfg.let and act_stats is None:
         from .smoothquant import collect_act_stats
@@ -366,14 +371,19 @@ def omniquant_model(
     new_layers = []
     for l in range(cfg.num_layers):
         p_l = _layer_slice(params["layers"], l)
-        targets = [run_fp(p_l, h_fp[b0 : b0 + bs]) for b0 in range(0, n, bs)]
-        # aug targets: fp layer on the QUANTIZED input stream (fp_inps_2,
-        # `quant/omniquant.py:219-221`)
+        # aug targets first (they read the PRE-update quantized stream):
+        # fp layer on the quantized inputs (fp_inps_2, `quant/omniquant.py:
+        # 219-221`)
         targets2 = (
-            [run_fp(p_l, h_q[b0 : b0 + bs]) for b0 in range(0, n, bs)]
-            if ocfg.aug_loss
-            else targets
+            [run_fp(p_l, hb) for hb in h_q] if ocfg.aug_loss else None
         )
+        # fp propagation in place — the updated fp stream IS the target
+        # list (the reference's fp_inps double duty, `omniquant.py:213-221`)
+        for bi in range(len(h_fp)):
+            h_fp[bi] = run_fp(p_l, h_fp[bi])
+        targets = h_fp
+        if targets2 is None:
+            targets2 = targets
 
         aux: Dict[str, Any] = {"lwc": init_layer_lwc(p_l, cfg, ocfg.wspec)}
         if ocfg.let:
@@ -388,12 +398,12 @@ def omniquant_model(
             opt_state = opt.init(aux)
             best = aux
             for _ in range(ocfg.epochs):
-                for bi, b0 in enumerate(range(0, n, bs)):
+                for bi in range(len(h_q)):
                     aux, opt_state, loss = train_step(
                         aux,
                         opt_state,
                         p_l,
-                        h_q[b0 : b0 + bs],
+                        h_q[bi],
                         targets[bi],
                         targets2[bi],
                     )
@@ -436,11 +446,10 @@ def omniquant_model(
                 experts[name] = entry
             q_l["experts"] = experts
 
-        # targets ARE run_fp(p_l, h_fp) batch-by-batch — reuse them
-        h_fp = jnp.concatenate(targets, axis=0)
-        h_q = jnp.concatenate(
-            [run_q(q_l, h_q[b0 : b0 + bs]) for b0 in range(0, n, bs)], axis=0
-        )
+        # h_fp already advanced (targets alias it); advance the quantized
+        # stream in place so each old batch frees as its replacement lands
+        for bi in range(len(h_q)):
+            h_q[bi] = run_q(q_l, h_q[bi])
         new_layers.append(q_l)
         if progress:
             progress(l + 1, cfg.num_layers, last_loss)

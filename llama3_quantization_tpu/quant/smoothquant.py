@@ -35,7 +35,11 @@ def collect_act_stats(
     `act_scales/{net}.pt` + `act_shifts/{net}.pt` (`main.py:360-364`)."""
     tokens = jnp.asarray(calib_tokens, jnp.int32)
     n = tokens.shape[0]
-    h, cos_sin, mask = embed_calibration(params, cfg, tokens)
+    h0, cos_sin, mask = embed_calibration(params, cfg, tokens)
+    # per-batch stream (see quant/calibration.py): in-place propagation
+    # frees each 8B-shape slice as its replacement lands
+    h = [h0[b0 : b0 + batch_size] for b0 in range(0, n, batch_size)]
+    del h0
     capture = jax.jit(lambda p, hb: layer_linear_inputs(p, hb, cfg, NO_QUANT, cos_sin, mask))
     run_layer = jax.jit(lambda p, hb: decoder_layer(p, hb, cfg, NO_QUANT, cos_sin, mask)[0])
     names = list(linear_names(cfg))
@@ -47,17 +51,15 @@ def collect_act_stats(
         absmax = {m: None for m in names}
         mean_acc = {m: 0.0 for m in names}
         count = 0
-        h_parts = []
-        for b0 in range(0, n, batch_size):
-            caps = capture(p_l, h[b0 : b0 + batch_size])
+        for bi in range(len(h)):
+            caps = capture(p_l, h[bi])
             for m in names:
                 x = caps[m].astype(jnp.float32).reshape(-1, caps[m].shape[-1])
                 amax = jnp.max(jnp.abs(x), axis=0)
                 absmax[m] = amax if absmax[m] is None else jnp.maximum(absmax[m], amax)
                 mean_acc[m] = mean_acc[m] + jnp.sum(x, axis=0)
             count += caps[names[0]].reshape(-1, caps[names[0]].shape[-1]).shape[0]
-            h_parts.append(run_layer(p_l, h[b0 : b0 + batch_size]))
-        h = jnp.concatenate(h_parts, axis=0)
+            h[bi] = run_layer(p_l, h[bi])
         stats.append(
             {
                 m: {"absmax": absmax[m], "mean": mean_acc[m] / count}

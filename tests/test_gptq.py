@@ -339,3 +339,36 @@ def test_blocked_cholesky_factor_matches_scipy(rng):
     Us = sla.cholesky(Hinv, lower=False)
     np.testing.assert_allclose(U, Us, atol=1e-2 * np.abs(Us).max())
     assert np.allclose(np.triu(U), U)
+
+
+def test_capture_aliases_match_capture_buffers(rng):
+    """capture_aliases must name exactly the keys layer_linear_inputs fills
+    with the same buffer (q/k/v; llama gate/up; falcon-parallel fc1) — the
+    calibration loop accumulates one Hessian per canonical key on the
+    strength of this table."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.models import init_params
+    from llama3_quantization_tpu.models.configs import (
+        TINY_FALCON, TINY_LLAMA, TINY_MIXTRAL, TINY_OPT)
+    from llama3_quantization_tpu.models.transformer import NO_QUANT
+    from llama3_quantization_tpu.quant.calibration import (
+        _layer_slice, capture_aliases, embed_calibration, layer_linear_inputs)
+
+    for cfg in (TINY_LLAMA, TINY_OPT, TINY_FALCON, TINY_MIXTRAL):
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+        h, cos_sin, mask = embed_calibration(params, cfg, toks)
+        p_l = _layer_slice(params["layers"], 0)
+        caps = layer_linear_inputs(p_l, h, cfg, NO_QUANT, cos_sin, mask)
+        aliases = capture_aliases(cfg)
+        for alias, canonical in aliases.items():
+            if alias not in caps:
+                continue  # e.g. no fc1 on llama
+            assert caps[alias] is caps[canonical], (cfg.arch, alias)
+        # and nothing else aliases: every non-alias pair is a distinct buffer
+        keys = [k for k in caps if k not in aliases]
+        for i, a in enumerate(keys):
+            for b in keys[i + 1:]:
+                assert caps[a] is not caps[b], (cfg.arch, a, b)
