@@ -9,6 +9,10 @@ the feature axis, scales sharded congruently), and jitted programs in which
 XLA inserts the all-reduces.
 """
 
+from .calibrate import (  # noqa: F401
+    sharded_gptq_quantize_weight,
+    sharded_hessian_update,
+)
 from .collective_matmul import ag_matmul, rs_matmul  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
 from .pipeline import (  # noqa: F401

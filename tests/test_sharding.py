@@ -521,3 +521,48 @@ def test_ring_attention_grouped_probs_quant_matches_eager():
     with pytest.raises(NotImplementedError, match="multiple of group_size"):
         bad = RuntimeQuantConfig(p=QuantSpec(n_bits=4, group_size=3))
         make_sp_forward(cfg, mesh, rq=bad)(params, toks)
+
+
+def test_sharded_gptq_solve_matches_single_device():
+    """TP-sharded GPTQ (columns split over the mesh, Hessian replicated)
+    must be bit-identical to the single-device solve, and the dp-sharded
+    Hessian accumulation must match the streaming one."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from llama3_quantization_tpu.parallel import (
+        sharded_gptq_quantize_weight, sharded_hessian_update)
+    from llama3_quantization_tpu.quant.gptq import (
+        gptq_quantize_weight, hessian_init, hessian_update)
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.quant.qtensor import dequantize
+
+    rng = np.random.default_rng(0)
+    K, N = 64, 48
+    X = rng.standard_normal((4, 32, K)).astype(np.float32)
+    W = (rng.standard_normal((K, N)) * 0.1).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("tp",))
+
+    # dp-sharded Hessian == streaming Hessian over the same samples
+    hs_seq = hessian_init(K)
+    for i in range(4):
+        hs_seq = hessian_update(hs_seq, jnp.asarray(X[i]))
+    mesh_dp = Mesh(np.array(jax.devices())[:4].reshape(4), ("dp",))
+    hs_sh = sharded_hessian_update(hessian_init(K), jnp.asarray(X), mesh_dp, axis="dp")
+    assert hs_sh.nsamples == hs_seq.nsamples
+    np.testing.assert_allclose(np.asarray(hs_sh.H), np.asarray(hs_seq.H),
+                               rtol=1e-5, atol=1e-5)
+
+    spec = QuantSpec(n_bits=4, group_size=16)
+    qt_ref, err_ref = gptq_quantize_weight(
+        jnp.asarray(W), hs_seq.H, spec, blocksize=16, pack=True)
+    qt_sh, err_sh = sharded_gptq_quantize_weight(
+        jnp.asarray(W), hs_sh.H, spec, mesh, blocksize=16, pack=True)
+    np.testing.assert_array_equal(np.asarray(qt_sh.data), np.asarray(qt_ref.data))
+    np.testing.assert_allclose(np.asarray(qt_sh.scale), np.asarray(qt_ref.scale),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dequantize(qt_sh)), np.asarray(dequantize(qt_ref)), atol=1e-6)
+    np.testing.assert_allclose(float(err_sh), float(err_ref), rtol=1e-4)
