@@ -212,7 +212,11 @@ def main():
     cfg = LLAMA3_8B if cfg_name == "llama3-8b" else TINY_LLAMA
     spec = QuantSpec(n_bits=4, group_size=128 if cfg_name == "llama3-8b" else 32)
     cache_len = int(os.environ.get("L3Q_BENCH_CACHE", 512))
-    decode_steps = int(os.environ.get("L3Q_BENCH_STEPS", 64))
+    # 256 steps per dispatch: at 64 the single host->device dispatch cost
+    # (~0.1 s through the axon tunnel) still ate ~1.7 ms/token; the trace
+    # shows the on-device loop at 9.90 ms/step vs the 9.78 ms bytes bound,
+    # so longer generations ARE the steady state (88.7 vs 86.4 tok/s)
+    decode_steps = int(os.environ.get("L3Q_BENCH_STEPS", 256))
     batch = int(os.environ.get("L3Q_BENCH_BATCH", 1))
 
     log(f"bench: model={cfg_name} backend={backend} W{spec.n_bits} g{spec.group_size}")
