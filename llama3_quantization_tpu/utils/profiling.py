@@ -63,3 +63,76 @@ class Throughput:
         if frac is not None:
             out["speed_of_light_fraction"] = round(frac, 4)
         return out
+
+
+# ---------------------------------------------------------------------------
+# Trace report: per-op device-time table from a jax.profiler trace
+# ---------------------------------------------------------------------------
+
+
+def load_trace_events(trace_dir: str):
+    """Find the newest `*.trace.json.gz` under a jax.profiler log dir (or
+    accept a direct path to one) and return its traceEvents list."""
+    import gzip
+    import json
+    import os
+
+    path = trace_dir
+    if not path.endswith(".json.gz"):
+        cands = []
+        for root, _dirs, files in os.walk(trace_dir):
+            cands += [os.path.join(root, f) for f in files if f.endswith(".trace.json.gz")]
+        if not cands:
+            raise FileNotFoundError(f"no *.trace.json.gz under {trace_dir}")
+        path = max(cands, key=os.path.getmtime)
+    with gzip.open(path) as f:
+        return json.load(f).get("traceEvents", [])
+
+
+def device_op_table(events, top: int = 25, steps: int = 1):
+    """Aggregate device-side complete events by op name.
+
+    Returns rows of (name, count, total_ms, mean_us, share) sorted by
+    total time; `steps` divides totals for per-step numbers. Device pids
+    are identified by their process_name metadata ('/device:...'), so host
+    python frames don't pollute the table."""
+    dev_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and str(e.get("args", {}).get("name", "")).startswith("/device")
+    }
+    agg: dict = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
+            name = e.get("name", "?")
+            tot, cnt = agg.get(name, (0.0, 0))
+            agg[name] = (tot + e["dur"], cnt + 1)
+    total = sum(t for t, _ in agg.values()) or 1.0
+    rows = [
+        (name, cnt, tot / 1e3, tot / max(cnt, 1), tot / total)
+        for name, (tot, cnt) in agg.items()
+    ]
+    rows.sort(key=lambda r: -r[2])
+    return [
+        {
+            "name": name,
+            "count": cnt,
+            "total_ms": round(total_ms, 3),
+            "per_step_us": round(total_ms * 1e3 / steps, 1),
+            "mean_us": round(mean_us, 1),
+            "share": round(share, 4),
+        }
+        for name, cnt, total_ms, mean_us, share in rows[:top]
+    ]
+
+
+def format_op_table(rows) -> str:
+    out = [f"{'total ms':>10} {'per-step us':>12} {'count':>7} {'share':>6}  op"]
+    for r in rows:
+        out.append(
+            f"{r['total_ms']:10.2f} {r['per_step_us']:12.1f} {r['count']:7d} "
+            f"{r['share']:6.1%}  {r['name'][:90]}"
+        )
+    return "\n".join(out)

@@ -264,3 +264,26 @@ def test_hf_loader_falcon_gqa_new_decoder(tmp_path):
     assert "ln2" in params["layers"]  # ln_mlp loaded
     out = forward_logits(params, jax.random.randint(jax.random.PRNGKey(0), (1, 8), 0, cfg.vocab_size), loaded_cfg)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_profile_report_roundtrip(tmp_path):
+    """Capture a tiny jax.profiler trace and aggregate it with the
+    profile_report helpers (device table may be empty on pure-CPU traces;
+    the loader and aggregator must still work)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.utils.profiling import (
+        device_op_table, format_op_table, load_trace_events, profile_trace)
+
+    d = str(tmp_path / "trace")
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    _ = f(x)  # compile outside the trace
+    with profile_trace(d):
+        _ = float(f(x))
+    events = load_trace_events(d)
+    assert events, "trace should contain events"
+    rows = device_op_table(events, top=5, steps=1)
+    table = format_op_table(rows)
+    assert isinstance(table, str) and table.splitlines()
