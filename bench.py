@@ -197,6 +197,72 @@ def omniquant_calib_bench(cfg, spec, cfg_name):
     }))
 
 
+def serving_bench(cfg, spec, cfg_name, backend):
+    """Continuous-batching serving throughput: the ServingEngine under
+    request churn (random prompt/generation lengths, slots rejoined as they
+    free), vs the raw multi-slot decode loop's speed-of-light. Measures
+    what the engine's host loop + prefill joins + per-step dispatch cost
+    on top of the jitted decode step — the reference has no serving at
+    all (SURVEY.md §2.7)."""
+    from llama3_quantization_tpu.models.synthetic import init_quantized_params
+    from llama3_quantization_tpu.serving.engine import ServingEngine
+
+    slots = int(os.environ.get("L3Q_BENCH_SLOTS", 8))
+    max_len = int(os.environ.get("L3Q_BENCH_CACHE", 512))
+    kv_bits = int(os.environ.get("L3Q_BENCH_KV", 8))
+    n_requests = int(os.environ.get("L3Q_BENCH_REQS", 48))
+    head_s8 = os.environ.get("L3Q_BENCH_HEAD", "s8" if backend == "a8" else "bf16") == "s8"
+    on_tpu = jax.devices()[0].platform == "tpu"
+    params = init_quantized_params(
+        cfg, spec, pack=backend != "a8", percol_s8=backend == "a8", head_s8=head_s8,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,  # CPU dot lacks bf16
+    )
+    params = jax.block_until_ready(params)
+    eng = ServingEngine(
+        params, cfg, max_slots=slots, max_len=max_len,
+        quantized_cache=kv_bits if kv_bits < 16 else False,
+        fuse=backend == "a8" and os.environ.get("L3Q_BENCH_FUSE", "1") == "1",
+    )
+    rng = np.random.default_rng(0)
+    lengths = [(int(rng.integers(8, 64)), int(rng.integers(48, 160)))
+               for _ in range(n_requests)]
+
+    def feed(pending):
+        while eng.free and pending:
+            plen, glen = pending.pop()
+            eng.add_request(list(rng.integers(0, cfg.vocab_size, plen)),
+                            max_new_tokens=glen)
+
+    # warmup: compile prefill buckets + the multi-slot decode step
+    warm = [(16, 4), (48, 4)]
+    feed(warm)
+    eng.run(max_steps=8)
+    for rid in list(eng.requests):
+        eng.requests.pop(rid, None)
+
+    pending = list(lengths)
+    feed(pending)
+    produced = 0
+    t0 = time.time()
+    while eng._slot_req:
+        produced += len(eng.step())
+        if eng.free and pending:
+            feed(pending)
+    dt = time.time() - t0
+    tok_s = produced / dt
+    bpt = model_bytes_per_token(cfg, spec, max_len // 2, container_bits=8 if backend == "a8" else None,
+                                head_bits=8 if head_s8 else 16, kv_bits=kv_bits)
+    sol = HBM_GBPS["v5e"] * 1e9 / bpt * slots  # full-slot upper bound
+    log(f"served {n_requests} requests ({produced} tokens) in {dt:.2f}s -> "
+        f"{tok_s:.1f} tok/s (full-slot SoL ~{sol:.0f})")
+    print(json.dumps({
+        "metric": f"serving_tok_s_chip_{cfg_name}_{backend}_slots{slots}",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / sol, 4),
+    }))
+
+
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     from llama3_quantization_tpu.models import LLAMA3_8B, TINY_LLAMA
@@ -229,6 +295,8 @@ def main():
         return gptq_calib_bench(cfg, spec, cfg_name)
     if os.environ.get("L3Q_BENCH_MODE") == "omniquant":
         return omniquant_calib_bench(cfg, spec, cfg_name)
+    if os.environ.get("L3Q_BENCH_MODE") == "serve":
+        return serving_bench(cfg, spec, cfg_name, backend)
 
     t0 = time.time()
     # a8 backend: serving-format per-column symmetric int8 weights (what
