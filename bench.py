@@ -233,10 +233,14 @@ def serving_bench(cfg, spec, cfg_name, backend):
             eng.add_request(list(rng.integers(0, cfg.vocab_size, plen)),
                             max_new_tokens=glen)
 
-    # warmup: compile prefill buckets + the multi-slot decode step
-    warm = [(16, 4), (48, 4)]
+    # k tokens per dispatch (ServingEngine.step_n): the per-step host
+    # round-trip costs more than the 8-slot device step through the
+    # tunnel; finishes are handled at window boundaries
+    step_tokens = int(os.environ.get("L3Q_BENCH_STEPN", 16))
+    # warmup: compile prefill buckets + the k-step decode scan
+    warm = [(16, 2 * step_tokens), (48, 2 * step_tokens)]
     feed(warm)
-    eng.run(max_steps=8)
+    eng.run(max_steps=8, step_tokens=step_tokens)
     for rid in list(eng.requests):
         eng.requests.pop(rid, None)
 
@@ -245,7 +249,10 @@ def serving_bench(cfg, spec, cfg_name, backend):
     produced = 0
     t0 = time.time()
     while eng._slot_req:
-        produced += len(eng.step())
+        if step_tokens > 1:
+            produced += sum(len(v) for v in eng.step_n(step_tokens).values())
+        else:
+            produced += len(eng.step())
         if eng.free and pending:
             feed(pending)
     dt = time.time() - t0

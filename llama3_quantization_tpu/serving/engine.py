@@ -80,6 +80,8 @@ class ServingEngine:
         self._decode = jax.jit(
             partial(decode_step_multi, cfg=cfg, rq=rq, sink_tokens=sink_tokens)
         )
+        self._rq, self._sink_tokens = rq, sink_tokens
+        self._decode_n = None  # built lazily by step_n
         self._prefill = jax.jit(
             partial(decode_step, cfg=cfg, rq=rq, sink_tokens=sink_tokens)
         )
@@ -201,11 +203,86 @@ class ServingEngine:
                 self._finish(req)
         return out
 
+    def step_n(self, k: int) -> Dict[int, List[int]]:
+        """Advance every active sequence up to k tokens in ONE dispatch.
+
+        The per-step host round-trip dominates short steps on remote-
+        attached chips (measured 48 ms/step vs 13.9 ms device time at 8
+        slots through the axon tunnel); a k-step on-device `lax.scan`
+        amortizes it. Finishes (eos / max_new_tokens) are processed at the
+        window boundary: a slot that finishes mid-window simply ignores its
+        trailing tokens, and slot reuse splices a freshly prefilled cache
+        over whatever the dead steps wrote. Greedy and seeded-sampling
+        paths both stay on device (sampling folds the step index into the
+        key)."""
+        if not self._slot_req:
+            return {}
+        jax, jnp = self._jax, self._jnp
+        if self._decode_n is None:
+            from functools import partial as _partial
+
+            from ..models.transformer import decode_step_multi, sample_logits
+
+            cfg, rq, sink = self.cfg, self._rq, self._sink_tokens
+            temp, tk, tp = self.temperature, self.top_k, self.top_p
+
+            @_partial(jax.jit, static_argnames=("k",), donate_argnums=(1,))
+            def decode_n(params, cache, tok0, pos0, key, k):
+                def body(carry, i):
+                    tok, pos, cache = carry
+                    logits, cache = decode_step_multi(
+                        params, cache, tok, pos, cfg=cfg, rq=rq, sink_tokens=sink
+                    )
+                    lg = logits[:, 0, :]
+                    if temp <= 0.0:
+                        nxt = jnp.argmax(lg, axis=-1)
+                    else:
+                        nxt = sample_logits(
+                            lg, jax.random.fold_in(key, i),
+                            temperature=temp, top_k=tk, top_p=tp,
+                        )
+                    nxt = nxt.astype(jnp.int32)
+                    return (nxt[:, None], pos + 1, cache), nxt
+
+                (_, _, cache), toks = jax.lax.scan(
+                    body, (tok0, pos0, cache), jnp.arange(k)
+                )
+                return toks, cache  # toks [k, B]
+
+            self._decode_n = decode_n
+        tok0 = jnp.asarray(self.next_tok[:, None].astype(np.int32))
+        pos0 = jnp.asarray(self.pos.astype(np.int32))
+        self._key, sub = jax.random.split(self._key)
+        toks, self.cache = self._decode_n(
+            self.params, self.cache, tok0, pos0, sub, k
+        )
+        toks = np.asarray(toks)
+        out: Dict[int, List[int]] = {}
+        for slot, rid in list(self._slot_req.items()):
+            req = self.requests[rid]
+            taken: List[int] = []
+            for i in range(k):
+                tok = int(toks[i, slot])
+                req.generated.append(tok)
+                taken.append(tok)
+                self.pos[slot] += 1
+                self.next_tok[slot] = tok
+                if (req.eos_id is not None and tok == req.eos_id) or len(
+                    req.generated
+                ) >= req.max_new_tokens:
+                    self._finish(req)
+                    break
+            out[rid] = taken
+        return out
+
     # ------------------------------------------------------------------
-    def run(self, max_steps: int = 10_000) -> None:
+    def run(self, max_steps: int = 10_000, step_tokens: int = 1) -> None:
         steps = 0
         while self._slot_req and steps < max_steps:
-            self.step()
+            if step_tokens > 1:
+                self.step_n(step_tokens)
+            else:
+                self.step()
             steps += 1
 
     def result(self, rid: int) -> List[int]:

@@ -387,3 +387,44 @@ def test_engine_tp_sharded_uses_flash_kernel(setup):
     finally:
         set_decode_kernel("auto")
         set_decode_mesh(None)
+
+
+def test_step_n_matches_single_steps(setup):
+    """k-token engine steps (one dispatch per k tokens) produce exactly the
+    greedy tokens of k single steps, including mid-window finishes."""
+    cfg, params = setup
+    from llama3_quantization_tpu.serving.engine import ServingEngine
+
+    prompts = [[3, 5, 7], [11, 2], [4, 4, 4, 4, 9]]
+    lens = [7, 3, 10]  # one finishes mid-window at k=4
+
+    # collect results without eviction-on-read interference
+    def run_collect(step_tokens):
+        eng = ServingEngine(params, cfg, max_slots=4, max_len=64)
+        rids = [eng.add_request(p, max_new_tokens=n)
+                for p, n in zip(prompts, lens)]
+        eng.run(max_steps=50, step_tokens=step_tokens)
+        return [list(eng.requests[r].generated) for r in rids]
+
+    single = run_collect(1)
+    multi = run_collect(4)
+    assert single == multi
+    for gen, n in zip(single, lens):
+        assert len(gen) == n
+
+
+def test_step_n_slot_reuse(setup):
+    """A slot freed mid-window by step_n accepts a new request whose
+    prefill splice overwrites the dead window writes."""
+    cfg, params = setup
+    from llama3_quantization_tpu.serving.engine import ServingEngine
+
+    eng = ServingEngine(params, cfg, max_slots=1, max_len=64)
+    r1 = eng.add_request([3, 5, 7], max_new_tokens=3)
+    eng.run(max_steps=10, step_tokens=4)
+    g1 = list(eng.requests[r1].generated)
+    assert len(g1) == 3 and not eng._slot_req
+    r2 = eng.add_request([3, 5, 7], max_new_tokens=3)
+    eng.run(max_steps=10, step_tokens=4)
+    g2 = list(eng.requests[r2].generated)
+    assert g2 == g1  # same prompt, same greedy continuation
