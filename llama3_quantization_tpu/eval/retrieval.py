@@ -43,9 +43,25 @@ def _encode_plain(tok, text):
     except TypeError:
         return tok.encode(text)
 
+# BM25 parameter presets. The reference's first stage is Elasticsearch with
+# Lucene defaults k1=1.2 / b=0.75 (`benchmark_beir.py:348-355`; ES never
+# overrides them), so "es" is the default here — first-stage rankings, and
+# therefore the top-k rerank pools, match the reference's. "anserini" is the
+# tuned preset common in IR literature (k1=0.9, b=0.4), kept as an option.
+BM25_PRESETS = {"es": (1.2, 0.75), "anserini": (0.9, 0.4)}
+
+
 class BM25Index:
-    def __init__(self, corpus: Dict[str, str], k1: float = 0.9, b: float = 0.4):
-        self.k1, self.b = k1, b
+    def __init__(
+        self,
+        corpus: Dict[str, str],
+        k1: float | None = None,
+        b: float | None = None,
+        preset: str = "es",
+    ):
+        pk1, pb = BM25_PRESETS[preset]
+        self.k1 = pk1 if k1 is None else k1
+        self.b = pb if b is None else b
         self.doc_ids = list(corpus.keys())
         self.doc_toks = [_tokenize(corpus[d]) for d in self.doc_ids]
         self.doc_len = np.asarray([len(t) for t in self.doc_toks], dtype=np.float32)

@@ -29,6 +29,36 @@ def test_bm25_ranks_topically():
     assert res.get("d3", 0) > res.get("d4", 0.0)
 
 
+def test_bm25_es_defaults_golden():
+    """Frozen-corpus golden fixture for the ES/Lucene preset (VERDICT #8).
+
+    The reference's first stage is Elasticsearch with Lucene defaults
+    k1=1.2 / b=0.75 (`benchmark_beir.py:348-355`), so those must be the
+    defaults here or the rerank pools diverge. Golden value hand-derived:
+    corpus below has N=5 docs, avgdl=(10+6+7+7+10)/5=8; "cat" appears in
+    d1 (tf=1, dl=10) and d5, so idf=ln(1+(5-2+0.5)/(2+0.5))=ln(2.4) and
+    score(d1) = idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+              = ln(2.4) * 2.2 / 2.425 = 0.7942397...
+    """
+    corpus = dict(CORPUS, d5="a cat and a dog sat together on the mat")
+    idx = BM25Index(corpus)
+    assert (idx.k1, idx.b) == (1.2, 0.75)
+    res = idx.search("cat", top_k=5)
+    assert res["d1"] == pytest.approx(0.7942397, abs=1e-5)
+    # the tuned preset stays available and produces different rankings math
+    anserini = BM25Index(corpus, preset="anserini")
+    assert (anserini.k1, anserini.b) == (0.9, 0.4)
+    assert anserini.search("cat", top_k=5)["d1"] != pytest.approx(res["d1"])
+    # explicit k1/b override beats the preset
+    custom = BM25Index(corpus, k1=2.0)
+    assert (custom.k1, custom.b) == (2.0, 0.75)
+    # NDCG fixture on the frozen corpus: ES-ranked results score perfectly
+    qrels = {"q": {"d1": 2, "d5": 1}}
+    metrics = evaluate_retrieval(qrels, {"q": idx.search("cat sat mat", top_k=5)}, k_values=(5,))
+    assert metrics["NDCG@5"] == pytest.approx(1.0)
+    assert metrics["Recall@5"] == pytest.approx(1.0)
+
+
 def test_bm25_empty_query_terms():
     idx = BM25Index(CORPUS)
     assert idx.search("zzzunknownzzz") == {}
