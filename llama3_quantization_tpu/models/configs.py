@@ -38,8 +38,29 @@ class ModelConfig:
     #: Mixtral-style sparse MoE MLP
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # RoPE frequency scaling (HF `rope_scaling`): None, "linear", or
+    # "llama3" (Llama-3.1 long-context NTK-by-parts). Flattened fields so
+    # the frozen dataclass stays hashable.
+    rope_scaling_type: Optional[str] = None
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_pos: int = 8192
     # numerics
     dtype: str = "bfloat16"
+
+    @property
+    def rope_scaling_(self):
+        """Scaling tuple for rope_cos_sin (None when unscaled)."""
+        if self.rope_scaling_type is None:
+            return None
+        return (
+            self.rope_scaling_type,
+            self.rope_scaling_factor,
+            self.rope_low_freq_factor,
+            self.rope_high_freq_factor,
+            self.rope_original_max_pos,
+        )
 
     @property
     def head_dim_(self) -> int:

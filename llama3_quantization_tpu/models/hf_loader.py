@@ -27,9 +27,23 @@ def config_from_hf(path: str) -> ModelConfig:
     with open(os.path.join(path, "config.json")) as f:
         raw = json.load(f)
     mt = raw.get("model_type", "llama")
+    # HF `rope_scaling` (Llama-3.1 "llama3" NTK-by-parts, or "linear");
+    # ignoring this silently breaks long-context logits parity.
+    rs = raw.get("rope_scaling") or {}
+    rs_kind = rs.get("rope_type", rs.get("type"))
+    if rs_kind == "default":
+        rs_kind = None
+    rope_scaling_fields = dict(
+        rope_scaling_type=rs_kind,
+        rope_scaling_factor=rs.get("factor", 1.0),
+        rope_low_freq_factor=rs.get("low_freq_factor", 1.0),
+        rope_high_freq_factor=rs.get("high_freq_factor", 4.0),
+        rope_original_max_pos=rs.get("original_max_position_embeddings", 8192),
+    )
     if mt == "llama":
         return ModelConfig(
             arch="llama",
+            **rope_scaling_fields,
             vocab_size=raw["vocab_size"],
             hidden_size=raw["hidden_size"],
             intermediate_size=raw["intermediate_size"],
@@ -41,8 +55,33 @@ def config_from_hf(path: str) -> ModelConfig:
             rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
             tie_word_embeddings=raw.get("tie_word_embeddings", False),
         )
+    if mt == "mixtral":
+        return ModelConfig(
+            arch="mixtral",
+            vocab_size=raw["vocab_size"],
+            hidden_size=raw["hidden_size"],
+            intermediate_size=raw["intermediate_size"],
+            num_layers=raw["num_hidden_layers"],
+            num_heads=raw["num_attention_heads"],
+            num_kv_heads=raw.get("num_key_value_heads", raw["num_attention_heads"]),
+            max_position_embeddings=raw.get("max_position_embeddings", 32768),
+            rope_theta=raw.get("rope_theta", 1e6),
+            rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
+            num_experts=raw.get("num_local_experts", 8),
+            num_experts_per_tok=raw.get("num_experts_per_tok", 2),
+            tie_word_embeddings=raw.get("tie_word_embeddings", False),
+        )
     if mt in ("falcon", "RefinedWeb", "RefinedWebModel"):
         n_heads = raw.get("num_attention_heads", raw.get("n_head"))
+        # HF FalconAttention's precedence: `num_kv_heads` only applies under
+        # new_decoder_architecture; otherwise multi_query forces 1 KV head
+        # (the config still serializes num_kv_heads == num_attention_heads).
+        if raw.get("new_decoder_architecture", False):
+            n_kv = raw.get("num_kv_heads") or raw.get("n_head_kv") or n_heads
+        elif raw.get("multi_query", True):
+            n_kv = 1
+        else:
+            n_kv = n_heads
         return ModelConfig(
             arch="falcon",
             vocab_size=raw["vocab_size"],
@@ -50,10 +89,7 @@ def config_from_hf(path: str) -> ModelConfig:
             intermediate_size=4 * raw["hidden_size"],
             num_layers=raw.get("num_hidden_layers", raw.get("n_layer")),
             num_heads=n_heads,
-            num_kv_heads=raw.get(
-                "num_kv_heads",
-                raw.get("n_head_kv", 1 if raw.get("multi_query", True) else n_heads),
-            ),
+            num_kv_heads=n_kv,
             max_position_embeddings=raw.get("max_position_embeddings", 2048),
             rope_theta=raw.get("rope_theta", 10000.0),
             activation="gelu",
@@ -229,6 +265,52 @@ def from_hf_checkpoint(
         return params, cfg
 
     L = cfg.num_layers
+    if cfg.arch == "mixtral":
+        # Llama-style trunk + block_sparse_moe: HF stores the router as
+        # `gate.weight` [E, D] and per-expert w1/w3/w2 Linears; here the
+        # experts stack to [L, E, K, N] (w1=gate, w3=up, w2=down) and the
+        # router lands fp at [L, D, E] — the reference excludes it from
+        # quantization (`quant/omniquant.py:198-206`).
+        layers = {}
+        for ours, (tmpl, tr) in _LLAMA_LAYER.items():
+            if ours in ("gate", "up", "down"):
+                continue
+            stacked = jnp.stack([get(tmpl.format(i=i), tr) for i in range(L)])
+            if "." in ours:
+                top, sub = ours.split(".")
+                layers.setdefault(top, {})[sub] = stacked
+            else:
+                layers.setdefault(ours, {})["w"] = stacked
+        E = cfg.num_experts
+        moe = "model.layers.{i}.block_sparse_moe"
+        layers["router"] = {
+            "w": jnp.stack([get(f"{moe}.gate.weight".format(i=i), True) for i in range(L)])
+        }
+        layers["experts"] = {
+            ours: {
+                "w": jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                get(f"{moe}.experts.{{e}}.{hf}.weight".format(i=i, e=e), True)
+                                for e in range(E)
+                            ]
+                        )
+                        for i in range(L)
+                    ]
+                )
+            }
+            for ours, hf in (("gate", "w1"), ("up", "w3"), ("down", "w2"))
+        }
+        params = {
+            "layers": layers,
+            "embed": get("model.embed_tokens.weight"),
+            "norm": {"w": get("model.norm.weight")},
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = get("lm_head.weight", transpose=True)
+        return params, cfg
+
     table = _LLAMA_LAYER if cfg.arch == "llama" else _OPT_LAYER
 
     layers: Dict[str, Any] = {}

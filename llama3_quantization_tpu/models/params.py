@@ -120,7 +120,7 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> Params:
         "embed": w((cfg.vocab_size, d), scale=0.02),
         "layers": layers,
         "norm": {"w": jnp.ones((d,), dtype)}
-        if cfg.arch == "llama"
+        if cfg.rms_norms
         else {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
     }
     if cfg.arch == "opt":

@@ -99,9 +99,34 @@ def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float) -> 
 # ---------------------------------------------------------------------------
 
 
-def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float, dtype) -> Tuple[jax.Array, jax.Array]:
-    """positions [*, S] -> cos/sin [*, S, head_dim]."""
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float, dtype, scaling=None
+) -> Tuple[jax.Array, jax.Array]:
+    """positions [*, S] -> cos/sin [*, S, head_dim].
+
+    `scaling` is `ModelConfig.rope_scaling_`: None, or a tuple
+    (type, factor, low_freq_factor, high_freq_factor, original_max_pos)
+    implementing HF's `rope_scaling` — "linear" divides all frequencies by
+    `factor`; "llama3" is the Llama-3.1 NTK-by-parts rule (long wavelengths
+    scaled by `factor`, short kept, smooth interpolation between), matching
+    transformers' `_compute_llama3_parameters` so 3.1 checkpoints reproduce
+    HF logits.
+    """
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if scaling is not None:
+        kind, factor, low_ff, high_ff, old_max = scaling
+        if kind == "linear":
+            inv_freq = inv_freq / factor
+        elif kind == "llama3":
+            wavelen = 2 * jnp.pi / inv_freq
+            low_wl, high_wl = old_max / low_ff, old_max / high_ff
+            scaled = jnp.where(wavelen > low_wl, inv_freq / factor, inv_freq)
+            smooth = (old_max / wavelen - low_ff) / (high_ff - low_ff)
+            smoothed = (1 - smooth) * scaled / factor + smooth * scaled
+            medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+            inv_freq = jnp.where(medium, smoothed, scaled)
+        else:
+            raise ValueError(f"unsupported rope scaling type {kind!r}")
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [*, S, D/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
@@ -603,8 +628,11 @@ def embed(params: Params, tokens: jax.Array, cfg: ModelConfig, positions: jax.Ar
 
 
 def final_norm(params: Params, h: jax.Array, cfg: ModelConfig) -> jax.Array:
-    if cfg.arch == "llama":
-        return rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
+    # rms_norms (llama AND mixtral — HF MixtralRMSNorm) vs layer_norm
+    # (opt/falcon); routing by arch=="llama" here silently layer-normed
+    # Mixtral's final hidden states, diverging from HF numerics.
+    if cfg.rms_norms:
+        return rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps, params["norm"].get("b"))
     return layer_norm(h, params["norm"]["w"], params["norm"]["b"], 1e-5)
 
 
@@ -625,7 +653,7 @@ def forward_hidden(
     positions = jnp.arange(s)[None, :]
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
-        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype, cfg.rope_scaling_)
         if cfg.uses_rope
         else None
     )
@@ -721,7 +749,7 @@ def decode_step(
     positions = pos + jnp.arange(s)[None, :]
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
-        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype, cfg.rope_scaling_)
         if cfg.uses_rope
         else None
     )
@@ -762,7 +790,7 @@ def decode_step_multi(
     positions = pos[:, None]  # [B, 1]
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
-        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype, cfg.rope_scaling_)
         if cfg.uses_rope
         else None
     )

@@ -90,7 +90,7 @@ def make_pipeline_forward(
         h = embed(params, tokens, cfg, positions)  # [B, S, D] (replicated)
         h_mb = h.reshape(m, mb, s, -1)
         cos_sin = (
-            rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+            rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype, cfg.rope_scaling_)
             if cfg.uses_rope
             else None
         )

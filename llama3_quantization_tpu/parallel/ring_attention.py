@@ -250,7 +250,7 @@ def make_sp_forward(
         b, s_loc = tokens.shape
         positions = my * s_loc + jnp.arange(s_loc)[None, :]  # absolute
         h = jnp.take(params["embed"], tokens, axis=0, mode="clip")
-        cos_sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+        cos_sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype, cfg.rope_scaling_)
 
         def body(hc, p):
             hc, _ = decoder_layer(

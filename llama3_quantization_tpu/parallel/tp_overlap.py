@@ -98,7 +98,7 @@ def make_tp_overlap_forward(
         h_full = jnp.take(params["embed"], tokens, axis=0, mode="clip")
         h = jax.lax.dynamic_slice_in_dim(h_full, my * s_loc, s_loc, axis=1)
         positions = jnp.arange(s)[None, :]
-        cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, h_full.dtype)
+        cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, h_full.dtype, cfg.rope_scaling_)
         mask = causal_mask(s)
         from ..models.transformer import apply_rope
 

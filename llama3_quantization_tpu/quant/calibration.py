@@ -141,7 +141,7 @@ def embed_calibration(params, cfg: ModelConfig, tokens: jax.Array):
     positions = jnp.arange(s)[None, :]
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
-        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype)
+        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype, cfg.rope_scaling_)
         if cfg.uses_rope
         else None
     )
