@@ -211,7 +211,7 @@ def serving_bench(cfg, spec, cfg_name, backend):
     max_len = int(os.environ.get("L3Q_BENCH_CACHE", 512))
     kv_bits = int(os.environ.get("L3Q_BENCH_KV", 8))
     n_requests = int(os.environ.get("L3Q_BENCH_REQS", 48))
-    head_s8 = os.environ.get("L3Q_BENCH_HEAD", "s8" if backend == "a8" else "bf16") == "s8"
+    head_s8 = os.environ.get("L3Q_BENCH_HEAD", "s8" if backend in ("a8", "s4") else "bf16") == "s8"
     on_tpu = jax.devices()[0].platform == "tpu"
     params = init_quantized_params(
         cfg, spec, pack=backend != "a8", percol_s8=backend == "a8", head_s8=head_s8,
@@ -311,7 +311,7 @@ def main():
     # one s8 MXU dot per linear at HBM speed-of-light
     # default the a8 serving path to the s8 lm_head recode: best-of-5 shows
     # its full ~3% (86.2 vs 83.8 tok/s); L3Q_BENCH_HEAD=bf16 reverts
-    head_s8 = os.environ.get("L3Q_BENCH_HEAD", "s8" if backend == "a8" else "bf16") == "s8"
+    head_s8 = os.environ.get("L3Q_BENCH_HEAD", "s8" if backend in ("a8", "s4") else "bf16") == "s8"
     params = init_quantized_params(
         cfg, spec, pack=backend != "a8", percol_s8=backend == "a8", head_s8=head_s8
     )

@@ -828,6 +828,9 @@ def greedy_generate(
     TPU that dominates; this is the serving-shaped decode).
 
     Returns (tokens [B, n_steps], final cache)."""
+    from ..ops.matmul import prepare_decode_params
+
+    params = prepare_decode_params(params)  # s4: hoist int4 prep off the scan
 
     def body(carry, _):
         tok, pos, cache = carry
@@ -875,6 +878,10 @@ def speculative_generate(
     if first_token.shape[0] != 1:
         raise ValueError("speculative_generate supports batch=1")
     dcfg = draft_cfg or cfg
+    from ..ops.matmul import prepare_decode_params
+
+    params = prepare_decode_params(params)
+    draft_params = prepare_decode_params(draft_params)
 
     def round_body(carry, _):
         tok, pos, cache, dcache = carry
@@ -966,6 +973,9 @@ def sample_generate(
     """Sampled decode loop (temperature / top-k / nucleus), one dispatch
     via `lax.scan` like `greedy_generate`. PRNG key is split per step so
     results are reproducible for a given key."""
+    from ..ops.matmul import prepare_decode_params
+
+    params = prepare_decode_params(params)
 
     def body(carry, _):
         tok, pos, cache, k = carry

@@ -77,10 +77,17 @@ def make_lwc_train_step(
         inputs, targets = tokens[:, :-1], tokens[:, 1:]
         logits = forward_logits(eff, inputs, cfg, rq).astype(jnp.float32)
         if seq_shard:
-            # sequence-parallel constraint on the logits: XLA reshards
-            # (all-gathers) only where attention needs the full axis
+            # vocab-parallel constraint on the logits: matches the Megatron
+            # column-sharded lm_head's natural output sharding, so the CE
+            # reductions (logsumexp, target gather) run as partial sums +
+            # one all-reduce over tp and NOTHING is resharded. The previous
+            # P("dp", "tp", None) (sequence over tp) conflicted with the
+            # head-sharded attention einsums in the backward and forced XLA
+            # into "Involuntary full rematerialization" copies (round-1
+            # MULTICHIP log); sequence parallelism proper is exercised by
+            # the ring-attention leg of dryrun_multichip.
             logits = jax.lax.with_sharding_constraint(
-                logits, NamedSharding(mesh, P("dp", "tp", None))
+                logits, NamedSharding(mesh, P("dp", None, "tp"))
             )
         logz = jax.scipy.special.logsumexp(logits, axis=-1)
         tok = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]

@@ -228,6 +228,10 @@ class ServingEngine:
 
             @_partial(jax.jit, static_argnames=("k",), donate_argnums=(1,))
             def decode_n(params, cache, tok0, pos0, key, k):
+                from ..ops.matmul import prepare_decode_params
+
+                params = prepare_decode_params(params)  # s4: prep off-scan
+
                 def body(carry, i):
                     tok, pos, cache = carry
                     logits, cache = decode_step_multi(
