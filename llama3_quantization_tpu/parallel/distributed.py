@@ -63,6 +63,10 @@ def make_pod_mesh(tp: Optional[int] = None, dp: Optional[int] = None) -> Mesh:
         devices = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(dp // (n_total // n_local) or 1, tp),
             dcn_mesh_shape=(n_total // n_local, 1),
+            # granule = process: dp maps to hosts (the DCN boundary we
+            # schedule around) whether or not the platform reports
+            # slice_index (CPU meshes in the localhost smoke run don't)
+            process_is_granule=True,
         )
     else:
         devices = mesh_utils.create_device_mesh((dp, tp))
