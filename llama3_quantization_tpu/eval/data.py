@@ -81,13 +81,19 @@ class ByteTokenizer:
 
 
 class SyntheticTokenizer:
-    """Deterministic fake corpus tokenizer for tests: hashes words to ids."""
+    """Deterministic fake corpus tokenizer for tests: hashes words to ids.
+
+    Uses crc32 (NOT Python `hash`, which is salted per process) so token
+    ids — and therefore golden PPL/score fixtures — are stable across
+    runs and machines."""
 
     def __init__(self, vocab_size: int = 512):
         self.vocab_size = vocab_size
 
     def encode(self, text: str) -> np.ndarray:
-        ids = [hash(w) % self.vocab_size for w in text.split()]
+        import zlib
+
+        ids = [zlib.crc32(w.encode()) % self.vocab_size for w in text.split()]
         return np.asarray(ids, dtype=np.int32)
 
     def decode(self, ids):

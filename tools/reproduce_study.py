@@ -1,0 +1,175 @@
+"""Deterministic study-table reproduction (golden-number fixtures).
+
+The reference validates itself by reproducing the paper's PPL/accuracy
+tables on real checkpoints (`/root/reference/README.md:43-69`); this
+environment has no weights and no egress, so this tool reproduces the
+SAME table *shape* — every quantization method x {WikiText-2-style PPL,
+CommonSenseQA-style accuracies} — on the tiny model with the vendored
+corpus (`tests/fixtures/wikitext2_slice.txt`) and injected task docs.
+Everything is seeded: the table is bit-stable across runs and machines,
+so `tests/fixtures/golden_study.json` pins the full
+quantize->calibrate->evaluate stack, including `eval/data.py`'s
+detokenizer/join/RNG sampling and the harness prompt pipeline.
+
+Usage:
+    python tools/reproduce_study.py            # print the table
+    python tools/reproduce_study.py --check    # compare vs golden JSON
+    python tools/reproduce_study.py --update   # rewrite golden JSON
+
+For real checkpoints, see docs/RUNBOOK.md (cli.py commands per
+BASELINE.json config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
+GOLDEN = os.path.join(FIXTURES, "golden_study.json")
+CORPUS = os.path.join(FIXTURES, "wikitext2_slice.txt")
+
+#: methods x per-method kwargs sized for the tiny model
+METHODS = {
+    "fp": None,
+    "rtn": {},
+    "gptq": {"blocksize": 32},
+    "awq": {},
+    "smoothquant": {},
+    "omniquant": {"epochs": 1},
+    "hqq": {"iters": 10},
+    # blocksize2=4: the tiny model's 64x64 linears must be divisible by
+    # blocksize2*64 or ICQ skips them (the reference's bnb behavior)
+    "irqlora": {"tau_n": 10, "blocksize2": 4},
+    "mixed": {"blocksize": 32},
+}
+
+SEQLEN = 64
+NSAMPLES_CALIB = 8
+PPL_LIMIT = 24  # windows
+
+# deterministic offline task docs (same shapes as the HF datasets)
+PIQA_DOCS = [
+    {"goal": f"how to {v} a {n}", "sol1": f"use the {a} {t}", "sol2": f"ask a {p}",
+     "label": i % 2}
+    for i, (v, n, a, t, p) in enumerate(
+        [("clean", "window", "soft", "cloth", "neighbour"),
+         ("fix", "chair", "small", "hammer", "carpenter"),
+         ("open", "jar", "rubber", "grip", "friend"),
+         ("plant", "seed", "garden", "trowel", "gardener"),
+         ("wrap", "gift", "bright", "paper", "clerk"),
+         ("store", "rice", "sealed", "jar", "grocer")])
+]
+ARC_DOCS = [
+    {"id": str(i), "question": f"which element has number {i + 1}?",
+     "choices": {"text": ["helium", "hydrogen", "carbon"], "label": ["A", "B", "C"]},
+     "answerKey": "B"}
+    for i in range(5)
+]
+TASK_DATA = {
+    "piqa": {"train": PIQA_DOCS, "validation": PIQA_DOCS},
+    "arc_easy": {"train": ARC_DOCS, "validation": ARC_DOCS, "test": ARC_DOCS},
+}
+
+
+def run_study(methods=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llama3_quantization_tpu.api import quantize
+    from llama3_quantization_tpu.eval.data import SyntheticTokenizer, get_loaders
+    from llama3_quantization_tpu.eval.harness import JAXLM, simple_evaluate
+    from llama3_quantization_tpu.eval.ppl import compute_ppl
+    from llama3_quantization_tpu.models import TINY_LLAMA, init_params
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    tok = SyntheticTokenizer()
+    with open(CORPUS) as f:
+        text = f.read()
+    # reference split discipline: sample calibration from the front half,
+    # evaluate PPL on the back half (datautils.py train/test splits)
+    cut = len(text) // 2
+    trainloader, testenc = get_loaders(
+        "wikitext2", nsamples=NSAMPLES_CALIB, seed=0, seqlen=SEQLEN,
+        tokenizer=tok, train_text=text[:cut], test_text=text[cut:],
+    )
+    calib = np.stack([inp[0] for inp, _ in trainloader])
+
+    class Tok:
+        eot_token_id = 0
+        vocab_size = tok.vocab_size
+
+        def encode(self, s):
+            return tok.encode(s).tolist()
+
+        def decode(self, ids):
+            return tok.decode(ids)
+
+    spec = QuantSpec(n_bits=4, group_size=32)
+    out = {}
+    for method, kwargs in (methods or METHODS).items():
+        if method == "fp":
+            qp = params
+        else:
+            qp = quantize(params, cfg, method=method, spec=spec,
+                          calib_tokens=calib, pack=True, **kwargs)
+        ppl = compute_ppl(qp, cfg, testenc, seqlen=SEQLEN, limit=PPL_LIMIT)
+        lm = JAXLM(qp, cfg, Tok(), batch_size=4, max_length=SEQLEN)
+        res = simple_evaluate(
+            lm, ["piqa", "arc_easy"], num_fewshot=0, bootstrap_iters=2,
+            task_data=TASK_DATA,
+        )["results"]
+        out[method] = {
+            "ppl_wikitext2": round(ppl, 4),
+            "piqa_acc": round(res["piqa"]["acc"], 4),
+            "arc_easy_acc_norm": round(res["arc_easy"]["acc_norm"], 4),
+        }
+        print(f"  {method:<12} ppl={out[method]['ppl_wikitext2']:<10} "
+              f"piqa={out[method]['piqa_acc']} "
+              f"arc={out[method]['arc_easy_acc_norm']}", flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--update", action="store_true")
+    ap.add_argument("--methods", type=str, default=None,
+                    help="comma-separated subset")
+    args = ap.parse_args()
+
+    methods = None
+    if args.methods:
+        methods = {m: METHODS[m] for m in args.methods.split(",")}
+    table = run_study(methods)
+
+    if args.update:
+        with open(GOLDEN, "w") as f:
+            json.dump(table, f, indent=2, sort_keys=True)
+        print(f"wrote {GOLDEN}")
+        return
+    if args.check:
+        with open(GOLDEN) as f:
+            golden = json.load(f)
+        bad = []
+        for m, row in table.items():
+            for k, v in row.items():
+                g = golden[m][k]
+                tol = 2e-3 * max(1.0, abs(g))
+                if abs(v - g) > tol:
+                    bad.append(f"{m}.{k}: got {v}, golden {g}")
+        if bad:
+            raise SystemExit("golden mismatch:\n  " + "\n  ".join(bad))
+        print(f"golden check OK ({len(table)} methods)")
+
+
+if __name__ == "__main__":
+    main()
