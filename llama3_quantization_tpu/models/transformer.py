@@ -253,6 +253,19 @@ def _write_cache(buf: jax.Array, new: jax.Array, pos) -> jax.Array:
     return jax.lax.dynamic_update_slice(buf, new, (0, 0, pos, 0))
 
 
+def _write_cache_stacked(buf: jax.Array, new: jax.Array, layer, pos) -> jax.Array:
+    """Write `new` [B, s, H, D] into the LAYER-STACKED fp cache
+    [L, B, H, T, D] at (layer, pos). Only the token slot is written: with
+    the stacked buffer carried through the decode layer-scan this is an
+    in-place dynamic-update-slice (the xs/ys streaming form copied the
+    whole cache every step — round-1 b8 trace, two ~0.41 ms copies)."""
+    new = jnp.swapaxes(new, 1, 2)  # [B, H, s, D]
+    if getattr(pos, "ndim", 0) == 1:
+        b = buf.shape[1]
+        return buf.at[layer, jnp.arange(b), :, pos, :].set(new[:, :, 0])
+    return jax.lax.dynamic_update_slice(buf, new[None], (layer, 0, 0, pos, 0))
+
+
 #: int8-KV flash-decode kernel switch ("auto" = on TPU when applicable;
 #: "interpret" runs the kernel interpreted for CPU tests; False = XLA
 #: dequant path). The raw pallas_call is not partition-aware (pjit cannot
@@ -288,7 +301,7 @@ def set_decode_mesh(mesh) -> None:
     _DECODE_MESH = mesh
 
 
-def _sharded_decode(fd, b: int, g: int, quantized: bool):
+def _sharded_decode(fd, b: int, g: int, quantized: bool, stacked: bool = False):
     """shard_map-wrap a flash-decode call over the decode mesh. Returns the
     wrapped callable, or None when (b, g) don't divide the mesh axes — the
     caller then takes the eager path rather than risk an unpartitioned
@@ -306,8 +319,11 @@ def _sharded_decode(fd, b: int, g: int, quantized: bool):
     from jax.sharding import PartitionSpec as P
 
     q_spec = P(dpa, None, tpa, None)  # [B, 1, Hq, D]: heads chunk == group chunk
-    kv_spec = P(dpa, tpa, None, None)  # [B, G, T, *]: T (softmax axis) local
+    # [B, G, T, *] — or [L, B, G, T, *] with the layer axis replicated
+    kv_spec = P(None, dpa, tpa, None, None) if stacked else P(dpa, tpa, None, None)
     in_specs = (q_spec,) + (kv_spec,) * (4 if quantized else 2) + (P(dpa, None),)
+    if stacked:
+        in_specs = in_specs + (P(),)  # the scalar layer index, replicated
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
     # metadata; the wrapper has no collectives, so the check adds nothing
     return jax.shard_map(
@@ -325,7 +341,7 @@ def _decode_kernel_ok(rq: RuntimeQuantConfig, cache, s: int) -> bool:
         return False
     if any(sp is not None and sp.enabled for sp in (rq.q, rq.k, rq.v, rq.p)):
         return False
-    kq = cache[0]  # [B, H, T, D] (uint8 = int4-packed codes, D/2)
+    kq = cache[0]  # [B, H, T, D] or stacked [L, B, H, T, D] (uint8 = int4)
     if kq.dtype not in (jnp.int8, jnp.uint8, jnp.bfloat16, jnp.float32):
         return False
     if _DECODE_KERNEL == "interpret":
@@ -336,7 +352,7 @@ def _decode_kernel_ok(rq: RuntimeQuantConfig, cache, s: int) -> bool:
         # cache, where codes-to-MXU beats dequant by +21..48%; True forces
         return False
     d_logical = kq.shape[-1] * (2 if kq.dtype == jnp.uint8 else 1)
-    if d_logical % 128 or kq.shape[2] % 512:
+    if d_logical % 128 or kq.shape[-2] % 512:
         return False
     return jax.default_backend() == "tpu"
 

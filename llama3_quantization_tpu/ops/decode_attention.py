@@ -222,6 +222,148 @@ def flash_decode_gqa_s8(
     return out.reshape(b, 1, hq, d)
 
 
+def _decode_kernel_s8_stacked(
+    lidx_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, o_ref,
+    m_ref, l_ref, acc_ref,
+):
+    """Layer-stacked int8 flash decode: the cache refs carry a leading
+    (block-size-1) layer axis selected by the scalar-prefetched layer
+    index in the BlockSpec index_maps; the body is the per-layer kernel
+    over `.at[0]` sub-refs. This lets the decode layer-scan read the
+    SINGLE stacked cache buffer in place — no per-layer dynamic-slice
+    materialization, no xs/ys cache streaming (the round-1 b8 trace's two
+    ~0.41 ms/step cache copies)."""
+    del lidx_ref  # consumed by the index_maps
+    _decode_kernel_s8(
+        q_ref, kq_ref.at[0], ks_ref.at[0], vq_ref.at[0], vs_ref.at[0],
+        mask_ref, o_ref, m_ref, l_ref, acc_ref,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_t", "interpret"))
+def flash_decode_gqa_s8_stacked(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k_q: jax.Array,  # [L, B, G, T, D] int8 — or uint8 [L, B, G, T, D/2] int4
+    k_s: jax.Array,  # [L, B, G, T, 1]
+    v_q: jax.Array,
+    v_s: jax.Array,
+    mask: jax.Array,  # [B, T]
+    layer,  # scalar int32: which layer's cache to read
+    out_dtype=jnp.bfloat16,
+    block_t: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:  # [B, 1, Hq, D]
+    b, s, hq, d = q.shape
+    assert s == 1, "flash decode is single-token"
+    g, t = k_q.shape[2], k_q.shape[3]
+    dk = k_q.shape[-1]
+    rep = hq // g
+    bt = min(block_t, t)
+    assert t % bt == 0, f"cache len {t} must be a multiple of block {bt}"
+    qg = q.reshape(b, g, rep, d)
+    mask = mask.astype(jnp.float32)
+    ks5 = k_s.reshape(*k_s.shape[:2], g, 1, t)
+    vs5 = v_s.reshape(*v_s.shape[:2], g, 1, t)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid = (b, t // bt)
+    rp = max(rep, 8)
+    kv_spec = pl.BlockSpec((1, 1, g, bt, dk), lambda i, k_, l: (l[0], i, 0, k_, 0))
+    sc_spec = pl.BlockSpec((1, 1, g, 1, bt), lambda i, k_, l: (l[0], i, 0, 0, k_))
+    out = pl.pallas_call(
+        _decode_kernel_s8_stacked,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, g, rep, d), lambda i, k_, l: (i, 0, 0, 0)),
+                kv_spec, sc_spec, kv_spec, sc_spec,
+                pl.BlockSpec((b, bt), lambda i, k_, l: (0, k_)),
+            ],
+            out_specs=pl.BlockSpec((1, g, rep, d), lambda i, k_, l: (i, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((g * rp, 128), jnp.float32),
+                pltpu.VMEM((g * rp, 128), jnp.float32),
+                pltpu.VMEM((g * rp, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, g, rep, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * t * d,
+            bytes_accessed=2 * b * g * t * (d + 4),
+            transcendentals=b * hq * t,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lidx, qg, k_q, ks5, v_q, vs5, mask)
+    return out.reshape(b, 1, hq, d)
+
+
+def _decode_kernel_stacked(
+    lidx_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc_ref
+):
+    del lidx_ref
+    _decode_kernel(
+        q_ref, k_ref.at[0], v_ref.at[0], mask_ref, o_ref, m_ref, l_ref, acc_ref
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+def flash_decode_gqa_stacked(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k: jax.Array,  # [L, B, G, T, D]
+    v: jax.Array,
+    mask: jax.Array,  # [B, T]
+    layer,
+    block_t: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, s, hq, d = q.shape
+    assert s == 1, "flash decode is single-token"
+    g, t = k.shape[2], k.shape[3]
+    rep = hq // g
+    bt = min(block_t, t)
+    assert t % bt == 0, f"cache len {t} must be a multiple of block {bt}"
+    qg = q.reshape(b, g, rep, d)
+    mask = mask.astype(jnp.float32)
+    lidx = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    grid = (b, g, t // bt)
+    rp = max(rep, 8)
+    out = pl.pallas_call(
+        _decode_kernel_stacked,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, rep, d), lambda i, j, k_, l: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 1, bt, d), lambda i, j, k_, l: (l[0], i, j, k_, 0)),
+                pl.BlockSpec((1, 1, 1, bt, d), lambda i, j, k_, l: (l[0], i, j, k_, 0)),
+                pl.BlockSpec((b, bt), lambda i, j, k_, l: (0, k_)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, rep, d), lambda i, j, k_, l: (i, j, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((rp, 128), jnp.float32),
+                pltpu.VMEM((rp, 128), jnp.float32),
+                pltpu.VMEM((rp, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, g, rep, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hq * t * d,
+            bytes_accessed=2 * b * g * t * d * k.dtype.itemsize,
+            transcendentals=b * hq * t,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lidx, qg, k, v, mask)
+    return out.reshape(b, 1, hq, d)
+
+
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
 def flash_decode_gqa(
     q: jax.Array,  # [B, 1, Hq, D]

@@ -121,6 +121,37 @@ def cache_update(
     return kq, ks, vq, vs
 
 
+def cache_update_stacked(stacked, layer, k_new: jax.Array, v_new: jax.Array, pos):
+    """Quantize and write new K/V [B, S, H, D] into the LAYER-STACKED cache
+    [L, B, H, T, *] at (layer, pos). Writes only the token slot(s): inside
+    a decode layer-scan that carries the stacked buffers, this is an
+    in-place dynamic-update-slice — no per-layer cache slice is ever
+    materialized (vs the xs/ys scan streaming that copied the full cache
+    every step, round-1 b8 trace)."""
+    kq, ks, vq, vs = stacked
+    k_new = jnp.swapaxes(k_new, 1, 2)  # [B, H, S, D]
+    v_new = jnp.swapaxes(v_new, 1, 2)
+    if kq.shape[-1] != k_new.shape[-1]:  # int4-packed cache
+        nk, nks = kv4_quantize(k_new)
+        nv, nvs = kv4_quantize(v_new)
+    else:
+        nk, nks = kv_quantize(k_new)
+        nv, nvs = kv_quantize(v_new)
+    if getattr(pos, "ndim", 0) == 1:
+        rows = jnp.arange(kq.shape[1])
+        kq = kq.at[layer, rows, :, pos, :].set(nk[:, :, 0])
+        ks = ks.at[layer, rows, :, pos, :].set(nks[:, :, 0])
+        vq = vq.at[layer, rows, :, pos, :].set(nv[:, :, 0])
+        vs = vs.at[layer, rows, :, pos, :].set(nvs[:, :, 0])
+        return kq, ks, vq, vs
+    idx = (layer, 0, 0, pos, 0)
+    kq = jax.lax.dynamic_update_slice(kq, nk[None], idx)
+    ks = jax.lax.dynamic_update_slice(ks, nks[None], idx)
+    vq = jax.lax.dynamic_update_slice(vq, nv[None], idx)
+    vs = jax.lax.dynamic_update_slice(vs, nvs[None], idx)
+    return kq, ks, vq, vs
+
+
 def cache_read(layer_cache, dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
     """Dequantized full K/V views, heads-major [B, H, T, D]."""
     kq, ks, vq, vs = layer_cache
