@@ -14,6 +14,7 @@ corpus source is available; tests use `SyntheticTokenizer`/synthetic corpora.
 from __future__ import annotations
 
 import random
+import zlib
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -91,8 +92,6 @@ class SyntheticTokenizer:
         self.vocab_size = vocab_size
 
     def encode(self, text: str) -> np.ndarray:
-        import zlib
-
         ids = [zlib.crc32(w.encode()) % self.vocab_size for w in text.split()]
         return np.asarray(ids, dtype=np.int32)
 

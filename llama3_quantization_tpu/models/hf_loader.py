@@ -338,6 +338,90 @@ def from_hf_checkpoint(
     return params, cfg
 
 
+def save_hf_checkpoint(params, cfg: ModelConfig, path: str) -> None:
+    """Write an fp param pytree as a HF-format checkpoint directory
+    (config.json + model.safetensors with transformers' parameter names) —
+    the exact inverse of `from_hf_checkpoint` for the llama/opt families.
+
+    Purpose: round-trip testing of the checkpoint path itself (golden-study
+    HF variant) and interop — a model quantize-dequantized here can be
+    handed back to the reference's `AutoModelForCausalLM` flow (its
+    fake-quant export, `/root/reference/main.py:399-414`)."""
+    from safetensors.numpy import save_file
+
+    if cfg.arch not in ("llama", "opt"):
+        raise NotImplementedError(f"save_hf_checkpoint: arch {cfg.arch}")
+    os.makedirs(path, exist_ok=True)
+    if cfg.arch == "llama":
+        hf_cfg = {
+            "model_type": "llama",
+            "architectures": ["LlamaForCausalLM"],
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "num_key_value_heads": cfg.num_kv_heads,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "rope_theta": cfg.rope_theta,
+            "rms_norm_eps": cfg.rms_norm_eps,
+            "tie_word_embeddings": cfg.tie_word_embeddings,
+            "torch_dtype": "float32",
+        }
+        table = _LLAMA_LAYER
+        embed_key, norm_key = "model.embed_tokens.weight", "model.norm.weight"
+    else:
+        hf_cfg = {
+            "model_type": "opt",
+            "architectures": ["OPTForCausalLM"],
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "ffn_dim": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "do_layer_norm_before": cfg.do_layer_norm_before,
+            "tie_word_embeddings": cfg.tie_word_embeddings,
+            "torch_dtype": "float32",
+        }
+        table = _OPT_LAYER
+        embed_key = "model.decoder.embed_tokens.weight"
+        norm_key = "model.decoder.final_layer_norm.weight"
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+
+    def leaf(entry, ours):
+        if "." in ours:
+            top, sub = ours.split(".")
+            return entry.get(top, {}).get(sub)
+        return entry.get(ours, {}).get("w")
+
+    tensors: Dict[str, np.ndarray] = {}
+    layers = params["layers"]
+    for ours, (tmpl, tr) in table.items():
+        stacked = leaf(layers, ours)
+        if stacked is None:  # optional biases absent in this model
+            continue
+        arr = np.asarray(stacked, dtype=np.float32)
+        for i in range(cfg.num_layers):
+            t = arr[i]
+            tensors[tmpl.format(i=i)] = np.ascontiguousarray(t.T if tr else t)
+    tensors[embed_key] = np.asarray(params["embed"], np.float32)
+    tensors[norm_key] = np.asarray(params["norm"]["w"], np.float32)
+    if cfg.arch == "opt":
+        tensors["model.decoder.embed_positions.weight"] = np.asarray(
+            params["pos_embed"], np.float32
+        )
+        tensors["model.decoder.final_layer_norm.bias"] = np.asarray(
+            params["norm"]["b"], np.float32
+        )
+    if "lm_head" in params and not cfg.tie_word_embeddings:
+        tensors["lm_head.weight"] = np.ascontiguousarray(
+            np.asarray(params["lm_head"], np.float32).T
+        )
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+
+
 def save_checkpoint(params, cfg: ModelConfig, path: str) -> None:
     """Persist a (possibly quantized) param pytree with metadata — the
     framework-native analogue of the reference's `save_pretrained` fake-

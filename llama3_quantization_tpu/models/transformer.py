@@ -357,6 +357,45 @@ def _decode_kernel_ok(rq: RuntimeQuantConfig, cache, s: int) -> bool:
     return jax.default_backend() == "tpu"
 
 
+#: layer-stacked decode-cache switch ("auto" = whenever the flash-decode
+#: kernel serves every layer; False = always the per-layer xs/ys scan,
+#: True behaves like "auto" — the stacked form is never forced where the
+#: kernel cannot read it).
+_STACKED = "auto"
+
+
+def set_stacked_decode(mode) -> None:
+    global _STACKED
+    if mode not in (True, False, "auto"):
+        raise ValueError(mode)
+    _STACKED = mode
+
+
+def _stacked_decode_ok(rq: RuntimeQuantConfig, cache: Dict[str, jax.Array], s: int) -> bool:
+    """Route the decode step through the layer-stacked cache scan?
+
+    The stacked form carries the [L, B, H, T, *] buffers through the layer
+    scan and updates/reads them in place — but only the flash-decode
+    kernels can read a stacked buffer without materializing a per-layer
+    slice (their scalar-prefetched index maps select the layer in the
+    BlockSpec), so this requires `_decode_kernel_ok` for the cache AND,
+    under a decode mesh, that the shapes divide the mesh axes (the
+    per-layer path can fall back to eager; the stacked path cannot)."""
+    if _STACKED is False:
+        return False
+    arrs = tuple(cache[k] for k in sorted(cache.keys()))
+    if not _decode_kernel_ok(rq, arrs, s):
+        return False
+    if _DECODE_MESH is not None:
+        names = set(_DECODE_MESH.axis_names)
+        if "dp" not in names and "tp" not in names:
+            return False
+        b, g = arrs[0].shape[1], arrs[0].shape[2]
+        if b % _DECODE_MESH.shape.get("dp", 1) or g % _DECODE_MESH.shape.get("tp", 1):
+            return False
+    return True
+
+
 def _kernel_mask(mask, b: int, t: int):
     """[s=1, T] / [B, 1, T] additive mask -> finite [B, T] for the kernel."""
     from ..ops.decode_attention import NEG
@@ -377,6 +416,7 @@ def _attn_block(
     kv_cache: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_pos: Optional[jax.Array] = None,
     attn_impl=None,
+    layer_idx=None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     b, s, _ = h.shape
     hd = cfg.head_dim_
@@ -395,6 +435,59 @@ def _attn_block(
         cos, sin = cos_sin
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+    if layer_idx is not None and kv_cache is not None:
+        # LAYER-STACKED cache carried through the decode layer-scan
+        # ([L, B, H, T, *] buffers, updated in place at (layer, pos) and
+        # read in place by the stacked flash-decode kernels' scalar-
+        # prefetched index maps) — no per-layer cache slice is ever
+        # materialized, vs the xs/ys streaming form's two full-cache
+        # copies per step (round-1 b8 trace, ~0.41 ms each). Callers
+        # guarantee `_stacked_decode_ok` held at trace time.
+        if len(kv_cache) == 4:
+            from ..ops.decode_attention import flash_decode_gqa_s8_stacked
+            from ..ops.kvcache import cache_update_stacked
+
+            new_cache = cache_update_stacked(kv_cache, layer_idx, k, v, cache_pos)
+            t_len = new_cache[0].shape[3]
+            fd = partial(
+                flash_decode_gqa_s8_stacked,
+                out_dtype=h.dtype,
+                block_t=1024 if t_len % 1024 == 0 else 512,
+                interpret=_DECODE_KERNEL == "interpret",
+            )
+            quantized = True
+        else:
+            from ..ops.decode_attention import flash_decode_gqa_stacked
+
+            ck, cv = kv_cache
+            ck = _write_cache_stacked(ck, k.astype(ck.dtype), layer_idx, cache_pos)
+            cv = _write_cache_stacked(cv, v.astype(cv.dtype), layer_idx, cache_pos)
+            new_cache = (ck, cv)
+            t_len = ck.shape[3]
+            q = q.astype(ck.dtype)
+            fd = partial(
+                flash_decode_gqa_stacked,
+                block_t=1024 if t_len % 1024 == 0 else 512,
+                interpret=_DECODE_KERNEL == "interpret",
+            )
+            quantized = False
+        if _DECODE_MESH is not None:
+            fd = _sharded_decode(
+                fd, b, new_cache[0].shape[2], quantized=quantized, stacked=True
+            )
+        if fd is None:  # pragma: no cover - guarded by _stacked_decode_ok
+            raise RuntimeError(
+                "stacked decode cache requires the flash-decode kernel; "
+                "shapes do not divide the decode mesh"
+            )
+        attn = fd(q, *new_cache, _kernel_mask(mask, b, t_len), layer_idx).astype(
+            h.dtype
+        )
+        out = qlinear(
+            attn.reshape(b, s, cfg.num_heads * hd),
+            p["o"]["w"], p["o"].get("b"), rq.act,
+        )
+        return out, new_cache
     if kv_cache is not None and len(kv_cache) == 4:
         # int8 quantized ring buffer (ops/kvcache.py), heads-major
         from ..ops.kvcache import cache_read, cache_update
@@ -596,14 +689,19 @@ def decoder_layer(
     kv_cache=None,
     cache_pos=None,
     attn_impl=None,
+    layer_idx=None,
 ):
     """Pre-norm residual layer (`int_llama_layer.py:213-267`,
     `int_opt_layer.py:230-347`), or Falcon's parallel attention+MLP off one
-    shared layernorm (`int_falcon_layer.py:239-317`)."""
+    shared layernorm (`int_falcon_layer.py:239-317`).
+
+    `layer_idx` (traced scalar) marks `kv_cache` as the LAYER-STACKED
+    buffers shared by all layers — see `_attn_block`."""
     if cfg.parallel_block:
         x = _norm(p["ln1"], h, cfg)
         attn_out, new_cache = _attn_block(
-            p, x, cfg, rq, cos_sin, mask, kv_cache, cache_pos, attn_impl
+            p, x, cfg, rq, cos_sin, mask, kv_cache, cache_pos, attn_impl,
+            layer_idx,
         )
         # Falcon-40B new-decoder: the parallel MLP reads its OWN norm
         # (ln_mlp); 7B shares the single input_layernorm
@@ -611,7 +709,8 @@ def decoder_layer(
         return h + attn_out + _mlp_block(p, mlp_x, cfg, rq), new_cache
     attn_in = _norm(p["ln1"], h, cfg)
     attn_out, new_cache = _attn_block(
-        p, attn_in, cfg, rq, cos_sin, mask, kv_cache, cache_pos, attn_impl
+        p, attn_in, cfg, rq, cos_sin, mask, kv_cache, cache_pos, attn_impl,
+        layer_idx,
     )
     h = h + attn_out
     mlp_in = _norm(p["ln2"], h, cfg)
@@ -744,6 +843,59 @@ def _ring_write_and_mask(pos, s, max_len: int, sink: int):
     return write_slot, mask
 
 
+def _decode_layer_scan(
+    params: Params,
+    h: jax.Array,
+    cache: Dict[str, jax.Array],
+    write_slot,
+    mask,
+    cos_sin,
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig,
+    stacked: bool,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Run the decoder layer stack against the KV cache.
+
+    Two forms. Default (`stacked=False`): the cache buffers ride the scan
+    as xs/ys — each layer sees its own [B, H, T, *] slice, any attention
+    path works. Stacked (`stacked=True`, requires `_stacked_decode_ok`):
+    the full [L, B, H, T, *] buffers travel in the CARRY and each layer
+    updates only its token slot in place; the flash-decode kernels read
+    the stacked buffer directly via their layer index_maps. The xs/ys form
+    costs two whole-cache copies per step (slice-out + re-stack; ~0.41 ms
+    each at b8 kv8 on v5e) that the carry form eliminates."""
+    cache_keys = sorted(cache.keys())  # ("k","v") or ("k_q","k_s","v_q","v_s")
+    if stacked:
+
+        def sbody(carry, xs):
+            layer_p, lidx = xs
+            h, new_kv = decoder_layer(
+                layer_p, carry[0], cfg, rq, cos_sin, mask, carry[1:],
+                write_slot, layer_idx=lidx,
+            )
+            return (h, *new_kv), None
+
+        carry, _ = jax.lax.scan(
+            sbody,
+            (h, *(cache[k] for k in cache_keys)),
+            (params["layers"], jnp.arange(cfg.num_layers)),
+        )
+        return carry[0], dict(zip(cache_keys, carry[1:]))
+
+    def body(h, xs):
+        layer_p = xs[0]
+        layer_cache = tuple(xs[1:])
+        h, new_kv = decoder_layer(
+            layer_p, h, cfg, rq, cos_sin, mask, layer_cache, write_slot
+        )
+        return h, new_kv
+
+    h, new_cache = jax.lax.scan(
+        body, h, (params["layers"], *(cache[k] for k in cache_keys))
+    )
+    return h, dict(zip(cache_keys, new_cache))
+
+
 def decode_step(
     params: Params,
     cache: Dict[str, jax.Array],
@@ -770,21 +922,13 @@ def decode_step(
         else None
     )
     write_slot, mask = _ring_write_and_mask(pos, s, max_len, sink_tokens)
-
-    def body(h, xs):
-        layer_p = xs[0]
-        layer_cache = tuple(xs[1:])
-        h, new_kv = decoder_layer(
-            layer_p, h, cfg, rq, cos_sin, mask, layer_cache, write_slot
-        )
-        return h, new_kv
-
-    h, new_cache = jax.lax.scan(
-        body, h, (params["layers"], *(cache[k] for k in cache_keys))
+    h, new_cache = _decode_layer_scan(
+        params, h, cache, write_slot, mask, cos_sin, cfg, rq,
+        stacked=_stacked_decode_ok(rq, cache, s),
     )
     h = final_norm(params, h, cfg)
     logits = lm_head(params, h, cfg)
-    return logits, dict(zip(cache_keys, new_cache))
+    return logits, new_cache
 
 
 def decode_step_multi(
@@ -811,21 +955,13 @@ def decode_step_multi(
         else None
     )
     write_slot, mask = _ring_write_and_mask(pos, 1, max_len, sink_tokens)
-
-    def body(h, xs):
-        layer_p = xs[0]
-        layer_cache = tuple(xs[1:])
-        h, new_kv = decoder_layer(
-            layer_p, h, cfg, rq, cos_sin, mask, layer_cache, write_slot
-        )
-        return h, new_kv
-
-    h, new_cache = jax.lax.scan(
-        body, h, (params["layers"], *(cache[k] for k in cache_keys))
+    h, new_cache = _decode_layer_scan(
+        params, h, cache, write_slot, mask, cos_sin, cfg, rq,
+        stacked=_stacked_decode_ok(rq, cache, 1),
     )
     h = final_norm(params, h, cfg)
     logits = lm_head(params, h, cfg)
-    return logits, dict(zip(cache_keys, new_cache))
+    return logits, new_cache
 
 
 def greedy_generate(

@@ -30,6 +30,15 @@ _BACKEND = "xla"
 
 
 def set_backend(name: str) -> None:
+    """Select the quantized-matmul execution backend.
+
+    The knob is read at TRACE time: jitted functions capture the backend
+    active at their first call, and jax's compilation cache is keyed only
+    on argument shapes — so a decode/serving function traced under one
+    backend keeps that path even if `set_backend` changes afterwards. Set
+    the backend once at startup, before any jitted model call (the CLI and
+    bench do); use the `backend(...)` context manager for scoped switches
+    in tests, where each distinct call signature retraces anyway."""
     global _BACKEND
     if name not in ("xla", "pallas", "a8", "s4"):
         raise ValueError(name)
@@ -68,7 +77,7 @@ def prepare_decode_params(tree):
     from .s4_matmul import prepare_s4
 
     def fix(leaf):
-        if isinstance(leaf, QuantizedTensor) and leaf.bits <= 4:
+        if isinstance(leaf, QuantizedTensor) and leaf.bits <= 4 and leaf.g_idx is None:
             return prepare_s4(leaf)
         return leaf
 
@@ -86,6 +95,11 @@ def qmatmul(x: jax.Array, w, out_dtype=None) -> jax.Array:
 
         return s4w_matmul(x, w, out_dtype=out_dtype)
     if isinstance(w, QuantizedTensor):
+        if w.g_idx is not None:
+            # act-order grouping: non-contiguous column→group map — only the
+            # gather-dequant path understands it
+            wd = dequantize(w)
+            return jnp.matmul(x.astype(wd.dtype), wd).astype(out_dtype or x.dtype)
         if _BACKEND == "s4":
             # true 4-bit HBM bytes via XLA's native int4 MXU path; 8-bit
             # tensors (e.g. the s8 lm_head recode) ride the a8 dot

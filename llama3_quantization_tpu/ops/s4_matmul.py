@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.qtensor import QuantizedTensor
+from .a8_matmul import quantize_activations_s8
 
 #: largest token-batch routed through the block-diagonal decode path; above
 #: it the batched-group formulation is MXU-efficient on its own
@@ -76,7 +77,7 @@ class S4Weight:
     out_dtype: jnp.dtype = jnp.bfloat16
 
 
-def _codes_s4_2d(qt_data, qt, *args):
+def _codes_s4_2d(qt_data, qt):
     if qt.packed:
         from ..quant.pack import unpack_subbyte
 
@@ -121,8 +122,6 @@ def s4w_matmul(x: jax.Array, w: S4Weight, out_dtype=None) -> jax.Array:
     gs = w.group_size or w.k
     g = w.k // gs
     c4, scale, zscale = w.data4, w.scale, w.zscale
-
-    from .a8_matmul import quantize_activations_s8
 
     xq, s_x = quantize_activations_s8(x2d)  # [B, K] s8, [B, 1] f32
 

@@ -408,6 +408,10 @@ def _solve_and_pack(w_kn, H, *, spec, blocksize, sym, actorder, percdamp, pack):
         spec,
         pack=pack,
         out_dtype=w_kn.dtype if jnp.issubdtype(w_kn.dtype, jnp.floating) else jnp.bfloat16,
+        # with act-order + grouping the column→group map follows the
+        # activation-order permutation (reference `gptq.py:216-219`); the
+        # contiguous map is the identity-by-construction otherwise
+        g_idx=g_idx if (actorder and spec.group_size) else None,
     )
     return qt, err
 
@@ -424,24 +428,15 @@ def gptq_quantize_weight(
     """GPTQ-quantize a framework-layout weight; returns (qtensor, error).
 
     With actorder the codes are returned in original column order (the
-    permutation is only internal), so the packed format stays contiguous and
-    kernels need no g_idx gather — equivalent math, TPU-friendlier storage
-    than AutoGPTQ's permuted `g_idx` layout.
-
-    Note: with `actorder=True` and grouping, group membership follows the
-    *permuted* order like the reference; we materialize per-column scales
-    via g_idx to refold them into contiguous groups only when group
-    boundaries survive the permutation — otherwise we keep per-column
-    params. For simplicity and parity, actorder+grouping stores scales per
-    contiguous group of the permuted order gathered back per column and
-    re-grouped by majority; use actorder=False (reference default) for
-    grouped runs.
+    permutation is only internal). Ungrouped actorder needs no extra state
+    (per-matrix params are order-independent); actorder WITH grouping
+    follows the reference exactly — group membership tracks the *permuted*
+    column order, carried as `QuantizedTensor.g_idx` (AutoGPTQ's permuted
+    `g_idx` storage, `/root/reference/gptq.py:153-156,188-195,216-219`).
+    g_idx tensors dequantize through the gather path and ride the XLA
+    dequant matmul (the packed/a8/s4 kernels require contiguous groups) —
+    use actorder=False (the study default) when serving throughput matters.
     """
-    if actorder and spec.group_size:
-        raise NotImplementedError(
-            "actorder with grouping stores permuted groups; run actorder=False "
-            "(the reference study's configuration) or ungrouped."
-        )
     if spec.n_bits > 8:
         # codes live in int8 containers; 9-15-bit grids would wrap silently
         raise NotImplementedError(

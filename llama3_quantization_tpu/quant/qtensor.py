@@ -26,7 +26,7 @@ from .quantizer import QuantSpec, minmax_scale_zp
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["data", "scale", "zero"],
+    data_fields=["data", "scale", "zero", "g_idx"],
     meta_fields=["bits", "group_size", "sym", "k", "n", "packed", "out_dtype"],
 )
 @dataclasses.dataclass
@@ -39,6 +39,13 @@ class QuantizedTensor:
            codes are then signed offsets around 0 stored biased by qmax/2…
            we keep the reference convention: unsigned codes + zero point;
            `zero=None` means codes are signed int8 in [qmin, qmax]).
+    g_idx: optional `[K]` int32 column→group map (GPTQ act-order with
+           grouping: group membership follows the activation-order
+           permutation, so it is not `k // group_size` — AutoGPTQ's
+           permuted-`g_idx` storage, `/root/reference/gptq.py:216-219`).
+           None means contiguous groups. Tensors carrying a g_idx ride the
+           XLA dequant path (the packed/a8/s4 kernels require contiguous
+           groups).
     """
 
     data: jax.Array
@@ -51,6 +58,7 @@ class QuantizedTensor:
     n: int = 0
     packed: bool = False
     out_dtype: jnp.dtype = jnp.bfloat16
+    g_idx: Optional[jax.Array] = None
 
     @property
     def shape(self):
@@ -77,6 +85,14 @@ def dequantize(qt: QuantizedTensor, dtype=None) -> jax.Array:
     """Codes -> real weights `[K, N]`: `(q - zero) * scale` per group."""
     dtype = dtype or qt.out_dtype
     q = _codes(qt)
+    if qt.g_idx is not None:
+        # act-order grouping: per-column params gathered by the column→group
+        # map (matches AutoGPTQ's g_idx dequant)
+        qf = q.astype(jnp.float32)
+        scale_pc = qt.scale[qt.g_idx]  # [K, N]
+        if qt.zero is not None:
+            qf = qf - qt.zero[qt.g_idx]
+        return (qf * scale_pc).astype(dtype)
     gs = qt.group_size or qt.k
     qg = q.reshape(qt.num_groups, gs, qt.n).astype(jnp.float32)
     if qt.zero is not None:
@@ -177,10 +193,12 @@ def from_codes(
     spec: QuantSpec,
     pack: bool = False,
     out_dtype=jnp.bfloat16,
+    g_idx: Optional[jax.Array] = None,
 ) -> QuantizedTensor:
     """Build a QuantizedTensor from already-computed codes `[K, N]` and
     grouped params `[G, N]` (used by GPTQ/AWQ/HQQ which find their own
-    scales)."""
+    scales). `g_idx` ([K] int32) carries a non-contiguous column→group map
+    (GPTQ act-order with grouping)."""
     k, n = codes.shape
     if pack and zero is not None and spec.n_bits in (2, 3, 4):
         data = pack_subbyte(codes.astype(jnp.uint8), spec.n_bits, spec.group_size)
@@ -204,4 +222,5 @@ def from_codes(
         n=n,
         packed=packed,
         out_dtype=out_dtype,
+        g_idx=None if g_idx is None else g_idx.astype(jnp.int32),
     )

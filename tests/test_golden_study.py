@@ -33,6 +33,26 @@ def test_study_table_matches_golden():
             )
 
 
+def test_study_via_hf_checkpoint_matches_golden(tmp_path):
+    """The same golden numbers through the HF checkpoint path: save the
+    tiny model in HF format (config.json + model.safetensors), reload via
+    `from_hf_checkpoint`, quantize, evaluate. fp32 round-trips bit-exactly,
+    so any divergence is a save/load bug — this leaves the real-weights
+    RUNBOOK with only the external checkpoint files themselves untested."""
+    import reproduce_study
+
+    with open(reproduce_study.GOLDEN) as f:
+        golden = json.load(f)
+    subset = {m: reproduce_study.METHODS[m] for m in ("fp", "rtn", "gptq")}
+    table = reproduce_study.run_study(subset, via_hf_checkpoint=str(tmp_path))
+    for m, row in table.items():
+        for k, v in row.items():
+            g = golden[m][k]
+            assert abs(v - g) <= 2e-3 * max(1.0, abs(g)), (
+                f"{m}.{k}: got {v}, golden {g}"
+            )
+
+
 def test_quantization_perturbs_ppl():
     """Every method must actually change the model (guards against the
     silent-skip failure mode: irqlora on non-blockable shapes was a no-op

@@ -91,6 +91,95 @@ def test_gptq_solver_matches_numpy_oracle(rng, gs):
     assert abs(float(loss) - loss_np) / max(loss_np, 1e-9) < 0.05
 
 
+def np_gptq_actorder(W, H, n_bits, group_size, percdamp=0.01):
+    """Oracle for act-order + grouping (`/root/reference/gptq.py:153-156,
+    188-195,216-219`): permute columns by descending diag(H), run the
+    standard loop over permuted order (groups follow the permutation),
+    un-permute Q and g_idx at the end. Scales stay in permuted-group order."""
+    perm = np.argsort(-np.diag(H), kind="stable")
+    invperm = np.argsort(perm)
+    Q, scales, zeros, loss = np_gptq(W[:, perm], H[perm][:, perm], n_bits, group_size, percdamp)
+    K = W.shape[1]
+    g_idx = (np.arange(K) // group_size)[invperm]
+    return Q[:, invperm], scales, zeros, g_idx, loss
+
+
+def test_gptq_actorder_grouped_matches_numpy_oracle(rng):
+    """actorder=True with grouping: codes come back in original column
+    order, scales per PERMUTED group, and g_idx maps each original column
+    to its permuted group (the reference's AutoGPTQ-style storage)."""
+    R, K, gs = 24, 64, 16
+    X = rng.standard_normal((256, K)).astype(np.float32)
+    # skew the column energies so the act-order permutation is non-trivial
+    X *= np.logspace(0, 1.5, K).astype(np.float32)[rng.permutation(K)]
+    H = (2 / 256) * X.T @ X
+    W = rng.standard_normal((R, K)).astype(np.float32)
+    codes, scales, zeros, g_idx, loss = gptq_solve(
+        jnp.asarray(W), jnp.asarray(H), n_bits=4, group_size=gs, blocksize=16,
+        actorder=True,
+    )
+    Q_np, s_np, z_np, g_np, loss_np = np_gptq_actorder(W, H, 4, gs)
+    np.testing.assert_array_equal(np.asarray(g_idx), g_np)
+    agree = (np.asarray(codes) == Q_np).mean()
+    assert agree > 0.99, f"only {agree:.3f} of codes agree"
+    np.testing.assert_allclose(np.asarray(scales), s_np, rtol=1e-4, atol=1e-6)
+    assert abs(float(loss) - loss_np) / max(loss_np, 1e-9) < 0.05
+
+
+def test_gptq_actorder_grouped_dequant_and_matmul(rng):
+    """gptq_quantize_weight(actorder, grouped) stores g_idx; dequantize
+    gathers per-column params, and qmatmul routes to the dequant path with
+    identical results (packed and unpacked storage)."""
+    from llama3_quantization_tpu.ops.matmul import backend, qmatmul
+
+    R, K, gs = 16, 64, 16
+    X = rng.standard_normal((128, K)).astype(np.float32)
+    X *= np.logspace(0, 1, K).astype(np.float32)[rng.permutation(K)]
+    H = (2 / 128) * X.T @ X
+    W = rng.standard_normal((R, K)).astype(np.float32)
+    spec = QuantSpec(n_bits=4, group_size=gs)
+    for pack in (False, True):
+        qt, _ = gptq_quantize_weight(
+            jnp.asarray(W.T), jnp.asarray(H), spec, blocksize=16, actorder=True,
+            pack=pack,
+        )
+        assert qt.g_idx is not None
+        Wq = np.asarray(dequantize(qt, jnp.float32))  # [K, R]
+        # oracle dequant: scale/zero gathered per column by g_idx
+        Q_np, s_np, z_np, g_np, _ = np_gptq_actorder(W, H, 4, gs)
+        W_ref = (Q_np - z_np[:, g_np]) * s_np[:, g_np]  # [R, K]
+        agree = np.isclose(Wq.T, W_ref, rtol=1e-4, atol=1e-5).mean()
+        assert agree > 0.99, f"pack={pack}: only {agree:.3f} close"
+        x = jnp.asarray(rng.standard_normal((3, K)).astype(np.float32))
+        y_ref = np.asarray(x) @ Wq
+        for be in ("xla", "a8", "s4", "pallas"):
+            with backend(be):
+                y = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32))
+            np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_gptq_actorder_grouped_beats_actorder_off(rng):
+    """On a Hessian with strongly skewed column energies, quantizing the
+    high-energy columns first (act-order) lowers the proxy loss
+    E|x(W-Wq)|^2 vs natural order — the reason the flag exists."""
+    R, K, T, gs = 32, 128, 1024, 32
+    base = rng.standard_normal((T, 16)).astype(np.float32)
+    mix = rng.standard_normal((16, K)).astype(np.float32)
+    X = base @ mix + 0.05 * rng.standard_normal((T, K)).astype(np.float32)
+    X *= np.logspace(0, 2, K).astype(np.float32)[rng.permutation(K)]
+    H = (2 / T) * X.T @ X
+    W = rng.standard_normal((R, K)).astype(np.float32)
+    spec = QuantSpec(n_bits=2, group_size=gs)
+    errs = {}
+    for actorder in (False, True):
+        qt, _ = gptq_quantize_weight(
+            jnp.asarray(W.T), jnp.asarray(H), spec, blocksize=32, actorder=actorder
+        )
+        Wq = np.asarray(dequantize(qt, jnp.float32)).T
+        errs[actorder] = np.mean((X @ (W - Wq).T) ** 2)
+    assert errs[True] < errs[False], errs
+
+
 def test_gptq_beats_rtn_on_correlated_inputs(rng):
     """The whole point of GPTQ: on correlated activations, proxy loss
     E|x(W-Wq)|^2 is lower than RTN's."""

@@ -77,7 +77,12 @@ TASK_DATA = {
 }
 
 
-def run_study(methods=None):
+def run_study(methods=None, via_hf_checkpoint=None):
+    """`via_hf_checkpoint`: a directory path — the tiny model is first
+    SAVED as a HF-format checkpoint there and re-loaded through
+    `from_hf_checkpoint` before quantization, so the study numbers also
+    pin the checkpoint save/load path (fp32 round-trips bit-exactly: the
+    goldens must match either way)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -91,6 +96,14 @@ def run_study(methods=None):
 
     cfg = TINY_LLAMA
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    if via_hf_checkpoint:
+        from llama3_quantization_tpu.models.hf_loader import (
+            from_hf_checkpoint,
+            save_hf_checkpoint,
+        )
+
+        save_hf_checkpoint(params, cfg, via_hf_checkpoint)
+        params, cfg = from_hf_checkpoint(via_hf_checkpoint, dtype=jnp.float32)
     tok = SyntheticTokenizer()
     with open(CORPUS) as f:
         text = f.read()
