@@ -34,6 +34,23 @@ def log(*a):
 HBM_GBPS = {"v5e": 819.0, "v5": 819.0}
 
 
+def baseline_ratio(metric: str, value: float, unit: str) -> float:
+    """Round-over-round regression ratio from BENCH_BASELINES.json: for
+    time metrics (lower better) baseline/value, for throughput value/
+    baseline — a regression reads as < 1 either way. 0.0 when no baseline
+    is recorded for the metric."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINES.json")
+    try:
+        with open(path) as f:
+            baselines = json.load(f)
+    except OSError:
+        return 0.0
+    base = baselines.get(metric)
+    if not base or not value:
+        return 0.0
+    return base / value if unit == "min" else value / base
+
+
 def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None,
                           head_bits: int = 16, kv_bits: int = 16) -> float:
     """HBM bytes touched per decode step: packed decoder weights + scales +
@@ -145,11 +162,12 @@ def gptq_calib_bench(cfg, spec, cfg_name):
     model_min = layer_s * full_layers / 60.0
     log(f"steady-state: {layer_s:.2f}s/layer -> {model_min:.1f} min for "
         f"{full_layers} layers ({n}x{seq} calib tokens)")
+    metric = f"gptq_calib_min_{cfg_name}"
     print(json.dumps({
-        "metric": f"gptq_calib_min_{cfg_name}",
+        "metric": metric,
         "value": round(model_min, 2),
         "unit": "min",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(baseline_ratio(metric, model_min, "min"), 4),
     }))
 
 
@@ -189,11 +207,12 @@ def omniquant_calib_bench(cfg, spec, cfg_name):
     model_min = layer_s * full_layers / 60.0
     log(f"steady-state: {layer_s:.2f}s/layer -> {model_min:.1f} min for "
         f"{full_layers} layers ({epochs} epochs, {n}x{seq}, let={let})")
+    metric = f"omniquant_calib_min_{cfg_name}"
     print(json.dumps({
-        "metric": f"omniquant_calib_min_{cfg_name}",
+        "metric": metric,
         "value": round(model_min, 2),
         "unit": "min",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(baseline_ratio(metric, model_min, "min"), 4),
     }))
 
 
@@ -262,11 +281,15 @@ def serving_bench(cfg, spec, cfg_name, backend):
     sol = HBM_GBPS["v5e"] * 1e9 / bpt * slots  # full-slot upper bound
     log(f"served {n_requests} requests ({produced} tokens) in {dt:.2f}s -> "
         f"{tok_s:.1f} tok/s (full-slot SoL ~{sol:.0f})")
+    metric = f"serving_tok_s_chip_{cfg_name}_{backend}_slots{slots}"
+    base = baseline_ratio(metric, tok_s, "tok/s")
     print(json.dumps({
-        "metric": f"serving_tok_s_chip_{cfg_name}_{backend}_slots{slots}",
+        "metric": metric,
         "value": round(tok_s, 1),
         "unit": "tok/s",
-        "vs_baseline": round(tok_s / sol, 4),
+        # round-over-round target when recorded (regression < 1); the
+        # full-slot SoL fraction stays in the stderr log line above
+        "vs_baseline": round(base if base else tok_s / sol, 4),
     }))
 
 

@@ -131,3 +131,63 @@ def test_s4_generate_end_to_end():
     # s8 activation quantization may flip near-tie argmaxes on random tiny
     # weights; require the large majority of steps to agree
     assert (t_s4 == t_xla).mean() >= 0.75
+
+
+# ---------------------------------------------------------------------------
+# s4 under the mesh (tensor parallel)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from llama3_quantization_tpu.parallel import make_mesh
+
+    assert len(jax.devices()) == 8, "tests expect the 8-device CPU mesh"
+    return make_mesh(dp=2, tp=4)
+
+
+def test_s4_sharded_forward_matches_single_device(mesh):
+    """Megatron-sharded packed weights under backend='s4': the in-jit
+    prepare_s4 (container -> int4) runs on the tp shards and the sharded
+    forward reproduces the single-device s4 result."""
+    from llama3_quantization_tpu.models import TINY_LLAMA, init_params, quantize_model_rtn
+    from llama3_quantization_tpu.models.transformer import forward_logits
+    from llama3_quantization_tpu.parallel import make_sharded_forward, shard_params
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=4, group_size=16), pack=True)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, cfg.vocab_size)
+    with mm.backend("s4"):
+        ref = forward_logits(qp, toks, cfg)
+        sharded = shard_params(qp, mesh, cfg)
+        out = make_sharded_forward(cfg, mesh)(sharded, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_s4_sharded_generate_matches_single_device(mesh):
+    """Sharded greedy decode under backend='s4' (prepare_decode_params
+    builds S4Weight leaves inside the sharded jit) emits the same tokens
+    as the single-device s4 decode."""
+    from llama3_quantization_tpu.models import TINY_LLAMA
+    from llama3_quantization_tpu.models.synthetic import init_quantized_params
+    from llama3_quantization_tpu.models.transformer import greedy_generate, init_kv_cache
+    from llama3_quantization_tpu.parallel import shard_params
+
+    cfg = TINY_LLAMA
+    spec = QuantSpec(n_bits=4, group_size=16)
+    params = init_quantized_params(cfg, spec, pack=True, dtype=jnp.float32)
+    tok = jnp.zeros((2, 1), jnp.int32)
+
+    def run(p):
+        cache = init_kv_cache(cfg, 2, 32)
+        with mm.backend("s4"):
+            toks, _ = jax.jit(
+                lambda p, c, t: greedy_generate(p, c, t, jnp.int32(0), 8, cfg)
+            )(p, cache, tok)
+        return np.asarray(toks)
+
+    ref = run(params)
+    sharded = shard_params(params, mesh, cfg)
+    out = run(sharded)
+    np.testing.assert_array_equal(ref, out)
