@@ -230,17 +230,21 @@ def serving_bench(cfg, spec, cfg_name, backend):
     max_len = int(os.environ.get("L3Q_BENCH_CACHE", 512))
     kv_bits = int(os.environ.get("L3Q_BENCH_KV", 8))
     n_requests = int(os.environ.get("L3Q_BENCH_REQS", 48))
-    head_s8 = os.environ.get("L3Q_BENCH_HEAD", "s8" if backend in ("a8", "s4") else "bf16") == "s8"
+    head = os.environ.get(
+        "L3Q_BENCH_HEAD", {"a8": "s8", "s4": "s4"}.get(backend, "bf16")
+    )
+    head_bits = {"bf16": 16, "s8": 8, "s4": 4}[head]
     on_tpu = jax.devices()[0].platform == "tpu"
     params = init_quantized_params(
-        cfg, spec, pack=backend != "a8", percol_s8=backend == "a8", head_s8=head_s8,
+        cfg, spec, pack=backend != "a8", percol_s8=backend == "a8",
+        head_s8=head == "s8", head_s4=head == "s4",
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,  # CPU dot lacks bf16
     )
     params = jax.block_until_ready(params)
     eng = ServingEngine(
         params, cfg, max_slots=slots, max_len=max_len,
         quantized_cache=kv_bits if kv_bits < 16 else False,
-        fuse=backend == "a8" and os.environ.get("L3Q_BENCH_FUSE", "1") == "1",
+        fuse=backend in ("a8", "s4") and os.environ.get("L3Q_BENCH_FUSE", "1") == "1",
     )
     rng = np.random.default_rng(0)
     lengths = [(int(rng.integers(8, 64)), int(rng.integers(48, 160)))
@@ -277,7 +281,7 @@ def serving_bench(cfg, spec, cfg_name, backend):
     dt = time.time() - t0
     tok_s = produced / dt
     bpt = model_bytes_per_token(cfg, spec, max_len // 2, container_bits=8 if backend == "a8" else None,
-                                head_bits=8 if head_s8 else 16, kv_bits=kv_bits)
+                                head_bits=head_bits, kv_bits=kv_bits)
     sol = HBM_GBPS["v5e"] * 1e9 / bpt * slots  # full-slot upper bound
     log(f"served {n_requests} requests ({produced} tokens) in {dt:.2f}s -> "
         f"{tok_s:.1f} tok/s (full-slot SoL ~{sol:.0f})")
@@ -334,9 +338,16 @@ def main():
     # one s8 MXU dot per linear at HBM speed-of-light
     # default the a8 serving path to the s8 lm_head recode: best-of-5 shows
     # its full ~3% (86.2 vs 83.8 tok/s); L3Q_BENCH_HEAD=bf16 reverts
-    head_s8 = os.environ.get("L3Q_BENCH_HEAD", "s8" if backend in ("a8", "s4") else "bf16") == "s8"
+    # head format: s8 recode for a8 (bytes halved), s4 recode for s4 (the
+    # head matvec is element-rate-bound at ~456 Ge/s — int4 elements double
+    # the byte rate AND halve the bytes again); L3Q_BENCH_HEAD overrides
+    head = os.environ.get(
+        "L3Q_BENCH_HEAD", {"a8": "s8", "s4": "s4"}.get(backend, "bf16")
+    )
+    head_bits = {"bf16": 16, "s8": 8, "s4": 4}[head]
     params = init_quantized_params(
-        cfg, spec, pack=backend != "a8", percol_s8=backend == "a8", head_s8=head_s8
+        cfg, spec, pack=backend != "a8", percol_s8=backend == "a8",
+        head_s8=head == "s8", head_s4=head == "s4",
     )
     if os.environ.get("L3Q_BENCH_MODE") == "prefill":
         # no QKV/gate-up fusion here: measured -2.3% at S=2048 (11892 vs
@@ -345,9 +356,10 @@ def main():
         params = jax.block_until_ready(params)
         log(f"params built in {time.time()-t0:.1f}s")
         return prefill_bench(cfg, params, cfg_name, backend)
-    if backend == "a8" and os.environ.get("L3Q_BENCH_FUSE", "1") == "1":
+    if backend in ("a8", "s4") and os.environ.get("L3Q_BENCH_FUSE", "1") == "1":
         # horizontal QKV / gate+up fusion: 7 -> 5 weight dots per layer and
-        # 2 fewer per-token activation quantizations (numerically exact)
+        # 2 fewer per-token activation quantizations (numerically exact —
+        # per-column scales and grouped [G, N] scales both concat along N)
         from llama3_quantization_tpu.quant.serving import fuse_for_decode
 
         params = fuse_for_decode(params, cfg)
@@ -441,7 +453,7 @@ def main():
 
     if cfg_name == "llama3-8b":
         container = 8 if backend == "a8" else None
-        hb = 8 if head_s8 else 16
+        hb = head_bits
         bpt = model_bytes_per_token(cfg, spec, 0, container_bits=container, head_bits=hb)
         kv_bytes = (
             model_bytes_per_token(cfg, spec, cache_len, container_bits=container,

@@ -69,6 +69,7 @@ def _rand_qtensor(
 def init_quantized_params(
     cfg: ModelConfig, spec: QuantSpec, key=None, pack: bool = True,
     dtype=jnp.bfloat16, percol_s8: bool = False, head_s8: bool = False,
+    head_s4: bool = False,
 ):
     """Random params with all decoder linears already real-quantized.
 
@@ -78,12 +79,13 @@ def init_quantized_params(
     format per-column symmetric int8 weights directly.
     """
     key = key if key is not None else jax.random.PRNGKey(0)
-    return _init_jit(cfg, spec, key, pack, jnp.dtype(dtype), percol_s8, head_s8)
+    return _init_jit(cfg, spec, key, pack, jnp.dtype(dtype), percol_s8, head_s8, head_s4)
 
 
-@partial(jax.jit, static_argnames=("cfg", "spec", "pack", "dtype", "percol_s8", "head_s8"))
+@partial(jax.jit, static_argnames=("cfg", "spec", "pack", "dtype", "percol_s8", "head_s8",
+                                   "head_s4"))
 def _init_jit(cfg: ModelConfig, spec: QuantSpec, key, pack: bool, dtype, percol_s8=False,
-              head_s8=False):
+              head_s8=False, head_s4=False):
     d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim_
     L = cfg.num_layers
     shapes = {
@@ -122,10 +124,11 @@ def _init_jit(cfg: ModelConfig, spec: QuantSpec, key, pack: bool, dtype, percol_
             jax.random.normal(keys[-2], (cfg.max_position_embeddings + 2, d), dtype) * 0.02
         )
     if not cfg.tie_word_embeddings:
-        if head_s8:
-            from ..quant.serving import recode_head_s8
+        if head_s8 or head_s4:
+            from ..quant.serving import recode_head_s4, recode_head_s8
 
-            params["lm_head"] = recode_head_s8(
+            recode = recode_head_s4 if head_s4 else recode_head_s8
+            params["lm_head"] = recode(
                 jax.random.normal(keys[-3], (d, cfg.vocab_size), jnp.float32) * 0.02
             )
         else:

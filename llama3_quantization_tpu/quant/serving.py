@@ -59,19 +59,45 @@ def recode_head_s8(w):
     )
 
 
+def recode_head_s4(w):
+    """Full-precision lm_head [d, vocab] -> per-column symmetric int4 codes
+    (the s4 backend's head: true 4-bit HBM bytes after the in-jit
+    `prepare_s4` conversion, quartering the bf16 head's ~12% decode-byte
+    share at 8B). Coarser than the s8 recode (~1.7% RMS of column absmax vs
+    ~0.23%) — an opt-in throughput format, like the reference's most
+    aggressive weight settings."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+    s = jnp.clip(absmax / 7.0, 1e-12, None)
+    c4 = jnp.clip(jnp.round(wf / s), -7, 7).astype(jnp.int8)
+    out_dtype = w.dtype if jnp.issubdtype(w.dtype, jnp.floating) else jnp.bfloat16
+    return QuantizedTensor(
+        data=c4, scale=s, zero=None, bits=4, group_size=None, sym=True,
+        k=w.shape[0], n=w.shape[1], packed=False, out_dtype=out_dtype,
+    )
+
+
 def _concat_qt(qts):
-    """Concat per-column containers along N (stacked `[L, K, N]` layout)."""
+    """Concat containers along N (stacked `[L, K, N]` layout): per-column
+    s8 and grouped/packed tensors both concat exactly — groups run along K,
+    so scales/zeros `[.., G, N]` and (packed) data `[.., K/f, N]` join on
+    the last axis."""
     base = qts[0]
+    zero = (
+        None
+        if base.zero is None
+        else jnp.concatenate([q.zero for q in qts], axis=-1)
+    )
     return QuantizedTensor(
         data=jnp.concatenate([q.data for q in qts], axis=-1),
         scale=jnp.concatenate([q.scale for q in qts], axis=-1),
-        zero=None,
+        zero=zero,
         bits=base.bits,
-        group_size=None,
-        sym=True,
+        group_size=base.group_size,
+        sym=base.sym,
         k=base.k,
         n=sum(q.n for q in qts),
-        packed=False,
+        packed=base.packed,
         out_dtype=base.out_dtype,
     )
 
@@ -79,13 +105,18 @@ def _concat_qt(qts):
 def _fusible(ws) -> bool:
     if all(isinstance(w, jnp.ndarray) for w in ws):
         return True
-    return all(
-        isinstance(w, QuantizedTensor)
-        and not w.packed
-        and w.group_size is None
-        and w.zero is None
+    if not all(isinstance(w, QuantizedTensor) for w in ws):
+        return False
+    if any(w.g_idx is not None for w in ws):  # act-order groups don't concat
+        return False
+    if len({
+        (w.bits, w.k, w.group_size, w.packed, w.sym, w.zero is None, str(w.out_dtype))
         for w in ws
-    ) and len({(w.bits, w.k, str(w.out_dtype)) for w in ws}) == 1
+    }) != 1:
+        return False
+    # per-column s8 serving containers, or grouped (incl. packed) tensors —
+    # both concat exactly along N
+    return ws[0].group_size is not None or (not ws[0].packed and ws[0].zero is None)
 
 
 def _fuse_group(layers, names, fused_name):
@@ -120,9 +151,11 @@ def fuse_for_decode(params, cfg):
     quantizations (`a8_matmul` re-quantizes its input per call). Numerics
     are unchanged: per-output-column scales concatenate exactly.
 
-    Only fuses zero-free per-column containers (the s8 serving recode) or
-    raw fp arrays. NOT for tensor-parallel execution — TP shards attention
-    by heads, which the concatenated [q|k|v] column layout does not respect.
+    Fuses zero-free per-column containers (the s8 serving recode), grouped
+    tensors with matching (bits, K, group_size, packed) — the s4 backend's
+    packed W4 storage, whose [G, N] scales/zeros concat exactly — or raw fp
+    arrays. NOT for tensor-parallel execution — TP shards attention by
+    heads, which the concatenated [q|k|v] column layout does not respect.
     """
     out = dict(params)
     layers = dict(params["layers"])

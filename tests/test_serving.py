@@ -122,6 +122,29 @@ def test_recode_head_s8():
     assert agree >= 0.75, agree
 
 
+def test_recode_head_s4():
+    """The int4 per-column head recode (the s4 backend's head format):
+    dequant error bounded by half an int4 step per column, and the s4
+    matmul path reproduces the dequant matmul."""
+    from llama3_quantization_tpu.ops.matmul import backend, qmatmul
+    from llama3_quantization_tpu.quant.qtensor import dequantize
+    from llama3_quantization_tpu.quant.serving import recode_head_s4
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 512), jnp.float32) * 0.02
+    qt = recode_head_s4(w)
+    assert qt.bits == 4 and qt.zero is None and qt.group_size is None
+    wq = np.asarray(dequantize(qt, jnp.float32))
+    step = np.asarray(qt.scale)[0]
+    assert np.all(np.abs(wq - np.asarray(w)) <= step / 2 + 1e-6)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 64), jnp.float32)
+    ref = np.asarray(x) @ wq
+    for be in ("xla", "s4"):
+        with backend(be):
+            out = np.asarray(qmatmul(x, qt, out_dtype=jnp.float32))
+        # the s4 path additionally quantizes activations to s8 per token
+        np.testing.assert_allclose(out, ref, rtol=0.02, atol=0.02)
+
+
 def test_recode_head_shards():
     """TP sharding must handle a QuantizedTensor lm_head (review finding:
     spec/param leaf mismatch crashed tree_unflatten)."""
@@ -298,8 +321,48 @@ def test_fuse_for_decode_fp_weights():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
-def test_fuse_for_decode_skips_grouped():
-    """Grouped (non-percol) containers are left unfused rather than broken."""
+def test_fuse_for_decode_grouped_matches():
+    """Grouped containers (the s4 backend's storage) fuse exactly: [G, N]
+    scales/zeros and (packed) data concat along N. Exercised packed and
+    unpacked, on the xla and s4 backends, forward and greedy decode."""
+    import dataclasses as dc
+
+    from llama3_quantization_tpu.models import forward_logits
+    from llama3_quantization_tpu.models.params import quantize_model_rtn
+    from llama3_quantization_tpu.ops.matmul import backend
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.quant.qtensor import QuantizedTensor
+    from llama3_quantization_tpu.quant.serving import fuse_for_decode
+
+    cfg = dc.replace(TINY_LLAMA, tie_word_embeddings=False)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+    for pack in (False, True):
+        qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=4, group_size=32), pack=pack)
+        fp = fuse_for_decode(qp, cfg)
+        assert "qkv" in fp["layers"] and "q" not in fp["layers"]
+        qkv = fp["layers"]["qkv"]["w"]
+        assert isinstance(qkv, QuantizedTensor) and qkv.packed == pack
+        for be in ("xla", "s4"):
+            with backend(be):
+                ref = forward_logits(qp, toks, cfg)
+                out = forward_logits(fp, toks, cfg)
+            np.testing.assert_allclose(
+                np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5
+            )
+        with backend("s4"):
+            tok0 = toks[:1, :1]
+            cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+            ref_toks, _ = greedy_generate(qp, cache, tok0, jnp.int32(0), 8, cfg)
+            cache = init_kv_cache(cfg, 1, 32, dtype=jnp.float32)
+            fused_toks, _ = greedy_generate(fp, cache, tok0, jnp.int32(0), 8, cfg)
+        np.testing.assert_array_equal(np.asarray(ref_toks), np.asarray(fused_toks))
+
+
+def test_fuse_for_decode_skips_g_idx():
+    """Act-order (g_idx) tensors are left unfused rather than broken."""
+    import dataclasses as dc
+
     from llama3_quantization_tpu.models.params import quantize_model_rtn
     from llama3_quantization_tpu.quant import QuantSpec
     from llama3_quantization_tpu.quant.serving import fuse_for_decode
@@ -307,6 +370,11 @@ def test_fuse_for_decode_skips_grouped():
     cfg = TINY_LLAMA
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     qp = quantize_model_rtn(params, cfg, QuantSpec(n_bits=4, group_size=32))
+    layers = dict(qp["layers"])
+    for name in ("q", "k", "v"):
+        w = layers[name]["w"]
+        layers[name] = {"w": dc.replace(w, g_idx=jnp.zeros((w.data.shape[0], w.k), jnp.int32))}
+    qp = dict(qp, layers=layers)
     fp = fuse_for_decode(qp, cfg)
     assert "qkv" not in fp["layers"] and "q" in fp["layers"]
 
