@@ -251,10 +251,14 @@ def serving_bench(cfg, spec, cfg_name, backend):
                for _ in range(n_requests)]
 
     def feed(pending):
-        while eng.free and pending:
+        # batched admission: all joiners this window prefill in one
+        # dispatch per prompt bucket (ServingEngine.add_requests)
+        batch = []
+        while eng.free and len(batch) < len(eng.free) and pending:
             plen, glen = pending.pop()
-            eng.add_request(list(rng.integers(0, cfg.vocab_size, plen)),
-                            max_new_tokens=glen)
+            batch.append((list(rng.integers(0, cfg.vocab_size, plen)), glen, None))
+        if batch:
+            eng.add_requests(batch)
 
     # k tokens per dispatch (ServingEngine.step_n): the per-step host
     # round-trip costs more than the 8-slot device step through the

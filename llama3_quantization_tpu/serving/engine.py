@@ -77,6 +77,8 @@ class ServingEngine:
         self.max_slots = max_slots
         self.max_len = max_len
         self.cache = init_kv_cache(cfg, max_slots, max_len, quantized=quantized_cache)
+        self._quantized_cache = quantized_cache
+        self._scratch: Dict[int, dict] = {}
         self._decode = jax.jit(
             partial(decode_step_multi, cfg=cfg, rq=rq, sink_tokens=sink_tokens)
         )
@@ -121,10 +123,29 @@ class ServingEngine:
             k: v[:, slot : slot + 1] for k, v in self.cache.items()
         }
 
+    def _batch_cache(self, n: int):
+        """Zeroed scratch cache with n batch rows for batched prefill
+        (memoized per n; every readable position is overwritten before the
+        ring mask admits it, so zeros are as good as the slot contents)."""
+        if n not in self._scratch:
+            self._scratch[n] = init_kv_cache(
+                self.cfg, n, self.max_len, quantized=self._quantized_cache
+            )
+        return self._scratch[n]
+
     def _write_slot_cache(self, slot: int, slot_cache) -> None:
         self.cache = self._splice(self.cache, slot_cache, self._jnp.int32(slot))
 
     # ------------------------------------------------------------------
+    def _bucket(self, prompt_len: int) -> int:
+        # pad to a power-of-2 bucket so prefill compiles per bucket, not per
+        # exact prompt length; padded rows sit at positions >= prompt_len,
+        # which the position mask excludes until real writes replace them
+        bucket = 16
+        while bucket < prompt_len:
+            bucket *= 2
+        return min(bucket, self.max_len - 1)
+
     def add_request(
         self,
         prompt_tokens: Sequence[int],
@@ -132,40 +153,66 @@ class ServingEngine:
         eos_id: Optional[int] = None,
     ) -> int:
         """Claim a slot, prefill, return the request id."""
-        if not self.free:
-            raise RuntimeError("no free slots")
-        prompt_len = len(prompt_tokens)
-        if prompt_len >= self.max_len:
-            raise ValueError(
-                f"prompt of {prompt_len} tokens does not fit max_len="
-                f"{self.max_len}; truncate explicitly or raise max_len"
+        return self.add_requests([(prompt_tokens, max_new_tokens, eos_id)])[0]
+
+    def add_requests(self, requests) -> List[int]:
+        """Admit a batch of (prompt_tokens, max_new_tokens, eos_id) at once.
+
+        Requests sharing a prompt-length bucket are prefilled in ONE
+        forward (batch = their count, padded to a power of 2 so the
+        program compiles per (bucket, 2^j), not per admission pattern):
+        under churn the engine admits several requests per free-slot
+        window, and per-request prefills serialized between decode windows
+        were a measured occupancy cost. Row i's cache is spliced into its
+        slot; extra padded rows are discarded."""
+        if len(requests) > len(self.free):
+            raise RuntimeError(
+                f"{len(requests)} requests for {len(self.free)} free slots"
             )
         jnp = self._jnp
-        slot = self.free.pop()
-        # pad to a power-of-2 bucket so prefill compiles per bucket, not per
-        # exact prompt length; padded rows sit at positions >= prompt_len,
-        # which the position mask excludes until real writes replace them
-        bucket = 16
-        while bucket < prompt_len:
-            bucket *= 2
-        bucket = min(bucket, self.max_len - 1)
-        padded = np.zeros(bucket, np.int32)
-        padded[:prompt_len] = np.asarray(prompt_tokens, np.int32)
-        toks = jnp.asarray(padded[None, :])
-        slot_cache = self._slot_cache(slot)
-        logits, slot_cache = self._prefill(self.params, slot_cache, toks, jnp.int32(0))
-        self._write_slot_cache(slot, slot_cache)
-        nxt = int(np.asarray(self._pick(logits[:, prompt_len - 1, :]))[0])
-        rid = self._next_rid
-        self._next_rid += 1
-        req = _Request(rid, slot, prompt_len, max_new_tokens, [nxt], eos_id)
-        self.requests[rid] = req
-        self._slot_req[slot] = rid
-        self.pos[slot] = prompt_len
-        self.next_tok[slot] = nxt
-        if eos_id is not None and nxt == eos_id:
-            self._finish(req)
-        return rid
+        by_bucket: Dict[int, List[int]] = {}
+        for i, (prompt, _, _) in enumerate(requests):
+            plen = len(prompt)
+            if plen >= self.max_len:
+                raise ValueError(
+                    f"prompt of {plen} tokens does not fit max_len="
+                    f"{self.max_len}; truncate explicitly or raise max_len"
+                )
+            by_bucket.setdefault(self._bucket(plen), []).append(i)
+        rids: Dict[int, int] = {}
+        for bucket, idxs in by_bucket.items():
+            n = len(idxs)
+            npad = 1
+            while npad < n:
+                npad *= 2
+            toks_np = np.zeros((npad, bucket), np.int32)
+            for row, i in enumerate(idxs):
+                prompt = np.asarray(requests[i][0], np.int32)
+                toks_np[row, : len(prompt)] = prompt
+            batch_cache = self._batch_cache(npad)
+            logits, batch_cache = self._prefill(
+                self.params, batch_cache, jnp.asarray(toks_np), jnp.int32(0)
+            )
+            for row, i in enumerate(idxs):
+                prompt, max_new, eos_id = requests[i]
+                plen = len(prompt)
+                slot = self.free.pop()
+                self._write_slot_cache(
+                    slot,
+                    {k: v[:, row : row + 1] for k, v in batch_cache.items()},
+                )
+                nxt = int(np.asarray(self._pick(logits[row : row + 1, plen - 1, :]))[0])
+                rid = self._next_rid
+                self._next_rid += 1
+                req = _Request(rid, slot, plen, max_new, [nxt], eos_id)
+                self.requests[rid] = req
+                self._slot_req[slot] = rid
+                self.pos[slot] = plen
+                self.next_tok[slot] = nxt
+                if eos_id is not None and nxt == eos_id:
+                    self._finish(req)
+                rids[i] = rid
+        return [rids[i] for i in range(len(requests))]
 
     def _pick(self, logits):
         """Greedy by default; seeded sampling when temperature > 0."""

@@ -122,6 +122,32 @@ def test_recode_head_s8():
     assert agree >= 0.75, agree
 
 
+def test_add_requests_batched_matches_sequential(setup):
+    """Batch admission (one prefill per bucket) generates exactly what
+    per-request admission does — including mixed bucket sizes and a
+    non-power-of-2 joiner count."""
+    cfg, params = setup
+    prompts = [[3, 5, 7], [2, 4, 6, 8, 1], list(range(1, 20)), [9, 9]]
+
+    eng_a = ServingEngine(params, cfg, max_slots=4, max_len=64)
+    rids_a = [eng_a.add_request(p, max_new_tokens=6) for p in prompts]
+    eng_a.run()
+    out_a = [eng_a.result(r) for r in rids_a]
+
+    eng_b = ServingEngine(params, cfg, max_slots=4, max_len=64)
+    rids_b = eng_b.add_requests([(p, 6, None) for p in prompts])
+    eng_b.run()
+    out_b = [eng_b.result(r) for r in rids_b]
+    assert out_a == out_b
+
+
+def test_add_requests_overflow_raises(setup):
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=2, max_len=64)
+    with pytest.raises(RuntimeError):
+        eng.add_requests([([1], 2, None)] * 3)
+
+
 def test_recode_head_s4():
     """The int4 per-column head recode (the s4 backend's head format):
     dequant error bounded by half an int4 step per column, and the s4
