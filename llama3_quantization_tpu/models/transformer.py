@@ -955,9 +955,13 @@ def decode_step_multi(
         else None
     )
     write_slot, mask = _ring_write_and_mask(pos, 1, max_len, sink_tokens)
+    # multi-slot (vector-pos) stacked writes are a scatter into the scan
+    # carry, which XLA does NOT alias in place — measured 2.8x slower at
+    # the serve bench (129 vs 364 tok/s). Explicit opt-in only
+    # (`set_stacked_decode(True)`); the scalar-pos decode_step keeps auto.
     h, new_cache = _decode_layer_scan(
         params, h, cache, write_slot, mask, cos_sin, cfg, rq,
-        stacked=_stacked_decode_ok(rq, cache, 1),
+        stacked=_STACKED is True and _stacked_decode_ok(rq, cache, 1),
     )
     h = final_norm(params, h, cfg)
     logits = lm_head(params, h, cfg)

@@ -80,6 +80,10 @@ def test_stacked_fp_cache_matches_per_layer(params):
 
 
 def test_stacked_multi_slot_matches(params):
+    """Vector-pos (multi-slot) stacked decode is explicit opt-in
+    (`set_stacked_decode(True)`) — the scatter-into-carry write measured
+    2.8x slower on v5e, so "auto" keeps the per-layer form there — but
+    when forced it must still be bit-exact."""
     cfg = TINY_LLAMA
     tok = jnp.array([[3], [5]], jnp.int32)
     cache0 = T.init_kv_cache(cfg, 2, 64, quantized=8)
@@ -87,7 +91,7 @@ def test_stacked_multi_slot_matches(params):
     T.set_decode_kernel("interpret")
     T.set_stacked_decode(False)
     lg_a, c_a = jax.jit(partial(T.decode_step_multi, cfg=cfg))(params, dict(cache0), tok, pos)
-    T.set_stacked_decode("auto")
+    T.set_stacked_decode(True)
     lg_b, c_b = jax.jit(partial(T.decode_step_multi, cfg=cfg))(params, dict(cache0), tok, pos)
     np.testing.assert_array_equal(np.asarray(lg_a), np.asarray(lg_b))
     for k in c_a:
