@@ -310,9 +310,11 @@ def main():
     from llama3_quantization_tpu.quant import QuantSpec
 
     cfg_name = os.environ.get("L3Q_BENCH_MODEL", "llama3-8b" if on_tpu else "tiny")
-    # a8: weights as centered-int8 codes driving the native s8 MXU path —
-    # measured at full HBM bandwidth on v5e, vs VPU-bound dequant kernels
-    backend = os.environ.get("L3Q_BENCH_BACKEND", "a8" if on_tpu else "xla")
+    # s4: true 4-bit HBM weight bytes on XLA's native int4 MXU path
+    # (ops/s4_matmul.py) — the fastest single-chip decode format (119+
+    # tok/s vs the a8 recode's 88.7; the a8 path remains the prefill/eval
+    # and serving default where its per-column s8 dot wins)
+    backend = os.environ.get("L3Q_BENCH_BACKEND", "s4" if on_tpu else "xla")
     cfg = LLAMA3_8B if cfg_name == "llama3-8b" else TINY_LLAMA
     spec = QuantSpec(n_bits=4, group_size=128 if cfg_name == "llama3-8b" else 32)
     cache_len = int(os.environ.get("L3Q_BENCH_CACHE", 512))
@@ -334,6 +336,13 @@ def main():
     if os.environ.get("L3Q_BENCH_MODE") == "omniquant":
         return omniquant_calib_bench(cfg, spec, cfg_name)
     if os.environ.get("L3Q_BENCH_MODE") == "serve":
+        # serving keeps the a8 default: the per-column s8 recode is the
+        # measured serving frontier (weight reads amortize over slots, so
+        # s4's byte saving matters less than the full-bus s8 dot); the s4
+        # engine path exists via L3Q_BENCH_BACKEND=s4
+        if "L3Q_BENCH_BACKEND" not in os.environ and backend == "s4":
+            backend = "a8"
+            mm.set_backend(backend)
         return serving_bench(cfg, spec, cfg_name, backend)
 
     t0 = time.time()
