@@ -36,6 +36,43 @@ def quantize_activations_s8(x: jax.Array):
     return kv_quantize(x)
 
 
+#: narrowest N routed through the K-split matvec. Decoder-linear dots
+#: (N <= 28672 at 8B) already stream at ~819 GB/s full-K; only the very
+#: wide lm_head dot ([4096, 128256]) is element-rate-capped at m=1
+#: (~420-460 Ge/s measured regardless of dtype). The threshold keeps the
+#: proven full-K path everywhere the cap does not bite.
+KSPLIT_MIN_N = 65536
+#: K-split row count (m = B * KSPLIT_G). 4-32 all measure alike
+#: (scripts/microbench_head.py: int8 660 GB/s, int4 1.09 Te/s at m=16);
+#: 16 keeps m MXU-friendly without inflating the block-diagonal build
+KSPLIT_G = 16
+
+
+def matvec_ksplit(xq: jax.Array, c: jax.Array, g: int) -> jax.Array:
+    """Wide-N decode matvec: `xq s8 [B, K] @ c int8/int4 [K, N] -> s32`.
+
+    The m=1 full-K dot runs element-rate-bound (~456 Ge/s) when N is very
+    large; splitting K into `g` chunks placed on separate rows of a
+    block-diagonal [B*g, K] operand (the same embedding `s4_matmul` uses
+    for group scales) lifts the stream to ~660 GB/s (s8) / ~1.09 Te/s
+    (s4) — measured 2.6x on the [4096, 128256] head
+    (scripts/microbench_head.py). Exact: integer partials are summed
+    before any scaling."""
+    b, k = xq.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g, k), 1)
+    sel = (cols // (k // g)) == rows  # [g, K], loop-invariant
+    bd = jnp.where(sel[None], xq[:, None, :], jnp.int8(0)).reshape(b * g, k)
+    p = jax.lax.dot_general(
+        bd, c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [B*g, N]
+    return jnp.sum(p.reshape(b, g, -1), axis=1)  # [B, N]
+
+
+def _use_ksplit(b: int, k: int, n: int) -> bool:
+    return b <= 8 and n >= KSPLIT_MIN_N and k % KSPLIT_G == 0
+
+
 def a8_matmul(x: jax.Array, qt: QuantizedTensor, out_dtype=None) -> jax.Array:
     """`x @ dequant(qt)` computed via the native s8 MXU path."""
     if qt.packed:
@@ -51,12 +88,16 @@ def a8_matmul(x: jax.Array, qt: QuantizedTensor, out_dtype=None) -> jax.Array:
 
     if g == 1:
         # single full-K s8 dot — the speed-of-light path (per-column or
-        # per-tensor scales, e.g. the serving recode of quant/serving.py)
-        acc = jax.lax.dot_general(
-            xq, qt.data,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
+        # per-tensor scales, e.g. the serving recode of quant/serving.py);
+        # very wide N (the lm_head) takes the K-split matvec instead
+        if _use_ksplit(b, qt.k, qt.n):
+            acc = matvec_ksplit(xq, qt.data, KSPLIT_G).astype(jnp.float32)
+        else:
+            acc = jax.lax.dot_general(
+                xq, qt.data,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
         if qt.zero is not None:
             xsum1 = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
             acc = acc - xsum1.astype(jnp.float32) * qt.zero[0][None, :]

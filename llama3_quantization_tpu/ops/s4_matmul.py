@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from ..quant.qtensor import QuantizedTensor
+from . import a8_matmul as _a8
 from .a8_matmul import quantize_activations_s8
 
 #: largest token-batch routed through the block-diagonal decode path; above
@@ -126,10 +127,16 @@ def s4w_matmul(x: jax.Array, w: S4Weight, out_dtype=None) -> jax.Array:
     xq, s_x = quantize_activations_s8(x2d)  # [B, K] s8, [B, 1] f32
 
     if g == 1:
-        # no groups: one full-K mixed s8 x s4 dot
-        acc = jax.lax.dot_general(
-            xq, c4, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        ).astype(jnp.float32)
+        # no groups: one full-K mixed s8 x s4 dot; very wide N (the s4
+        # lm_head recode) takes the K-split matvec — the m=1 dot is
+        # element-rate-capped at ~406 Ge/s, K-split streams ~1.09 Te/s
+        # (scripts/microbench_head.py)
+        if _a8._use_ksplit(b, w.k, w.n):
+            acc = _a8.matvec_ksplit(xq, c4, _a8.KSPLIT_G).astype(jnp.float32)
+        else:
+            acc = jax.lax.dot_general(
+                xq, c4, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
         if zscale is not None:
             xsum = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
             acc = acc * scale[0][None, :] - xsum.astype(jnp.float32) * zscale[0][None, :]

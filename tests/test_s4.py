@@ -191,3 +191,28 @@ def test_s4_sharded_generate_matches_single_device(mesh):
     sharded = shard_params(params, mesh, cfg)
     out = run(sharded)
     np.testing.assert_array_equal(ref, out)
+
+
+def test_ksplit_matvec_exact(monkeypatch):
+    """Wide-N decode matvec (the lm_head path): K-split block-diagonal
+    partial sums must be bit-exact vs the full-K dot for both the s8 and
+    s4 containers (thresholds patched down so CPU-sized shapes route
+    through it)."""
+    from llama3_quantization_tpu.ops import a8_matmul as a8m
+    from llama3_quantization_tpu.ops.a8_matmul import a8_matmul
+    from llama3_quantization_tpu.quant.serving import recode_head_s4, recode_head_s8
+
+    rng = np.random.default_rng(7)
+    w = jnp.array(rng.normal(size=(128, 256)).astype(np.float32) * 0.05)
+    x = jnp.array(rng.normal(size=(2, 128)).astype(np.float32))
+
+    for recode, fn in ((recode_head_s8, a8_matmul), (recode_head_s4, s4_matmul)):
+        qt = recode(w)
+        base = np.asarray(fn(x, qt, out_dtype=jnp.float32), np.float64)
+        monkeypatch.setattr(a8m, "KSPLIT_MIN_N", 256)
+        monkeypatch.setattr(a8m, "KSPLIT_G", 8)
+        got = np.asarray(fn(x, qt, out_dtype=jnp.float32), np.float64)
+        monkeypatch.setattr(a8m, "KSPLIT_MIN_N", 65536)
+        monkeypatch.setattr(a8m, "KSPLIT_G", 16)
+        scale = np.abs(base).max() + 1e-9
+        assert np.abs(got - base).max() / scale < 5e-6, fn.__name__
