@@ -261,8 +261,14 @@ def _write_cache_stacked(buf: jax.Array, new: jax.Array, layer, pos) -> jax.Arra
     whole cache every step — round-1 b8 trace, two ~0.41 ms copies)."""
     new = jnp.swapaxes(new, 1, 2)  # [B, H, s, D]
     if getattr(pos, "ndim", 0) == 1:
-        b = buf.shape[1]
-        return buf.at[layer, jnp.arange(b), :, pos, :].set(new[:, :, 0])
+        # per-row DUS chain, not a row-indexed scatter: the scatter is not
+        # aliased into the scan carry (full-cache copy per step) — see
+        # ops/kvcache.cache_update_stacked
+        for b in range(buf.shape[1]):
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[None, b : b + 1], (layer, b, 0, pos[b], 0)
+            )
+        return buf
     return jax.lax.dynamic_update_slice(buf, new[None], (layer, 0, 0, pos, 0))
 
 
@@ -955,10 +961,12 @@ def decode_step_multi(
         else None
     )
     write_slot, mask = _ring_write_and_mask(pos, 1, max_len, sink_tokens)
-    # multi-slot (vector-pos) stacked writes are a scatter into the scan
-    # carry, which XLA does NOT alias in place — measured 2.8x slower at
-    # the serve bench (129 vs 364 tok/s). Explicit opt-in only
-    # (`set_stacked_decode(True)`); the scalar-pos decode_step keeps auto.
+    # multi-slot (vector-pos) stacked writes stay OFF under "auto": the
+    # row-indexed scatter is not aliased into the scan carry (full-cache
+    # copy per step, 129 tok/s at the serve bench) and the per-row DUS
+    # chain that replaced it still measured 218 vs the xs/ys form's 364
+    # (8 rows x 4 buffers x 32 layers of ~us-scale writes per step).
+    # `set_stacked_decode(True)` forces it (bit-exact, tested).
     h, new_cache = _decode_layer_scan(
         params, h, cache, write_slot, mask, cos_sin, cfg, rq,
         stacked=_STACKED is True and _stacked_decode_ok(rq, cache, 1),

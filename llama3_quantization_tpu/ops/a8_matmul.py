@@ -41,7 +41,7 @@ def quantize_activations_s8(x: jax.Array):
 #: wide lm_head dot ([4096, 128256]) is element-rate-capped at m=1
 #: (~420-460 Ge/s measured regardless of dtype). The threshold keeps the
 #: proven full-K path everywhere the cap does not bite.
-KSPLIT_MIN_N = 65536
+KSPLIT_MIN_N = int(__import__("os").environ.get("L3Q_KSPLIT_MIN_N", 65536))
 #: K-split row count (m = B * KSPLIT_G). 4-32 all measure alike
 #: (scripts/microbench_head.py: int8 660 GB/s, int4 1.09 Te/s at m=16);
 #: 16 keeps m MXU-friendly without inflating the block-diagonal build

@@ -138,11 +138,18 @@ def cache_update_stacked(stacked, layer, k_new: jax.Array, v_new: jax.Array, pos
         nk, nks = kv_quantize(k_new)
         nv, nvs = kv_quantize(v_new)
     if getattr(pos, "ndim", 0) == 1:
-        rows = jnp.arange(kq.shape[1])
-        kq = kq.at[layer, rows, :, pos, :].set(nk[:, :, 0])
-        ks = ks.at[layer, rows, :, pos, :].set(nks[:, :, 0])
-        vq = vq.at[layer, rows, :, pos, :].set(nv[:, :, 0])
-        vs = vs.at[layer, rows, :, pos, :].set(nvs[:, :, 0])
+        # multi-slot decode: one dynamic-update-slice per row instead of a
+        # row-indexed scatter — advanced indexing over (row, pos) with a
+        # slice dim between produces a scatter XLA does NOT alias into the
+        # scan carry (a full-cache copy per step; serve bench measured
+        # 129 vs 364 tok/s), while a chain of B tiny DUS writes updates
+        # the carried buffers in place.
+        for b in range(kq.shape[1]):
+            i = (layer, b, 0, pos[b], 0)
+            kq = jax.lax.dynamic_update_slice(kq, nk[None, b : b + 1], i)
+            ks = jax.lax.dynamic_update_slice(ks, nks[None, b : b + 1], i)
+            vq = jax.lax.dynamic_update_slice(vq, nv[None, b : b + 1], i)
+            vs = jax.lax.dynamic_update_slice(vs, nvs[None, b : b + 1], i)
         return kq, ks, vq, vs
     idx = (layer, 0, 0, pos, 0)
     kq = jax.lax.dynamic_update_slice(kq, nk[None], idx)

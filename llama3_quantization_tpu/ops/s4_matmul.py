@@ -53,6 +53,11 @@ from .a8_matmul import quantize_activations_s8
 #: it the batched-group formulation is MXU-efficient on its own
 BD_MAX_B = 32
 
+#: K-chunk size for the block-diagonal dot: chunking divides the MAC
+#: inflation (G rows each spanning full K) by K/BD_KCHUNK, exactly —
+#: each scale group lives in exactly one chunk
+BD_KCHUNK = int(__import__("os").environ.get("L3Q_BD_KCHUNK", 2048))
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -146,17 +151,31 @@ def s4w_matmul(x: jax.Array, w: S4Weight, out_dtype=None) -> jax.Array:
         return y.astype(out_dtype).reshape(*lead, w.n)
 
     if b <= BD_MAX_B:
-        # block-diagonal embedding: [B*G, K] s8 @ [K, N] s4 -> exact group
-        # partials with MXU-friendly m
-        rows = jax.lax.broadcasted_iota(jnp.int32, (g, w.k), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (g, w.k), 1)
-        sel = (cols // gs) == rows  # [G, K], loop-invariant (hoisted)
-        bd = jnp.where(sel[None], xq[:, None, :], jnp.int8(0))  # [B, G, K]
-        p = jax.lax.dot_general(
-            bd.reshape(b * g, w.k), c4, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [B*G, N]
-        pf = p.reshape(b, g, w.n).astype(jnp.float32)
+        # block-diagonal embedding: [B*Gc, Kc] s8 @ [Kc, N] s4 -> exact
+        # group partials with MXU-friendly m. K is processed in chunks of
+        # BD_KCHUNK: each group lives in exactly one chunk, so chunking is
+        # exact and divides the G x K x N MAC inflation by the chunk count
+        # (down_proj [14336, 4096] G=112 pays ~17 us/layer of inflation
+        # un-chunked — m x K x N grows as K^2 N / gs).
+        kc = min(BD_KCHUNK, w.k)
+        if w.k % kc:
+            kc = w.k
+        gc = kc // gs  # groups per chunk
+        rows = jax.lax.broadcasted_iota(jnp.int32, (gc, kc), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (gc, kc), 1)
+        sel = (cols // gs) == rows  # [Gc, Kc], loop-invariant (hoisted)
+        parts = []
+        for k0 in range(0, w.k, kc):
+            xqc = jax.lax.slice_in_dim(xq, k0, k0 + kc, axis=1)  # [B, Kc]
+            c4c = jax.lax.slice_in_dim(c4, k0, k0 + kc, axis=0)  # [Kc, N]
+            bd = jnp.where(sel[None], xqc[:, None, :], jnp.int8(0))
+            p = jax.lax.dot_general(
+                bd.reshape(b * gc, kc), c4c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [B*Gc, N]
+            parts.append(p.reshape(b, gc, w.n))
+        pf = jnp.concatenate(parts, axis=1).astype(jnp.float32) if len(parts) > 1 \
+            else parts[0].astype(jnp.float32)
         y = jnp.einsum("bgn,gn->bn", pf, scale)
     else:
         # prefill/eval regime: batched group dots are efficient at large m

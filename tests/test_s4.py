@@ -216,3 +216,19 @@ def test_ksplit_matvec_exact(monkeypatch):
         monkeypatch.setattr(a8m, "KSPLIT_G", 16)
         scale = np.abs(base).max() + 1e-9
         assert np.abs(got - base).max() / scale < 5e-6, fn.__name__
+
+
+def test_bd_kchunk_exact(monkeypatch):
+    """K-chunked block-diagonal decode dots must match the unchunked form
+    exactly (each scale group lives in exactly one chunk)."""
+    from llama3_quantization_tpu.ops import s4_matmul as s4m
+
+    qt = _mk(256, 96, 4, 32, pack=True, seed=11)
+    x = jnp.array(np.random.default_rng(12).normal(size=(2, 256)).astype(np.float32))
+    monkeypatch.setattr(s4m, "BD_KCHUNK", 10**9)
+    base = np.asarray(s4_matmul(x, qt, out_dtype=jnp.float32), np.float64)
+    monkeypatch.setattr(s4m, "BD_KCHUNK", 64)
+    got = np.asarray(s4_matmul(x, qt, out_dtype=jnp.float32), np.float64)
+    assert np.array_equal(got, base)
+    exp = _oracle(x, qt)
+    assert np.abs(got - exp).max() / (np.abs(exp).max() + 1e-9) < 5e-6
