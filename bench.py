@@ -264,8 +264,10 @@ def serving_bench(cfg, spec, cfg_name, backend):
     # round-trip costs more than the 8-slot device step through the
     # tunnel; finishes are handled at window boundaries
     step_tokens = int(os.environ.get("L3Q_BENCH_STEPN", 16))
-    # warmup: compile prefill buckets + the k-step decode scan
-    warm = [(16, 2 * step_tokens), (48, 2 * step_tokens)]
+    # warmup: compile ALL prefill buckets touched by the 8-64 prompt range
+    # (16/32/64) + the k-step decode scan — a bucket compiling mid-run
+    # lands its remote-compile seconds inside the measured window
+    warm = [(16, 2 * step_tokens), (24, 2 * step_tokens), (48, 2 * step_tokens)]
     feed(warm)
     eng.run(max_steps=8, step_tokens=step_tokens)
     for rid in list(eng.requests):

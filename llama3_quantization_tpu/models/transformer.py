@@ -357,8 +357,8 @@ def _decode_kernel_ok(rq: RuntimeQuantConfig, cache, s: int) -> bool:
         # 166.7 vs 157.9 tok/s at T=4096 b4) — auto only routes the int8
         # cache, where codes-to-MXU beats dequant by +21..48%; True forces
         return False
-    d_logical = kq.shape[-1] * (2 if kq.dtype == jnp.uint8 else 1)
-    if d_logical % 128 or kq.shape[-2] % 512:
+    t_logical = kq.shape[-2] * (2 if kq.dtype == jnp.uint8 else 1)
+    if kq.shape[-1] % 128 or t_logical % 512:
         return False
     return jax.default_backend() == "tpu"
 
@@ -454,7 +454,9 @@ def _attn_block(
             from ..ops.kvcache import cache_update_stacked
 
             new_cache = cache_update_stacked(kv_cache, layer_idx, k, v, cache_pos)
-            t_len = new_cache[0].shape[3]
+            t_len = new_cache[0].shape[3] * (
+                2 if new_cache[0].dtype == jnp.uint8 else 1
+            )
             fd = partial(
                 flash_decode_gqa_s8_stacked,
                 out_dtype=h.dtype,
@@ -505,7 +507,9 @@ def _attn_block(
             # ops/decode_attention.py
             from ..ops.decode_attention import flash_decode_gqa_s8
 
-            t_len = new_cache[0].shape[2]
+            t_len = new_cache[0].shape[2] * (
+                2 if new_cache[0].dtype == jnp.uint8 else 1
+            )
             fd = partial(
                 flash_decode_gqa_s8,
                 out_dtype=h.dtype,
@@ -919,7 +923,9 @@ def decode_step(
     [B, S_step, V], updated cache)."""
     b, s = tokens.shape
     cache_keys = sorted(cache.keys())  # ("k","v") or ("k_q","k_s","v_q","v_s")
-    max_len = cache[cache_keys[0]].shape[3]  # [L, B, H, T, ...]
+    c0 = cache[cache_keys[0]]
+    # int4 code buffers pack two T-adjacent tokens per byte row
+    max_len = c0.shape[3] * (2 if c0.dtype == jnp.uint8 else 1)
     positions = pos + jnp.arange(s)[None, :]
     h = embed(params, tokens, cfg, positions)
     cos_sin = (
@@ -952,7 +958,8 @@ def decode_step_multi(
     b, s = tokens.shape
     assert s == 1, "multi-slot decode is single-token"
     cache_keys = sorted(cache.keys())
-    max_len = cache[cache_keys[0]].shape[3]  # [L, B, H, T, ...]
+    c0 = cache[cache_keys[0]]
+    max_len = c0.shape[3] * (2 if c0.dtype == jnp.uint8 else 1)
     positions = pos[:, None]  # [B, 1]
     h = embed(params, tokens, cfg, positions)
     cos_sin = (

@@ -75,16 +75,33 @@ def _decode_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc_ref):
         o_ref[0, 0] = (acc_ref[:rep] / l_ref[:rep, :1]).astype(o_ref.dtype)
 
 
+def _split_s8_rows(a32):
+    """Exact split of integer values in [-128, 119]: x = 16*hi + lo with
+    hi, lo in [-8, 7] — two int4 operands standing in for one int8 (Mosaic
+    rejects mixed s8 x i4 dots, so BOTH operands must be int4)."""
+    lo = ((a32 & 15) ^ 8) - 8
+    hi = (a32 - lo) >> 4
+    return hi, lo
+
+
 def _decode_kernel_s8(
-    q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, o_ref, m_ref, l_ref, acc_ref
+    q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, o_ref, m_ref, l_ref,
+    acc_ref, *, interpret=False,
 ):
-    """int8-KV flash decode: codes go STRAIGHT to the MXU (s8 x s8 -> s32),
-    per-token scales fold into the small [rep, BT] score matrix — the cache
-    is never dequantized elementwise (the VPU trap that made the XLA
-    quantized-KV path slower than bf16). Probs are re-quantized to s8 with
-    the per-token V scale pre-folded, so PV is a second s8 MXU dot; the
-    extra probs rounding is the same compromise the reference itself makes
-    with its softmax-probs quantizer (`quant/int_matmul.py`, rq.p).
+    """int8/int4-KV flash decode: codes go STRAIGHT to the MXU, per-token
+    scales fold into the small [rep, BT] score matrix — the cache is never
+    dequantized elementwise (the VPU trap that made the XLA quantized-KV
+    path slower than bf16). Probs are re-quantized with the per-token V
+    scale pre-folded, so PV is a second integer MXU dot; the extra probs
+    rounding is the same compromise the reference itself makes with its
+    softmax-probs quantizer (`quant/int_matmul.py`, rq.p).
+
+    int4 caches arrive as T-pair-packed uint8 rows (`kvcache.kv4_pack`,
+    block [BT/2, D]) and are BITCAST to int4 [BT, D] in VMEM — zero
+    per-element unpack work; the activation side splits its s8 operand
+    into two int4 rows (exact, `_split_s8_rows`) since Mosaic has no mixed
+    s8 x i4 dot. This is what makes the 4-bit cache a BANDWIDTH win
+    rather than kernel-parity-with-int8 (the round-1/2 nibble-unpack tax).
 
     Grid (B, NT) with ALL G head-groups inside each program: the per-
     program fixed cost (~7 us measured on v5e) dominates any per-(b, g)
@@ -103,32 +120,49 @@ def _decode_kernel_s8(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    int4 = kq_ref.dtype == jnp.uint8  # packed nibbles, split-halves layout
+    int4 = kq_ref.dtype == jnp.uint8  # T-pair-packed rows (kv4_pack)
+    # int4 activations must split exactly: bound codes to +/-119
+    amax = 119.0 if int4 else 127.0
 
-    def codes(ref, g):
+    def qdot(ac, ref, g, dims):
+        """ac s8/int32 [m, C] x codes [.., .] -> s32 [m, N]; dims are the
+        dot_general contraction dims against the UNPACKED block."""
         blk = ref[0, g]
         if not int4:
-            return blk
-        # split-halves pack (ops/kvcache.kv4_quantize): element j pairs with
-        # j + D/2, so unpack = lane-dim concat of the two nibble planes.
-        # ALL arithmetic in i32 — Mosaic legalizes neither i8 vector
-        # subtraction nor u8 vector shifts on this backend.
-        b32 = blk.astype(jnp.int32)
-        lo = ((b32 & 0xF) - 8).astype(jnp.int8)
-        hi = ((b32 >> 4) - 8).astype(jnp.int8)
-        return jnp.concatenate([lo, hi], axis=-1)
+            return jax.lax.dot_general(
+                ac.astype(jnp.int8), blk, (dims, ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        if interpret:
+            # arithmetic unpack stand-in (no Mosaic bitcast off-TPU):
+            # identical math — 16*hi + lo recombination is exact
+            b32 = blk.astype(jnp.int32)
+            lo = (((b32 & 0xF) ^ 8) - 8)[:, None, :]
+            hi = ((((b32 >> 4) & 0xF) ^ 8) - 8)[:, None, :]
+            c = jnp.concatenate([lo, hi], axis=1).reshape(
+                blk.shape[0] * 2, blk.shape[1]
+            ).astype(jnp.int8)
+            return jax.lax.dot_general(
+                ac.astype(jnp.int8), c, (dims, ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        c4 = pltpu.bitcast(blk, jnp.int4)  # [BT, D], natural order
+        m = ac.shape[0]
+        hi, lo = _split_s8_rows(ac.astype(jnp.int32))
+        st = jnp.concatenate([hi, lo], axis=0).astype(jnp.int4)  # [2m, C]
+        p = jax.lax.dot_general(
+            st, c4, (dims, ((), ())), preferred_element_type=jnp.int32
+        )
+        return 16 * p[:m] + p[m:]
 
     msk = mask_ref[pl.program_id(0)][None, :]
     for g in range(g_all):  # static unroll: one MXU-dot pair per group
         q = q_ref[0, g].astype(jnp.float32)  # [rep, D]
         qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-        qs = jnp.maximum(qa, 1e-8) / 127.0
-        qc = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+        qs = jnp.maximum(qa, 1e-8) / amax
+        qc = jnp.clip(jnp.round(q / qs), -amax, amax).astype(jnp.int8)
 
-        s32 = jax.lax.dot_general(
-            qc, codes(kq_ref, g), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [rep, BT]
+        s32 = qdot(qc, kq_ref, g, ((1,), (1,)))  # [rep, BT]
         s = s32.astype(jnp.float32) * (qs * scale) * ks_ref[0, g] + msk
 
         m_prev = m_ref[g * rp : g * rp + rep, :1]
@@ -143,12 +177,9 @@ def _decode_kernel_s8(
 
         pv_f = p * vs_ref[0, g]
         pa = jnp.max(jnp.abs(pv_f), axis=-1, keepdims=True)
-        ps = jnp.maximum(pa, 1e-20) / 127.0
-        pc = jnp.clip(jnp.round(pv_f / ps), -127, 127).astype(jnp.int8)
-        pv32 = jax.lax.dot_general(
-            pc, codes(vq_ref, g), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [rep, D]
+        ps = jnp.maximum(pa, 1e-20) / amax
+        pc = jnp.clip(jnp.round(pv_f / ps), -amax, amax).astype(jnp.int8)
+        pv32 = qdot(pc, vq_ref, g, ((1,), (0,)))  # [rep, D]
         acc_ref[g * rp : g * rp + rep] = (
             acc_ref[g * rp : g * rp + rep] * alpha
             + pv32.astype(jnp.float32) * ps
@@ -166,8 +197,8 @@ def _decode_kernel_s8(
 @functools.partial(jax.jit, static_argnames=("out_dtype", "block_t", "interpret"))
 def flash_decode_gqa_s8(
     q: jax.Array,  # [B, 1, Hq, D]
-    k_q: jax.Array,  # [B, G, T, D] int8 codes — or uint8 [B, G, T, D/2]
-    #                  int4 split-halves pack (ops/kvcache.kv4_quantize)
+    k_q: jax.Array,  # [B, G, T, D] int8 codes — or uint8 [B, G, T/2, D]
+    #                  int4 T-pair pack (ops/kvcache.kv4_pack)
     k_s: jax.Array,  # [B, G, T, 1] f32 per-(token, head) scales
     v_q: jax.Array,
     v_s: jax.Array,
@@ -178,11 +209,13 @@ def flash_decode_gqa_s8(
 ) -> jax.Array:  # [B, 1, Hq, D]
     b, s, hq, d = q.shape
     assert s == 1, "flash decode is single-token"
-    g, t = k_q.shape[1], k_q.shape[2]
-    dk = k_q.shape[-1]  # D for int8 codes, D/2 for the int4 pack
+    int4 = k_q.dtype == jnp.uint8
+    g = k_q.shape[1]
+    t = k_q.shape[2] * (2 if int4 else 1)  # logical tokens
     rep = hq // g
     bt = min(block_t, t)
     assert t % bt == 0, f"cache len {t} must be a multiple of block {bt}"
+    btr = bt // 2 if int4 else bt  # packed code rows per block
     qg = q.reshape(b, g, rep, d)
     mask = mask.astype(jnp.float32)
     # scales lane-major: a [BT, 1] f32 block pads to 128 lanes in VMEM
@@ -192,10 +225,10 @@ def flash_decode_gqa_s8(
 
     grid = (b, t // bt)
     rp = max(rep, 8)
-    kv_spec = pl.BlockSpec((1, g, bt, dk), lambda i, k_: (i, 0, k_, 0))
+    kv_spec = pl.BlockSpec((1, g, btr, d), lambda i, k_: (i, 0, k_, 0))
     sc_spec = pl.BlockSpec((1, g, 1, bt), lambda i, k_: (i, 0, 0, k_))
     out = pl.pallas_call(
-        _decode_kernel_s8,
+        functools.partial(_decode_kernel_s8, interpret=interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, g, rep, d), lambda i, k_: (i, 0, 0, 0)),
@@ -211,7 +244,7 @@ def flash_decode_gqa_s8(
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * t * d,
-            bytes_accessed=2 * b * g * t * (d + 4),
+            bytes_accessed=2 * b * g * t * ((d // 2 if int4 else d) + 4),
             transcendentals=b * hq * t,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -224,7 +257,7 @@ def flash_decode_gqa_s8(
 
 def _decode_kernel_s8_stacked(
     lidx_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, o_ref,
-    m_ref, l_ref, acc_ref,
+    m_ref, l_ref, acc_ref, *, interpret=False,
 ):
     """Layer-stacked int8 flash decode: the cache refs carry a leading
     (block-size-1) layer axis selected by the scalar-prefetched layer
@@ -236,14 +269,15 @@ def _decode_kernel_s8_stacked(
     del lidx_ref  # consumed by the index_maps
     _decode_kernel_s8(
         q_ref, kq_ref.at[0], ks_ref.at[0], vq_ref.at[0], vs_ref.at[0],
-        mask_ref, o_ref, m_ref, l_ref, acc_ref,
+        mask_ref, o_ref, m_ref, l_ref, acc_ref, interpret=interpret,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "block_t", "interpret"))
 def flash_decode_gqa_s8_stacked(
     q: jax.Array,  # [B, 1, Hq, D]
-    k_q: jax.Array,  # [L, B, G, T, D] int8 — or uint8 [L, B, G, T, D/2] int4
+    k_q: jax.Array,  # [L, B, G, T, D] int8 — or uint8 [L, B, G, T/2, D]
+    #                  int4 T-pair pack (ops/kvcache.kv4_pack)
     k_s: jax.Array,  # [L, B, G, T, 1]
     v_q: jax.Array,
     v_s: jax.Array,
@@ -255,11 +289,13 @@ def flash_decode_gqa_s8_stacked(
 ) -> jax.Array:  # [B, 1, Hq, D]
     b, s, hq, d = q.shape
     assert s == 1, "flash decode is single-token"
-    g, t = k_q.shape[2], k_q.shape[3]
-    dk = k_q.shape[-1]
+    int4 = k_q.dtype == jnp.uint8
+    g = k_q.shape[2]
+    t = k_q.shape[3] * (2 if int4 else 1)  # logical tokens
     rep = hq // g
     bt = min(block_t, t)
     assert t % bt == 0, f"cache len {t} must be a multiple of block {bt}"
+    btr = bt // 2 if int4 else bt  # packed code rows per block
     qg = q.reshape(b, g, rep, d)
     mask = mask.astype(jnp.float32)
     ks5 = k_s.reshape(*k_s.shape[:2], g, 1, t)
@@ -268,10 +304,10 @@ def flash_decode_gqa_s8_stacked(
 
     grid = (b, t // bt)
     rp = max(rep, 8)
-    kv_spec = pl.BlockSpec((1, 1, g, bt, dk), lambda i, k_, l: (l[0], i, 0, k_, 0))
+    kv_spec = pl.BlockSpec((1, 1, g, btr, d), lambda i, k_, l: (l[0], i, 0, k_, 0))
     sc_spec = pl.BlockSpec((1, 1, g, 1, bt), lambda i, k_, l: (l[0], i, 0, 0, k_))
     out = pl.pallas_call(
-        _decode_kernel_s8_stacked,
+        functools.partial(_decode_kernel_s8_stacked, interpret=interpret),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -290,7 +326,7 @@ def flash_decode_gqa_s8_stacked(
         out_shape=jax.ShapeDtypeStruct((b, g, rep, d), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * t * d,
-            bytes_accessed=2 * b * g * t * (d + 4),
+            bytes_accessed=2 * b * g * t * ((d // 2 if int4 else d) + 4),
             transcendentals=b * hq * t,
         ),
         compiler_params=pltpu.CompilerParams(

@@ -181,10 +181,13 @@ class ServingEngine:
             by_bucket.setdefault(self._bucket(plen), []).append(i)
         rids: Dict[int, int] = {}
         for bucket, idxs in by_bucket.items():
-            n = len(idxs)
-            npad = 1
-            while npad < n:
-                npad *= 2
+            # FIXED prefill batch (= max_slots): one compiled program per
+            # bucket, ever. A per-admission row count compiles a fresh
+            # program per (count, bucket) pair — measured 341 -> 126 tok/s
+            # at the serve bench, the compiles landing inside the measured
+            # window. Padding rows are wasted prefill FLOPs, which at
+            # bucket <= 64 cost less than one decode step.
+            npad = self.max_slots
             toks_np = np.zeros((npad, bucket), np.int32)
             for row, i in enumerate(idxs):
                 prompt = np.asarray(requests[i][0], np.int32)
@@ -192,6 +195,16 @@ class ServingEngine:
             batch_cache = self._batch_cache(npad)
             logits, batch_cache = self._prefill(
                 self.params, batch_cache, jnp.asarray(toks_np), jnp.int32(0)
+            )
+            # ONE device->host transfer for all rows' next tokens (the
+            # per-row int() sync cost a tunnel round-trip each), at FIXED
+            # shape npad so the gather/argmax program compiles once — a
+            # len(idxs)-shaped gather compiles per admission count
+            last_np = np.zeros(npad, np.int64)
+            for row, i in enumerate(idxs):
+                last_np[row] = len(requests[i][0]) - 1
+            nxts = np.asarray(
+                self._pick(logits[jnp.arange(npad), jnp.asarray(last_np), :])
             )
             for row, i in enumerate(idxs):
                 prompt, max_new, eos_id = requests[i]
@@ -201,7 +214,7 @@ class ServingEngine:
                     slot,
                     {k: v[:, row : row + 1] for k, v in batch_cache.items()},
                 )
-                nxt = int(np.asarray(self._pick(logits[row : row + 1, plen - 1, :]))[0])
+                nxt = int(nxts[row])
                 rid = self._next_rid
                 self._next_rid += 1
                 req = _Request(rid, slot, plen, max_new, [nxt], eos_id)

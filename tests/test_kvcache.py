@@ -165,7 +165,8 @@ def test_int4_kv_cache_decode():
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 4, 16)).astype(np.float32))
     packed, scale = kv4_quantize(x)
-    assert packed.shape == (2, 3, 4, 8) and packed.dtype == jnp.uint8
+    # T-pair pack: two T-adjacent tokens share a byte row (kv4_pack)
+    assert packed.shape == (2, 3, 2, 16) and packed.dtype == jnp.uint8
     back = np.asarray(kv4_dequantize(packed, scale, jnp.float32))
     absmax = np.abs(np.asarray(x)).max(-1, keepdims=True)
     assert np.all(np.abs(back - np.asarray(x)) <= absmax / 7 + 1e-6)
