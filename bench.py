@@ -276,15 +276,28 @@ def serving_bench(cfg, spec, cfg_name, backend):
     pending = list(lengths)
     feed(pending)
     produced = 0
+    trace_dir = os.environ.get("L3Q_BENCH_TRACE")
+    if trace_dir:
+        from llama3_quantization_tpu.utils.profiling import profile_trace
+        import contextlib
+
+        tracer = profile_trace(trace_dir)
+    else:
+        import contextlib
+
+        tracer = contextlib.nullcontext()
     t0 = time.time()
-    while eng._slot_req:
-        if step_tokens > 1:
-            produced += sum(len(v) for v in eng.step_n(step_tokens).values())
-        else:
-            produced += len(eng.step())
-        if eng.free and pending:
-            feed(pending)
+    with tracer:
+        while eng._slot_req:
+            if step_tokens > 1:
+                produced += sum(len(v) for v in eng.step_n(step_tokens).values())
+            else:
+                produced += len(eng.step())
+            if eng.free and pending:
+                feed(pending)
     dt = time.time() - t0
+    if trace_dir:
+        log(f"profiler trace written to {trace_dir}")
     tok_s = produced / dt
     bpt = model_bytes_per_token(cfg, spec, max_len // 2, container_bits=8 if backend == "a8" else None,
                                 head_bits=head_bits, kv_bits=kv_bits)
