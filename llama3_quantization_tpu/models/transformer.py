@@ -1000,6 +1000,21 @@ def greedy_generate(
 
     Returns (tokens [B, n_steps], final cache)."""
     from ..ops.matmul import prepare_decode_params
+    from .windowed import decode_window, windowed_ok
+
+    int4_cache = any(
+        getattr(v, "dtype", None) == jnp.uint8 for v in cache.values()
+    )
+    if int4_cache and windowed_ok(cfg, cache, rq, sink_tokens):
+        # window write-combined decode: the main cache is a loop
+        # invariant (zero per-step cache-update traffic). Routed for the
+        # int4 cache only: its nibble RMW inside the scan breaks XLA's
+        # in-place aliasing (full-buffer copy per layer, 76 tok/s), while
+        # windowed measures 136.6. For the int8 cache the plain stacked
+        # path's pure-DUS writes are cheap (2.2 us/layer) and measure
+        # faster than the window overheads (141.5 vs 135.7 at b1) — the
+        # multi-slot serving engine routes windowed itself (374 vs 344).
+        return decode_window(params, cache, first_token, pos0, n_steps, cfg, rq)
 
     params = prepare_decode_params(params)  # s4: hoist int4 prep off the scan
 

@@ -1,0 +1,348 @@
+"""Window write-combined decode: K steps per dispatch, zero per-step
+cache traffic beyond the reads attention itself needs.
+
+Why this exists (measured on v5e, round 3): every formulation that
+updates the multi-hundred-MB KV cache *inside* the decode scan pays for
+it —
+
+- xs/ys layer-scan streaming: two whole-cache copies per step
+  (~0.41 ms each at b8 kv8);
+- stacked carry + row-indexed scatter: not aliased, full copy per step
+  (129 tok/s serve bench);
+- stacked carry + per-row DUS chain: aliased but 1024 tiny writes/step
+  (218 tok/s);
+- stacked carry + int4 nibble read-modify-write: the *read* of the carry
+  breaks in-place aliasing — a full-buffer copy per layer per step
+  (106 us/layer, kv4 b1 decode collapsed 141 -> 76 tok/s).
+
+The windowed form makes the main cache a LOOP INVARIANT (closure
+capture — never copied): each step writes its K/V only into a small
+per-window side buffer ([L, B, H, KW, *], riding the layer scan as
+xs/ys — cheap because it is small), and attention is the online-softmax
+MERGE of (a) the stacked flash-decode kernel over the main cache
+(`return_stats=True`) and (b) exact attention over the window segment.
+After the window, ONE vectorized merge writes the window into the ring
+cache (gather + where over the token axis — no scatter, wrap-safe,
+per-row positions supported; for the int4 cache the merge composes
+nibbles at the byte-row level).
+
+This is the TPU-native analogue of the write-combining KV designs in
+production serving stacks; the reference has nothing comparable (its
+cache is an eager torch.cat, `/root/reference/models/int_llama_layer.py:
+130-135`).
+
+Scope: quantized stacked caches (int8 / int4), sink_tokens == 0,
+single-token steps. Callers fall back to `decode_step`/`decode_step_multi`
+otherwise (`windowed_ok`).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.kvcache import kv4_codes, kv4_pack, kv4_unpack_codes, kv_quantize
+from ..ops.matmul import prepare_decode_params, qlinear
+from .configs import ModelConfig
+from .transformer import (
+    NO_QUANT,
+    RuntimeQuantConfig,
+    _decode_kernel_ok,
+    _kernel_mask,
+    _mlp_block,
+    _norm,
+    _ring_write_and_mask,
+    apply_rope,
+    embed,
+    final_norm,
+    lm_head,
+    rope_cos_sin,
+)
+
+
+#: window write-combining switch ("auto" = whenever applicable; False =
+#: always the per-step decode paths — for A/B tests of the underlying
+#: stacked/xs-ys forms)
+_WINDOWED = "auto"
+
+
+def set_windowed_decode(mode) -> None:
+    global _WINDOWED
+    if mode not in (True, False, "auto"):
+        raise ValueError(mode)
+    _WINDOWED = mode
+
+
+def windowed_ok(cfg: ModelConfig, cache: Dict[str, jax.Array],
+                rq: RuntimeQuantConfig, sink_tokens: int) -> bool:
+    """Is the window write-combined decode applicable?"""
+    if _WINDOWED is False:
+        return False
+    if sink_tokens or cfg.is_moe or cfg.parallel_block:
+        return False
+    if sorted(cache.keys()) != ["k_q", "k_s", "v_q", "v_s"]:
+        return False
+    from . import transformer as _t
+
+    if _t._DECODE_MESH is not None:  # v1: single-replica only
+        return False
+    arrs = tuple(cache[k] for k in sorted(cache.keys()))
+    return _decode_kernel_ok(rq, arrs, 1)
+
+
+def _merge_attn(o1, m1, l1, o2, m2, l2):
+    """Online-softmax merge of two normalized attention segments.
+
+    o*: [B, G, rep, D] f32; m*/l*: [B, G, rep] f32. A segment with l == 0
+    (nothing visible) drops out exactly."""
+    m_star = jnp.maximum(m1, m2)
+    w1 = l1 * jnp.exp(m1 - m_star)
+    w2 = l2 * jnp.exp(m2 - m_star)
+    denom = jnp.maximum(w1 + w2, 1e-30)
+    return (o1 * w1[..., None] + o2 * w2[..., None]) / denom[..., None]
+
+
+def _window_attn(q, wk, wks, wv, wvs, wmask):
+    """Exact attention over the window segment.
+
+    q [B, G, rep, D] f32; wk/wv [B, H, KW, D] int8 codes; wks/wvs
+    [B, H, KW, 1] f32; wmask [B, 1, 1, KW] additive. Returns normalized
+    (o, m, l) for `_merge_attn`."""
+    d = q.shape[-1]
+    kf = wk.astype(jnp.float32) * wks  # [B, H, KW, D]
+    s = jnp.einsum("bgrd,bgjd->bgrj", q, kf) / math.sqrt(d) + wmask
+    m = jnp.max(s, axis=-1)  # [B, G, rep]
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    vf = wv.astype(jnp.float32) * wvs
+    o = jnp.einsum("bgrj,bgjd->bgrd", p, vf) / jnp.maximum(l, 1e-30)[..., None]
+    return o, m, l
+
+
+def _attn_block_windowed(
+    p, x, cfg, rq, cos_sin, main_mask, cache, w_slices, widx, layer_idx,
+    block_t, interpret,
+):
+    """Attention = kernel(main cache, loop-invariant) MERGE exact(window).
+
+    `w_slices` = (wk, wks, wv, wvs) for THIS layer ([B, H, KW, *] — the
+    layer scan streams them as xs/ys); `widx` = this step's window slot.
+    Returns (attn_out [B, 1, Hq*D], updated w_slices)."""
+    from ..ops.decode_attention import flash_decode_gqa_s8_stacked
+
+    b, s, _ = x.shape
+    hd = cfg.head_dim_
+    if "qkv" in p:
+        nq, nkv = cfg.num_heads * hd, cfg.num_kv_heads * hd
+        qkv = qlinear(x, p["qkv"]["w"], p["qkv"].get("b"), rq.act)
+        q = qkv[..., :nq].reshape(b, s, cfg.num_heads, hd)
+        k = qkv[..., nq : nq + nkv].reshape(b, s, cfg.num_kv_heads, hd)
+        v = qkv[..., nq + nkv :].reshape(b, s, cfg.num_kv_heads, hd)
+    else:
+        q = qlinear(x, p["q"]["w"], p["q"].get("b"), rq.act).reshape(b, s, cfg.num_heads, hd)
+        k = qlinear(x, p["k"]["w"], p["k"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
+        v = qlinear(x, p["v"]["w"], p["v"].get("b"), rq.act).reshape(b, s, cfg.num_kv_heads, hd)
+    if cos_sin is not None:
+        cos, sin = cos_sin
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    wk, wks, wv, wvs = w_slices
+    int4 = cache["k_q"].dtype == jnp.uint8
+    quantize = kv4_codes if int4 else kv_quantize
+    nk, nks = quantize(jnp.swapaxes(k, 1, 2))  # [B, H, 1, D] codes
+    nv, nvs = quantize(jnp.swapaxes(v, 1, 2))
+    wk = jax.lax.dynamic_update_slice(wk, nk, (0, 0, widx, 0))
+    wks = jax.lax.dynamic_update_slice(wks, nks, (0, 0, widx, 0))
+    wv = jax.lax.dynamic_update_slice(wv, nv, (0, 0, widx, 0))
+    wvs = jax.lax.dynamic_update_slice(wvs, nvs, (0, 0, widx, 0))
+
+    g = cfg.num_kv_heads
+    rep = cfg.num_heads // g
+    qg = q.reshape(b, g, rep, hd)
+
+    o1, m1, l1 = flash_decode_gqa_s8_stacked(
+        q, cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"],
+        main_mask, layer_idx, out_dtype=jnp.float32, block_t=block_t,
+        interpret=interpret, return_stats=True,
+    )
+    o1 = o1.reshape(b, g, rep, hd).astype(jnp.float32)
+
+    kw = wk.shape[2]
+    wmask = jnp.where(
+        jnp.arange(kw)[None, None, None, :] <= widx, 0.0, -jnp.inf
+    ).astype(jnp.float32)
+    o2, m2, l2 = _window_attn(qg.astype(jnp.float32), wk, wks, wv, wvs, wmask)
+
+    attn = _merge_attn(o1, m1, l1, o2, m2, l2)
+    attn = attn.reshape(b, s, cfg.num_heads * hd).astype(x.dtype)
+    out = qlinear(attn, p["o"]["w"], p["o"].get("b"), rq.act)
+    return out, (wk, wks, wv, wvs)
+
+
+def _decode_step_windowed(
+    params, cache, w_bufs, tokens, pos, widx, main_mask, cfg, rq,
+    block_t, interpret,
+):
+    """One windowed decode step: h through the layer stack; the main cache
+    is closure-captured (never written), the window buffers ride the layer
+    scan as xs/ys."""
+    b, s = tokens.shape
+    positions = pos[:, None] if getattr(pos, "ndim", 0) == 1 else (
+        pos + jnp.arange(s)[None, :]
+    )
+    h = embed(params, tokens, cfg, positions)
+    cos_sin = (
+        rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, h.dtype, cfg.rope_scaling_)
+        if cfg.uses_rope
+        else None
+    )
+
+    def body(hc, xs):
+        layer_p, wk, wks, wv, wvs, lidx = xs
+        x = _norm(layer_p["ln1"], hc, cfg)
+        attn_out, new_w = _attn_block_windowed(
+            layer_p, x, cfg, rq, cos_sin, main_mask, cache,
+            (wk, wks, wv, wvs), widx, lidx, block_t, interpret,
+        )
+        hc = hc + attn_out
+        mlp_in = _norm(layer_p["ln2"], hc, cfg)
+        hc = hc + _mlp_block(layer_p, mlp_in, cfg, rq)
+        return hc, new_w
+
+    h, new_w = jax.lax.scan(
+        body, h, (params["layers"], *w_bufs, jnp.arange(cfg.num_layers))
+    )
+    h = final_norm(params, h, cfg)
+    return lm_head(params, h, cfg), new_w
+
+
+def _ring_gather_merge(buf, win, pos0, t_logical, packed):
+    """Write `win` ([L, B, H, KW, *]) into the ring buffer `buf` at logical
+    positions pos0_b + j — as ONE vectorized gather + where over the token
+    axis (no scatter, no RMW-in-scan; wrap-safe).
+
+    `packed=True`: buf rows are T-pair-packed int4 bytes (`kv4_pack`) and
+    `win` holds signed codes — nibbles compose at the byte-row level."""
+    kw = win.shape[3]
+    if getattr(pos0, "ndim", 0) == 0:
+        pos0 = pos0[None]
+    p0 = pos0[None, :, None, None]  # over [L, B, H, T']
+
+    def gather_tok(tok_idx):
+        """For each ring slot, the window index that lands there
+        (j = (slot - slot0) mod T) and whether it is in this window.
+        Returns 5D (indices broadcast over [L, ., H, ., last])."""
+        j = jnp.mod(tok_idx - p0, t_logical)  # [1, B, 1, T']
+        take = (j < kw)[..., None]  # [1, B, 1, T', 1]
+        jc = jnp.clip(j, 0, kw - 1)[..., None]
+        g = jnp.take_along_axis(win, jc, axis=3)
+        return g, take
+
+    if not packed:
+        tok = jnp.arange(buf.shape[3])[None, None, None, :]
+        g, take = gather_tok(tok)
+        return jnp.where(take, g, buf)
+    # int4: byte row r holds logical tokens (2r, 2r+1)
+    rows = jnp.arange(buf.shape[3])[None, None, None, :]
+    g_lo, take_lo = gather_tok(2 * rows)
+    g_hi, take_hi = gather_tok(2 * rows + 1)
+    old_lo = buf & 0xF
+    old_hi = buf >> 4
+    nib_lo = jnp.where(take_lo, g_lo.astype(jnp.uint8) & 0xF, old_lo)
+    nib_hi = jnp.where(take_hi, g_hi.astype(jnp.uint8) & 0xF, old_hi)
+    return (nib_lo | (nib_hi << 4)).astype(jnp.uint8)
+
+
+def merge_window_into_cache(cache, w_bufs, pos0, cfg) -> Dict[str, jax.Array]:
+    """One whole-buffer rewrite per window: O(cache) read+write once per
+    KW tokens (vs per step), amortized to ~1/KW of an xs/ys step copy."""
+    wk, wks, wv, wvs = w_bufs
+    int4 = cache["k_q"].dtype == jnp.uint8
+    t_logical = cache["k_s"].shape[3]
+    return {
+        "k_q": _ring_gather_merge(cache["k_q"], wk, pos0, t_logical, int4),
+        "k_s": _ring_gather_merge(cache["k_s"], wks, pos0, t_logical, False),
+        "v_q": _ring_gather_merge(cache["v_q"], wv, pos0, t_logical, int4),
+        "v_s": _ring_gather_merge(cache["v_s"], wvs, pos0, t_logical, False),
+    }
+
+
+def decode_window(
+    params,
+    cache: Dict[str, jax.Array],
+    tok0: jax.Array,  # [B, 1]
+    pos0: jax.Array,  # scalar or [B]: position of tok0
+    n_steps: int,
+    cfg: ModelConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+    sample_key: Optional[jax.Array] = None,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """`n_steps` greedy/sampled tokens in ONE dispatch with write-combined
+    cache updates. Returns (tokens [B, n_steps], updated cache)."""
+    params = prepare_decode_params(params)
+    b = tok0.shape[0]
+    g, hd = cfg.num_kv_heads, cfg.head_dim_
+    kw = n_steps
+    int4 = cache["k_q"].dtype == jnp.uint8
+    t_logical = cache["k_s"].shape[3]
+    bt = 1024 if t_logical % 1024 == 0 else 512
+    from .transformer import _DECODE_KERNEL
+
+    interpret = _DECODE_KERNEL == "interpret"
+
+    posv = pos0 if getattr(pos0, "ndim", 0) == 1 else jnp.broadcast_to(
+        jnp.asarray(pos0, jnp.int32), (b,)
+    )
+    # main-cache visibility is frozen at the WINDOW START: ring mask for a
+    # query at pos0 - 1 (STRICTLY before the window — the slot at pos0
+    # holds stale data until the merge; the window segment supplies every
+    # newer token). Loop-invariant across the window; ring aging advances
+    # only at window granularity.
+    _, mask0 = _ring_write_and_mask(posv - 1, 1, t_logical, 0)
+    main_mask = _kernel_mask(mask0, b, t_logical)
+    # pos0 == 0: nothing in the main cache is visible
+    main_mask = jnp.where(posv[:, None] >= 1, main_mask, -1e30)
+
+    L = cfg.num_layers
+    w_bufs = (
+        jnp.zeros((L, b, g, kw, hd), jnp.int8),
+        jnp.ones((L, b, g, kw, 1), jnp.float32),
+        jnp.zeros((L, b, g, kw, hd), jnp.int8),
+        jnp.ones((L, b, g, kw, 1), jnp.float32),
+    )
+
+    if temperature > 0.0:
+        from .transformer import sample_logits
+
+    def body(carry, i):
+        tok, pos, w_bufs = carry
+        logits, w_bufs = _decode_step_windowed(
+            params, cache, w_bufs, tok, pos, i, main_mask, cfg, rq, bt,
+            interpret,
+        )
+        lg = logits[:, -1, :]
+        if temperature > 0.0:
+            nxt = sample_logits(
+                lg, jax.random.fold_in(sample_key, i),
+                temperature=temperature, top_k=top_k, top_p=top_p,
+            )
+        else:
+            nxt = jnp.argmax(lg, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        return (nxt[:, None], pos + 1, w_bufs), nxt
+
+    (_, _, w_bufs), toks = jax.lax.scan(
+        body, (tok0.astype(jnp.int32), posv, w_bufs), jnp.arange(n_steps)
+    )
+    # write-slot positions may wrap; merge maps logical -> ring slots
+    slot0 = jnp.mod(posv, t_logical)
+    cache = merge_window_into_cache(cache, w_bufs, slot0, cfg)
+    return toks.T, cache

@@ -85,8 +85,8 @@ def _split_s8_rows(a32):
 
 
 def _decode_kernel_s8(
-    q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, o_ref, m_ref, l_ref,
-    acc_ref, *, interpret=False,
+    q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, o_ref, *rest,
+    interpret=False, stats=False,
 ):
     """int8/int4-KV flash decode: codes go STRAIGHT to the MXU, per-token
     scales fold into the small [rep, BT] score matrix — the cache is never
@@ -105,7 +105,17 @@ def _decode_kernel_s8(
 
     Grid (B, NT) with ALL G head-groups inside each program: the per-
     program fixed cost (~7 us measured on v5e) dominates any per-(b, g)
-    grid, so fewer/bigger programs is the lever that matters."""
+    grid, so fewer/bigger programs is the lever that matters.
+
+    `stats=True` adds two outputs (m, l online-softmax statistics,
+    [1, g, rp, 128] blocks, col 0 meaningful) so callers can MERGE this
+    result with attention over another key segment (the window-decode
+    path)."""
+    if stats:
+        m_out_ref, l_out_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
+        m_out_ref = l_out_ref = None
     t = pl.program_id(1)
     nt = pl.num_programs(1)
     g_all = q_ref.shape[1]
@@ -188,10 +198,16 @@ def _decode_kernel_s8(
     @pl.when(t == nt - 1)
     def _():
         for g in range(g_all):
+            # safe divide: an all-masked cache (window decode with an
+            # empty main segment) leaves l == 0 — emit 0, the merge
+            # weights it out via l
             o_ref[0, g] = (
                 acc_ref[g * rp : g * rp + rep]
-                / l_ref[g * rp : g * rp + rep, :1]
+                / jnp.maximum(l_ref[g * rp : g * rp + rep, :1], 1e-30)
             ).astype(o_ref.dtype)
+            if m_out_ref is not None:
+                m_out_ref[0, g] = m_ref[g * rp : (g + 1) * rp]
+                l_out_ref[0, g] = l_ref[g * rp : (g + 1) * rp]
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "block_t", "interpret"))
@@ -257,7 +273,7 @@ def flash_decode_gqa_s8(
 
 def _decode_kernel_s8_stacked(
     lidx_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, mask_ref, o_ref,
-    m_ref, l_ref, acc_ref, *, interpret=False,
+    *rest, interpret=False, stats=False,
 ):
     """Layer-stacked int8 flash decode: the cache refs carry a leading
     (block-size-1) layer axis selected by the scalar-prefetched layer
@@ -269,11 +285,13 @@ def _decode_kernel_s8_stacked(
     del lidx_ref  # consumed by the index_maps
     _decode_kernel_s8(
         q_ref, kq_ref.at[0], ks_ref.at[0], vq_ref.at[0], vs_ref.at[0],
-        mask_ref, o_ref, m_ref, l_ref, acc_ref, interpret=interpret,
+        mask_ref, o_ref, *rest, interpret=interpret, stats=stats,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "block_t", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_t", "interpret", "return_stats")
+)
 def flash_decode_gqa_s8_stacked(
     q: jax.Array,  # [B, 1, Hq, D]
     k_q: jax.Array,  # [L, B, G, T, D] int8 — or uint8 [L, B, G, T/2, D]
@@ -286,7 +304,8 @@ def flash_decode_gqa_s8_stacked(
     out_dtype=jnp.bfloat16,
     block_t: int = 1024,
     interpret: bool = False,
-) -> jax.Array:  # [B, 1, Hq, D]
+    return_stats: bool = False,
+):  # [B, 1, Hq, D]  (+ (m, l) [B, G, rep] f32 when return_stats)
     b, s, hq, d = q.shape
     assert s == 1, "flash decode is single-token"
     int4 = k_q.dtype == jnp.uint8
@@ -306,8 +325,21 @@ def flash_decode_gqa_s8_stacked(
     rp = max(rep, 8)
     kv_spec = pl.BlockSpec((1, 1, g, btr, d), lambda i, k_, l: (l[0], i, 0, k_, 0))
     sc_spec = pl.BlockSpec((1, 1, g, 1, bt), lambda i, k_, l: (l[0], i, 0, 0, k_))
+    o_spec = pl.BlockSpec((1, g, rep, d), lambda i, k_, l: (i, 0, 0, 0))
+    out_specs = o_spec
+    out_shape = jax.ShapeDtypeStruct((b, g, rep, d), out_dtype)
+    if return_stats:
+        st_spec = pl.BlockSpec((1, g, rp, 128), lambda i, k_, l: (i, 0, 0, 0))
+        out_specs = (o_spec, st_spec, st_spec)
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((b, g, rp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, rp, 128), jnp.float32),
+        )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel_s8_stacked, interpret=interpret),
+        functools.partial(
+            _decode_kernel_s8_stacked, interpret=interpret, stats=return_stats
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -316,14 +348,14 @@ def flash_decode_gqa_s8_stacked(
                 kv_spec, sc_spec, kv_spec, sc_spec,
                 pl.BlockSpec((b, bt), lambda i, k_, l: (0, k_)),
             ],
-            out_specs=pl.BlockSpec((1, g, rep, d), lambda i, k_, l: (i, 0, 0, 0)),
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((g * rp, 128), jnp.float32),
                 pltpu.VMEM((g * rp, 128), jnp.float32),
                 pltpu.VMEM((g * rp, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, g, rep, d), out_dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * hq * t * d,
             bytes_accessed=2 * b * g * t * ((d // 2 if int4 else d) + 4),
@@ -334,6 +366,13 @@ def flash_decode_gqa_s8_stacked(
         ),
         interpret=interpret,
     )(lidx, qg, k_q, ks5, v_q, vs5, mask)
+    if return_stats:
+        o, m_st, l_st = out
+        return (
+            o.reshape(b, 1, hq, d),
+            m_st[:, :, :rep, 0],  # [B, G, rep]
+            l_st[:, :, :rep, 0],
+        )
     return out.reshape(b, 1, hq, d)
 
 

@@ -53,10 +53,16 @@ from .a8_matmul import quantize_activations_s8
 #: it the batched-group formulation is MXU-efficient on its own
 BD_MAX_B = 32
 
-#: K-chunk size for the block-diagonal dot: chunking divides the MAC
-#: inflation (G rows each spanning full K) by K/BD_KCHUNK, exactly —
-#: each scale group lives in exactly one chunk
-BD_KCHUNK = int(__import__("os").environ.get("L3Q_BD_KCHUNK", 2048))
+#: K-chunk size for the block-diagonal dot (0 = disabled, the default).
+#: Chunking divides the MAC inflation (G rows each spanning full K) by
+#: K/BD_KCHUNK exactly — but it is a measured NET LOSS inside the decode
+#: layer scan: two-plus dots then consume the same per-layer weight
+#: slice, and a dynamic-slice with multiple consumers does not fuse into
+#: them — XLA materializes the slice as a full per-layer HBM copy
+#: (106 us/layer for gateup; decode collapsed 141 -> 76 tok/s). The
+#: ~0.9 ms/step of MAC-inflation savings never covers that. Left as an
+#: env knob for single-dispatch (non-scan) contexts.
+BD_KCHUNK = int(__import__("os").environ.get("L3Q_BD_KCHUNK", 0))
 
 
 @partial(
@@ -157,7 +163,7 @@ def s4w_matmul(x: jax.Array, w: S4Weight, out_dtype=None) -> jax.Array:
         # exact and divides the G x K x N MAC inflation by the chunk count
         # (down_proj [14336, 4096] G=112 pays ~17 us/layer of inflation
         # un-chunked — m x K x N grows as K^2 N / gs).
-        kc = min(BD_KCHUNK, w.k)
+        kc = min(BD_KCHUNK, w.k) if BD_KCHUNK else w.k
         if w.k % kc:
             kc = w.k
         gc = kc // gs  # groups per chunk

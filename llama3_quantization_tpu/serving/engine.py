@@ -84,6 +84,7 @@ class ServingEngine:
         )
         self._rq, self._sink_tokens = rq, sink_tokens
         self._decode_n = None  # built lazily by step_n
+        self._decode_win: Dict[int, object] = {}  # windowed step_n per k
         self._prefill = jax.jit(
             partial(decode_step, cfg=cfg, rq=rq, sink_tokens=sink_tokens)
         )
@@ -278,6 +279,31 @@ class ServingEngine:
         if not self._slot_req:
             return {}
         jax, jnp = self._jax, self._jnp
+        from ..models.windowed import decode_window, windowed_ok
+
+        if windowed_ok(self.cfg, self.cache, self._rq, self._sink_tokens):
+            # window write-combined k-step decode: zero per-step cache
+            # traffic (models/windowed.py) — the quantized-cache serving
+            # fast path
+            if self._decode_win.get(k) is None:
+                from functools import partial as _partial
+
+                self._decode_win[k] = jax.jit(
+                    _partial(
+                        decode_window, n_steps=k, cfg=self.cfg, rq=self._rq,
+                        temperature=self.temperature, top_k=self.top_k,
+                        top_p=self.top_p,
+                    ),
+                    donate_argnums=(1,),
+                )
+            tok0 = jnp.asarray(self.next_tok[:, None].astype(np.int32))
+            pos0 = jnp.asarray(self.pos.astype(np.int32))
+            self._key, sub = jax.random.split(self._key)
+            toks, self.cache = self._decode_win[k](
+                self.params, self.cache, tok0, pos0, sample_key=sub
+            )
+            toks = np.asarray(toks).T  # [k, B]
+            return self._collect_step_n(toks, k)
         if self._decode_n is None:
             from functools import partial as _partial
 
@@ -320,7 +346,11 @@ class ServingEngine:
         toks, self.cache = self._decode_n(
             self.params, self.cache, tok0, pos0, sub, k
         )
-        toks = np.asarray(toks)
+        return self._collect_step_n(np.asarray(toks), k)
+
+    def _collect_step_n(self, toks, k: int) -> Dict[int, List[int]]:
+        """Distribute a [k, B] token window to requests; finishes at the
+        window boundary (mid-window finishers drop trailing tokens)."""
         out: Dict[int, List[int]] = {}
         for slot, rid in list(self._slot_req.items()):
             req = self.requests[rid]
