@@ -52,11 +52,14 @@ def baseline_ratio(metric: str, value: float, unit: str) -> float:
 
 
 def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None,
-                          head_bits: int = 16, kv_bits: int = 16) -> float:
+                          head_bits: int = 16, kv_bits: int = 16,
+                          zero_bytes: int = 4) -> float:
     """HBM bytes touched per decode step: packed decoder weights + scales +
     fp head/embed reads + KV cache. `container_bits` overrides the storage
     width (the a8 path stores sub-byte codes in int8 containers); `kv_bits`
-    16 = bf16 cache, 8/4 = quantized codes + f32 per-(token, head) scales."""
+    16 = bf16 cache, 8/4 = quantized codes + f32 per-(token, head) scales;
+    `zero_bytes` 1 on the s4 path (int8 centered zero, round 4), 4 (f32)
+    on the container paths."""
     d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim_
     lin = (
         d * cfg.num_heads * hd
@@ -66,7 +69,8 @@ def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None,
     ) * cfg.num_layers
     w_bytes = lin * (container_bits or spec.n_bits) / 8
     gs = spec.group_size or 1
-    scale_bytes = (lin / gs) * 8 if spec.group_size else 0  # f32 scale+zero
+    # f32 scale + zero point per (group, column)
+    scale_bytes = (lin / gs) * (4 + zero_bytes) if spec.group_size else 0
     lm_head = d * cfg.vocab_size * head_bits / 8
     kv_elems = 2 * cfg.num_layers * cache_len * cfg.num_kv_heads
     kv = kv_elems * hd * kv_bits / 8
@@ -300,7 +304,8 @@ def serving_bench(cfg, spec, cfg_name, backend):
         log(f"profiler trace written to {trace_dir}")
     tok_s = produced / dt
     bpt = model_bytes_per_token(cfg, spec, max_len // 2, container_bits=8 if backend == "a8" else None,
-                                head_bits=head_bits, kv_bits=kv_bits)
+                                head_bits=head_bits, kv_bits=kv_bits,
+                                zero_bytes=1 if backend == "s4" else 4)
     sol = HBM_GBPS["v5e"] * 1e9 / bpt * slots  # full-slot upper bound
     log(f"served {n_requests} requests ({produced} tokens) in {dt:.2f}s -> "
         f"{tok_s:.1f} tok/s (full-slot SoL ~{sol:.0f})")
@@ -484,10 +489,12 @@ def main():
     if cfg_name == "llama3-8b":
         container = 8 if backend == "a8" else None
         hb = head_bits
-        bpt = model_bytes_per_token(cfg, spec, 0, container_bits=container, head_bits=hb)
+        zb = 1 if backend == "s4" else 4
+        bpt = model_bytes_per_token(cfg, spec, 0, container_bits=container, head_bits=hb,
+                                    zero_bytes=zb)
         kv_bytes = (
             model_bytes_per_token(cfg, spec, cache_len, container_bits=container,
-                                  head_bits=hb, kv_bits=kv_bits)
+                                  head_bits=hb, kv_bits=kv_bits, zero_bytes=zb)
             - bpt
         )
         # batch decode amortizes weight reads; KV reads scale with batch

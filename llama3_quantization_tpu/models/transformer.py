@@ -1005,7 +1005,15 @@ def greedy_generate(
     int4_cache = any(
         getattr(v, "dtype", None) == jnp.uint8 for v in cache.values()
     )
-    if int4_cache and windowed_ok(cfg, cache, rq, sink_tokens):
+    # n_steps must fit the ring: a window of >= t_logical steps would wrap
+    # onto itself in the merge (the oldest wrap would survive — advisor
+    # round-3 medium finding); fall back to per-step decode there
+    t_logical = cache["k_s"].shape[-2] if "k_s" in cache else 0
+    if (
+        int4_cache
+        and n_steps < t_logical
+        and windowed_ok(cfg, cache, rq, sink_tokens)
+    ):
         # window write-combined decode: the main cache is a loop
         # invariant (zero per-step cache-update traffic). Routed for the
         # int4 cache only: its nibble RMW inside the scan breaks XLA's

@@ -79,7 +79,19 @@ def set_windowed_decode(mode) -> None:
 
 def windowed_ok(cfg: ModelConfig, cache: Dict[str, jax.Array],
                 rq: RuntimeQuantConfig, sink_tokens: int) -> bool:
-    """Is the window write-combined decode applicable?"""
+    """Is the window write-combined decode applicable?
+
+    Semantics caveat (advisor round-3): the main-cache visibility mask is
+    frozen at the window start, so once positions exceed the ring length
+    (`pos + n_steps > max_len`) eviction advances at WINDOW granularity —
+    a query can see up to `n_steps` already-evicted tokens alongside
+    their in-window replacements, a numeric divergence from
+    `decode_step`'s per-step ring. Positions are traced here, so callers
+    that know them on the host gate the route themselves (the serving
+    engine falls back to the per-step scan when any active slot would
+    cross the ring boundary inside the window; `ServingEngine.step_n`).
+    `decode_window` separately rejects n_steps >= ring length (the merge
+    would self-alias)."""
     if _WINDOWED is False:
         return False
     if sink_tokens or cfg.is_moe or cfg.parallel_block:
@@ -293,6 +305,15 @@ def decode_window(
     kw = n_steps
     int4 = cache["k_q"].dtype == jnp.uint8
     t_logical = cache["k_s"].shape[3]
+    if kw >= t_logical:
+        # the merge maps window index j -> ring slot (slot0 + j) mod T; a
+        # window spanning the whole ring would alias slots and keep the
+        # OLDEST wrap (j < kw selects the first hit). Callers chunk
+        # n_steps below the ring length instead.
+        raise ValueError(
+            f"decode_window n_steps={n_steps} must be < cache length "
+            f"{t_logical} (ring merge would self-alias)"
+        )
     bt = 1024 if t_logical % 1024 == 0 else 512
     from .transformer import _DECODE_KERNEL
 

@@ -124,8 +124,11 @@ def _kv4_write(buf: jax.Array, codes: jax.Array, pos, lead=()):
         return jax.lax.dynamic_update_slice(buf, merged, lead + (0, 0, row, 0))
     # S-token span at dynamic parity: unpack the covering byte rows,
     # splice, repack (spans are small — a prefill bucket or a speculative
-    # window)
-    r = s // 2 + 1
+    # window). The +1 covers a span starting at odd parity; when the span
+    # IS the whole cache (s == 2*tp) pos can only be 0 (even), so clamp —
+    # r = tp + 1 would exceed the packed token dim and fail at trace time
+    # (advisor round-3 finding)
+    r = min(s // 2 + 1, tp)
     r0 = jnp.clip(pos // 2, 0, tp - r)
     old = jax.lax.dynamic_slice(
         buf, lead + (0, 0, r0, 0), (1,) * len(lead) + (b, h, r, d)

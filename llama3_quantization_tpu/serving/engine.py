@@ -160,8 +160,8 @@ class ServingEngine:
         """Admit a batch of (prompt_tokens, max_new_tokens, eos_id) at once.
 
         Requests sharing a prompt-length bucket are prefilled in ONE
-        forward (batch = their count, padded to a power of 2 so the
-        program compiles per (bucket, 2^j), not per admission pattern):
+        forward at a FIXED batch of `max_slots` rows (one compiled program
+        per bucket, ever — not per admission pattern):
         under churn the engine admits several requests per free-slot
         window, and per-request prefills serialized between decode windows
         were a measured occupancy cost. Row i's cache is spliced into its
@@ -281,7 +281,16 @@ class ServingEngine:
         jax, jnp = self._jax, self._jnp
         from ..models.windowed import decode_window, windowed_ok
 
-        if windowed_ok(self.cfg, self.cache, self._rq, self._sink_tokens):
+        # windowed decode freezes ring eviction for the window; stay on it
+        # only while no active slot crosses the ring boundary mid-window
+        # (beyond it the per-step scan keeps exact per-step eviction)
+        active = list(self._slot_req)
+        fits_ring = k < self.max_len and all(
+            self.pos[s] + k <= self.max_len for s in active
+        )
+        if fits_ring and windowed_ok(
+            self.cfg, self.cache, self._rq, self._sink_tokens
+        ):
             # window write-combined k-step decode: zero per-step cache
             # traffic (models/windowed.py) — the quantized-cache serving
             # fast path

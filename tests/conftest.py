@@ -20,6 +20,10 @@ _AXON_VARS = ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE", "AXON_LOOPBA
 
 
 def _needs_reexec() -> bool:
+    if os.environ.get("L3Q_TPU_TESTS") == "1":
+        # on-device test run (tests/test_tpu_device.py): keep the real TPU
+        # attached instead of re-execing onto the CPU mesh
+        return False
     return bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and os.environ.get("L3Q_TEST_REEXEC") != "1"
 
 
@@ -40,7 +44,7 @@ def pytest_configure(config):
     os.execvpe(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 
-if not _needs_reexec():
+if not _needs_reexec() and os.environ.get("L3Q_TPU_TESTS") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -48,6 +52,31 @@ if not _needs_reexec():
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    # `big_compile`-marked modules get fresh XLA caches before their first
+    # test: the CPU compiler SIGSEGVs when a large interpret-mode scan
+    # compiles with the whole suite's executables cached (reproduced twice
+    # at test_windowed in full-suite runs, never standalone). A marker
+    # instead of a per-module fixture so any future big-compile module
+    # opts in without re-discovering the failure mode (ordering-dependent
+    # otherwise).
+    seen_modules = set()
+    for item in items:
+        if item.get_closest_marker("big_compile"):
+            mod = item.module.__name__
+            if mod not in seen_modules:
+                seen_modules.add(mod)
+                item.fixturenames.insert(0, "_l3q_fresh_caches")
+
+
+@pytest.fixture
+def _l3q_fresh_caches():
+    import jax
+
+    jax.clear_caches()
+    yield
 
 
 @pytest.fixture

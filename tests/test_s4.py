@@ -219,16 +219,24 @@ def test_ksplit_matvec_exact(monkeypatch):
 
 
 def test_bd_kchunk_exact(monkeypatch):
-    """K-chunked block-diagonal decode dots must match the unchunked form
-    exactly (each scale group lives in exactly one chunk)."""
+    """K-chunked block-diagonal decode dots (separate per-chunk arrays —
+    S4_CHUNK_MAXG policy) must match the unchunked form exactly (each
+    scale group lives in exactly one chunk), in both the decode (b small)
+    and prefill (b > BD_MAX_B) regimes."""
     from llama3_quantization_tpu.ops import s4_matmul as s4m
+    from llama3_quantization_tpu.ops.s4_matmul import prepare_s4
 
-    qt = _mk(256, 96, 4, 32, pack=True, seed=11)
-    x = jnp.array(np.random.default_rng(12).normal(size=(2, 256)).astype(np.float32))
-    monkeypatch.setattr(s4m, "BD_KCHUNK", 10**9)
-    base = np.asarray(s4_matmul(x, qt, out_dtype=jnp.float32), np.float64)
-    monkeypatch.setattr(s4m, "BD_KCHUNK", 64)
-    got = np.asarray(s4_matmul(x, qt, out_dtype=jnp.float32), np.float64)
-    assert np.array_equal(got, base)
-    exp = _oracle(x, qt)
-    assert np.abs(got - exp).max() / (np.abs(exp).max() + 1e-9) < 5e-6
+    qt = _mk(256, 96, 4, 32, pack=True, seed=11)  # G = 8 groups
+    for b in (2, s4m.BD_MAX_B + 1):
+        x = jnp.array(
+            np.random.default_rng(12).normal(size=(b, 256)).astype(np.float32)
+        )
+        monkeypatch.setattr(s4m, "S4_CHUNK_MAXG", 0)
+        assert prepare_s4(qt).chunks == 1
+        base = np.asarray(s4_matmul(x, qt, out_dtype=jnp.float32), np.float64)
+        monkeypatch.setattr(s4m, "S4_CHUNK_MAXG", 2)
+        assert prepare_s4(qt).chunks == 4
+        got = np.asarray(s4_matmul(x, qt, out_dtype=jnp.float32), np.float64)
+        assert np.array_equal(got, base)
+        exp = _oracle(x, qt)
+        assert np.abs(got - exp).max() / (np.abs(exp).max() + 1e-9) < 5e-6

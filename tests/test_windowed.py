@@ -27,16 +27,10 @@ from llama3_quantization_tpu.models.windowed import (
 from llama3_quantization_tpu.ops.kvcache import kv4_pack, kv4_unpack_codes
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _fresh_compile_caches():
-    """This module runs LAST in the suite and its interpret-mode scan
-    compiles are large; with the whole suite's executables still cached
-    the XLA CPU compiler aborts (SIGSEGV/SIGABRT — reproduced twice at
-    tests/test_windowed.py::test_decode_window_matches_per_step_kernel
-    in full-suite runs, never standalone). Dropping cached executables
-    first keeps the compiler inside its memory budget."""
-    jax.clear_caches()
-    yield
+# big-compile module: the conftest `big_compile` hook clears XLA caches
+# before this module's first test (the CPU compiler aborts when the
+# interpret-mode scan compiles with the whole suite's executables cached)
+pytestmark = pytest.mark.big_compile
 
 
 @pytest.mark.parametrize("packed", [False, True])
