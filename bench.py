@@ -7,12 +7,18 @@ architecture model with W4 g128 packed weights running the Pallas fused
 dequant-matmul path. Weights are synthetic (zero-egress container — no
 checkpoint downloads); throughput depends only on shapes/layout.
 
-Prints exactly ONE JSON line to stdout:
-  {"metric": ..., "value": tokens/s, "unit": "tok/s", "vs_baseline": ...}
-`vs_baseline` is the fraction of the HBM-bandwidth speed-of-light rate for
-this model/format on this chip (1.0 == bytes-bound optimum; the reference
-publishes no throughput numbers to compare against — SURVEY.md §6).
-Diagnostics go to stderr.
+Prints ONE JSON line per metric to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": ...,
+   "vs_sol": ..., "vs_prev": ...}
+The default run (no L3Q_BENCH_MODE) guards all three production workloads:
+decode + serving + GPTQ calibration, each in its own subprocess (HBM
+isolation — an idle 8B of decode weights under the calibration run is a
+measured OOM). `vs_sol` is the fraction of the physics bound for this
+format on this chip (1.0 == optimum; the reference publishes no throughput
+numbers to compare against — SURVEY.md §6); `vs_prev` is
+round-over-round vs BENCH_BASELINES.json (a regression reads < 1).
+`L3Q_BENCH_MODE=decode|serve|gptq|omniquant|prefill` runs one workload
+inline. Diagnostics go to stderr.
 """
 
 import json
@@ -49,6 +55,32 @@ def baseline_ratio(metric: str, value: float, unit: str) -> float:
     if not base or not value:
         return 0.0
     return base / value if unit == "min" else value / base
+
+
+def emit(metric: str, value: float, unit: str, vs_sol=None, legacy="sol") -> None:
+    """Print one metric record. `vs_baseline` keeps its historical
+    per-mode meaning (`legacy`: decode/prefill report the speed-of-light
+    fraction, serve/calib report round-over-round) for cross-round
+    continuity, but every record now ALSO carries the unambiguous pair:
+
+    - `vs_sol`:  fraction of the physics bound (HBM bytes or MXU flops),
+                 null where no bound applies (calibration minutes);
+    - `vs_prev`: this value vs BENCH_BASELINES.json (regression < 1),
+                 null when no baseline is recorded.
+    """
+    prev = baseline_ratio(metric, value, unit)
+    if legacy == "prev":
+        leg = prev if prev else (vs_sol or 0.0)
+    else:
+        leg = vs_sol if vs_sol is not None else prev
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(leg, 4) if leg else 0.0,
+        "vs_sol": round(vs_sol, 4) if vs_sol is not None else None,
+        "vs_prev": round(prev, 4) if prev else None,
+    }))
 
 
 def model_bytes_per_token(cfg, spec, cache_len: int, container_bits=None,
@@ -125,12 +157,8 @@ def prefill_bench(cfg, params, cfg_name, backend):
     sol = MXU_BF16_TFLOPS * 1e12 / prefill_flops_per_token(cfg, seq)
     log(f"prefill S={seq}: {dt*1000:.1f} ms -> {tok_s:.0f} tok/s "
         f"({tok_s/sol:.2f} of bf16-compute SoL {sol:.0f})")
-    print(json.dumps({
-        "metric": f"prefill_tok_s_chip_{cfg_name}_{backend}",
-        "value": round(tok_s, 1),
-        "unit": "tok/s",
-        "vs_baseline": round(tok_s / sol, 4),
-    }))
+    emit(f"prefill_tok_s_chip_{cfg_name}_{backend}", tok_s, "tok/s",
+         vs_sol=tok_s / sol)
 
 
 def gptq_calib_bench(cfg, spec, cfg_name):
@@ -166,13 +194,7 @@ def gptq_calib_bench(cfg, spec, cfg_name):
     model_min = layer_s * full_layers / 60.0
     log(f"steady-state: {layer_s:.2f}s/layer -> {model_min:.1f} min for "
         f"{full_layers} layers ({n}x{seq} calib tokens)")
-    metric = f"gptq_calib_min_{cfg_name}"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(model_min, 2),
-        "unit": "min",
-        "vs_baseline": round(baseline_ratio(metric, model_min, "min"), 4),
-    }))
+    emit(f"gptq_calib_min_{cfg_name}", model_min, "min", legacy="prev")
 
 
 def omniquant_calib_bench(cfg, spec, cfg_name):
@@ -211,13 +233,7 @@ def omniquant_calib_bench(cfg, spec, cfg_name):
     model_min = layer_s * full_layers / 60.0
     log(f"steady-state: {layer_s:.2f}s/layer -> {model_min:.1f} min for "
         f"{full_layers} layers ({epochs} epochs, {n}x{seq}, let={let})")
-    metric = f"omniquant_calib_min_{cfg_name}"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(model_min, 2),
-        "unit": "min",
-        "vs_baseline": round(baseline_ratio(metric, model_min, "min"), 4),
-    }))
+    emit(f"omniquant_calib_min_{cfg_name}", model_min, "min", legacy="prev")
 
 
 def serving_bench(cfg, spec, cfg_name, backend):
@@ -309,20 +325,39 @@ def serving_bench(cfg, spec, cfg_name, backend):
     sol = HBM_GBPS["v5e"] * 1e9 / bpt * slots  # full-slot upper bound
     log(f"served {n_requests} requests ({produced} tokens) in {dt:.2f}s -> "
         f"{tok_s:.1f} tok/s (full-slot SoL ~{sol:.0f})")
-    metric = f"serving_tok_s_chip_{cfg_name}_{backend}_slots{slots}"
-    base = baseline_ratio(metric, tok_s, "tok/s")
-    print(json.dumps({
-        "metric": metric,
-        "value": round(tok_s, 1),
-        "unit": "tok/s",
-        # round-over-round target when recorded (regression < 1); the
-        # full-slot SoL fraction stays in the stderr log line above
-        "vs_baseline": round(base if base else tok_s / sol, 4),
-    }))
+    # vs_baseline keeps the round-over-round target when recorded
+    # (regression < 1); vs_sol is the full-slot bound fraction
+    emit(f"serving_tok_s_chip_{cfg_name}_{backend}_slots{slots}", tok_s,
+         "tok/s", vs_sol=tok_s / sol, legacy="prev")
+
+
+def run_all() -> int:
+    """Driver default: decode + serving + GPTQ calibration, one subprocess
+    each (fresh HBM; compile time per stage is the price of isolation).
+    Forwards each stage's stdout JSON lines; a failing stage reports an
+    exit-code line instead of silently dropping its metric."""
+    import subprocess
+
+    rc_all = 0
+    for mode in ("decode", "serve", "gptq"):
+        log(f"=== bench stage: {mode} ===")
+        env = dict(os.environ, L3Q_BENCH_MODE=mode)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, text=True,
+        )
+        sys.stdout.write(proc.stdout)
+        sys.stdout.flush()
+        if proc.returncode:
+            rc_all = proc.returncode
+            log(f"bench stage {mode} FAILED (exit {proc.returncode})")
+    return rc_all
 
 
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
+    if not os.environ.get("L3Q_BENCH_MODE") and on_tpu:
+        return run_all()
     from llama3_quantization_tpu.models import LLAMA3_8B, TINY_LLAMA
     from llama3_quantization_tpu.models.synthetic import init_quantized_params
     from llama3_quantization_tpu.models.transformer import init_kv_cache
@@ -510,8 +545,8 @@ def main():
         vs = 0.0
         metric = f"decode_tok_s_{cfg_name}_{backend}"
 
-    print(json.dumps({"metric": metric, "value": round(tok_s, 2), "unit": "tok/s", "vs_baseline": round(vs, 4)}))
+    emit(metric, tok_s, "tok/s", vs_sol=vs if vs else None)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
