@@ -294,6 +294,33 @@ def set_decode_kernel(mode) -> None:
     _DECODE_KERNEL = mode
 
 
+#: int8-KV decode attention formulation: "xla" = codes-direct batched XLA
+#: dots (`ops/decode_attention.xla_decode_gqa_s8*` — on this libtpu every
+#: Pallas formulation is DMA-capped at ~0.3-0.4 of the HBM bus while XLA
+#: dots stream 0.83-1.0, docs/BENCH_NOTES.md round 4); "kernel" = the
+#: Pallas flash-decode kernel; "auto" = xla for int8 caches on TPU, kernel
+#: otherwise. int4 (uint8-packed) caches always use the kernel — XLA has
+#: no free nibble bitcast, unpacking would materialize the cache.
+_DECODE_ATTN = __import__("os").environ.get("L3Q_DECODE_ATTN", "auto")
+
+
+def set_decode_attn(mode) -> None:
+    global _DECODE_ATTN
+    if mode not in ("auto", "xla", "kernel"):
+        raise ValueError(mode)
+    _DECODE_ATTN = mode
+
+
+def _use_xla_attn(cache_dtype) -> bool:
+    """Route the int8-KV decode attention through the XLA codes-direct
+    dots instead of the Pallas kernel? (int4 never: see _DECODE_ATTN.)"""
+    if cache_dtype != jnp.int8 or _DECODE_ATTN == "kernel":
+        return False
+    if _DECODE_ATTN == "xla":
+        return True
+    return jax.default_backend() == "tpu" and _DECODE_KERNEL != "interpret"
+
+
 def set_decode_mesh(mesh) -> None:
     """Enable the flash-decode kernel under tensor/data-sharded decode.
 
@@ -450,19 +477,25 @@ def _attn_block(
         # copies per step (round-1 b8 trace, ~0.41 ms each). Callers
         # guarantee `_stacked_decode_ok` held at trace time.
         if len(kv_cache) == 4:
-            from ..ops.decode_attention import flash_decode_gqa_s8_stacked
+            from ..ops.decode_attention import (
+                flash_decode_gqa_s8_stacked,
+                xla_decode_gqa_s8_stacked,
+            )
             from ..ops.kvcache import cache_update_stacked
 
             new_cache = cache_update_stacked(kv_cache, layer_idx, k, v, cache_pos)
             t_len = new_cache[0].shape[3] * (
                 2 if new_cache[0].dtype == jnp.uint8 else 1
             )
-            fd = partial(
-                flash_decode_gqa_s8_stacked,
-                out_dtype=h.dtype,
-                block_t=1024 if t_len % 1024 == 0 else 512,
-                interpret=_DECODE_KERNEL == "interpret",
-            )
+            if _use_xla_attn(new_cache[0].dtype) and _DECODE_MESH is None:
+                fd = partial(xla_decode_gqa_s8_stacked, out_dtype=h.dtype)
+            else:
+                fd = partial(
+                    flash_decode_gqa_s8_stacked,
+                    out_dtype=h.dtype,
+                    block_t=1024 if t_len % 1024 == 0 else 512,
+                    interpret=_DECODE_KERNEL == "interpret",
+                )
             quantized = True
         else:
             from ..ops.decode_attention import flash_decode_gqa_stacked
@@ -502,20 +535,25 @@ def _attn_block(
 
         new_cache = cache_update(kv_cache, k, v, cache_pos)
         if attn_impl is None and _decode_kernel_ok(rq, new_cache, s):
-            # Pallas s8 flash decode: cache codes feed the MXU directly
-            # (~600 GB/s measured vs ~190 for the XLA dequant path) —
-            # ops/decode_attention.py
-            from ..ops.decode_attention import flash_decode_gqa_s8
+            # quantized-cache decode: codes feed the MXU directly, never
+            # elementwise-dequantized (the VPU trap that made the XLA
+            # *dequant* formulation slower than bf16). int8 rides the
+            # codes-direct XLA dots (_use_xla_attn); int4 the Pallas
+            # kernel (free Mosaic nibble bitcast) — ops/decode_attention.py
+            from ..ops.decode_attention import flash_decode_gqa_s8, xla_decode_gqa_s8
 
             t_len = new_cache[0].shape[2] * (
                 2 if new_cache[0].dtype == jnp.uint8 else 1
             )
-            fd = partial(
-                flash_decode_gqa_s8,
-                out_dtype=h.dtype,
-                block_t=1024 if t_len % 1024 == 0 else 512,
-                interpret=_DECODE_KERNEL == "interpret",
-            )
+            if _use_xla_attn(new_cache[0].dtype) and _DECODE_MESH is None:
+                fd = partial(xla_decode_gqa_s8, out_dtype=h.dtype)
+            else:
+                fd = partial(
+                    flash_decode_gqa_s8,
+                    out_dtype=h.dtype,
+                    block_t=1024 if t_len % 1024 == 0 else 512,
+                    interpret=_DECODE_KERNEL == "interpret",
+                )
             if _DECODE_MESH is not None:
                 fd = _sharded_decode(fd, b, new_cache[0].shape[1], quantized=True)
             if fd is not None:

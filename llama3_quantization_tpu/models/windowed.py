@@ -144,7 +144,11 @@ def _attn_block_windowed(
     `w_slices` = (wk, wks, wv, wvs) for THIS layer ([B, H, KW, *] — the
     layer scan streams them as xs/ys); `widx` = this step's window slot.
     Returns (attn_out [B, 1, Hq*D], updated w_slices)."""
-    from ..ops.decode_attention import flash_decode_gqa_s8_stacked
+    from ..ops.decode_attention import (
+        flash_decode_gqa_s8_stacked,
+        xla_decode_gqa_s8_stacked,
+    )
+    from .transformer import _use_xla_attn
 
     b, s, _ = x.shape
     hd = cfg.head_dim_
@@ -177,11 +181,17 @@ def _attn_block_windowed(
     rep = cfg.num_heads // g
     qg = q.reshape(b, g, rep, hd)
 
-    o1, m1, l1 = flash_decode_gqa_s8_stacked(
-        q, cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"],
-        main_mask, layer_idx, out_dtype=jnp.float32, block_t=block_t,
-        interpret=interpret, return_stats=True,
-    )
+    if _use_xla_attn(cache["k_q"].dtype):
+        o1, m1, l1 = xla_decode_gqa_s8_stacked(
+            q, cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"],
+            main_mask, layer_idx, out_dtype=jnp.float32, return_stats=True,
+        )
+    else:
+        o1, m1, l1 = flash_decode_gqa_s8_stacked(
+            q, cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"],
+            main_mask, layer_idx, out_dtype=jnp.float32, block_t=block_t,
+            interpret=interpret, return_stats=True,
+        )
     o1 = o1.reshape(b, g, rep, hd).astype(jnp.float32)
 
     kw = wk.shape[2]

@@ -486,3 +486,101 @@ def flash_decode_gqa(
         interpret=interpret,
     )(qg, k, v, mask)
     return out.reshape(b, 1, hq, d)
+
+
+def _xla_s8_core(qg, kq, ks, vq, vs, mask, return_stats=False):
+    """Shared math of the XLA codes-direct path: qg [B, G, rep, D] f32,
+    kq/vq [B, G, T, D] int8, ks/vs [B, G, T] f32, mask [B, T] additive.
+    Returns (o [B, G, rep, D] f32, m, l) — o normalized; m/l the online-
+    softmax statistics (for window merges)."""
+    b, g, rep, d = qg.shape
+    scale = 1.0 / math.sqrt(d)
+    qa = jnp.max(jnp.abs(qg), axis=-1, keepdims=True)
+    qs = jnp.maximum(qa, 1e-8) / 127.0
+    qc = jnp.clip(jnp.round(qg / qs), -127, 127).astype(jnp.int8)
+    s32 = jax.lax.dot_general(
+        qc, kq, (((3,), (3,)), ((0, 1), (0, 1))), preferred_element_type=jnp.int32
+    )  # [B, G, rep, T]
+    s = (
+        s32.astype(jnp.float32) * (qs * scale)
+        * ks[:, :, None, :]
+        + mask[:, None, None, :]
+    )
+    m = jnp.max(s, axis=-1)  # [B, G, rep]
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    pv_f = p * vs[:, :, None, :]
+    pa = jnp.max(jnp.abs(pv_f), axis=-1, keepdims=True)
+    ps = jnp.maximum(pa, 1e-20) / 127.0
+    pc = jnp.clip(jnp.round(pv_f / ps), -127, 127).astype(jnp.int8)
+    pv32 = jax.lax.dot_general(
+        pc, vq, (((3,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.int32
+    )  # [B, G, rep, D]
+    o = pv32.astype(jnp.float32) * ps / jnp.maximum(l, 1e-30)[..., None]
+    return o, m, l
+
+
+def xla_decode_gqa_s8(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k_q: jax.Array,  # [B, G, T, D] int8 codes (NOT the uint8 int4 pack)
+    k_s: jax.Array,  # [B, G, T, 1]
+    v_q: jax.Array,
+    v_s: jax.Array,
+    mask: jax.Array,  # [B, T] additive fp32, finite
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """int8-KV decode attention as two batched XLA MXU dots, codes direct.
+
+    Same math as `flash_decode_gqa_s8` (q and probs quantized to s8 with
+    the per-token scales folded post-dot) WITHOUT Pallas: on this libtpu
+    every Pallas formulation is capped at ~0.3-0.4 of the HBM bus by its
+    DMA path while XLA dots stream 0.83-1.0 (docs/BENCH_NOTES.md round 4)
+    — so the dots that read the cache should be XLA dots. The [B,G,rep,T]
+    score/prob intermediates this materializes are trivial next to the
+    cache bytes. int4 (uint8-packed) caches stay on the Pallas kernel:
+    unpacking them in XLA materializes the whole cache per step."""
+    b, s, hq, d = q.shape
+    assert s == 1, "decode attention is single-token"
+    g, t = k_q.shape[1], k_q.shape[2]
+    qg = q.reshape(b, g, hq // g, d).astype(jnp.float32)
+    o, _, _ = _xla_s8_core(
+        qg, k_q, k_s.reshape(b, g, t), v_q, v_s.reshape(b, g, t),
+        mask.astype(jnp.float32),
+    )
+    return o.reshape(b, 1, hq, d).astype(out_dtype)
+
+
+def xla_decode_gqa_s8_stacked(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k_q: jax.Array,  # [L, B, G, T, D] int8
+    k_s: jax.Array,  # [L, B, G, T, 1]
+    v_q: jax.Array,
+    v_s: jax.Array,
+    mask: jax.Array,  # [B, T]
+    layer,  # scalar int32
+    out_dtype=jnp.bfloat16,
+    return_stats: bool = False,
+):
+    """Layer-stacked variant: per-layer views via one dynamic slice per
+    buffer. Each slice has exactly ONE consumer (its dot / its scale
+    multiply) so XLA fuses it into the read instead of materializing a
+    per-layer cache copy (the round-3 multi-consumer trap is what this
+    rule guards against). `return_stats` adds (m, l) for the windowed
+    online-softmax merge."""
+    b, s, hq, d = q.shape
+    assert s == 1, "decode attention is single-token"
+    g, t = k_q.shape[2], k_q.shape[3]
+    li = jnp.asarray(layer, jnp.int32)
+
+    def lslice(buf):
+        return jax.lax.dynamic_index_in_dim(buf, li, axis=0, keepdims=False)
+
+    qg = q.reshape(b, g, hq // g, d).astype(jnp.float32)
+    o, m, l = _xla_s8_core(
+        qg, lslice(k_q), lslice(k_s).reshape(b, g, t), lslice(v_q),
+        lslice(v_s).reshape(b, g, t), mask.astype(jnp.float32),
+    )
+    out = o.reshape(b, 1, hq, d).astype(out_dtype)
+    if return_stats:
+        return out, m, l
+    return out

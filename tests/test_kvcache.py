@@ -283,3 +283,48 @@ def test_flash_decode_kernel_int4_matches_xla_path():
         np.asarray(outs["interpret"]), np.asarray(outs[False]),
         rtol=0.08, atol=0.08,  # int4 noise + kernel's q/probs s8 rounding
     )
+
+
+def test_xla_codes_attn_matches_kernel():
+    """The XLA codes-direct int8 decode attention (round 4 — the Pallas
+    DMA cap made it the TPU default) matches the interpret-mode kernel
+    near-exactly: identical quantization of q and probs, same online math
+    (the non-stacked variants measured bit-identical on device)."""
+    from llama3_quantization_tpu.models import set_decode_kernel
+    from llama3_quantization_tpu.models.transformer import (
+        decode_step_multi,
+        set_decode_attn,
+    )
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+
+    outs = {}
+    for attn in ("kernel", "xla"):
+        set_decode_kernel("interpret")
+        set_decode_attn(attn)
+        try:
+            cache = init_kv_cache(cfg, 2, 16, quantized=True)
+            lg, cache = decode_step(params, cache, toks[:, :4], jnp.int32(0), cfg)
+            seq = [lg[:, -1]]
+            for i in range(4, 12):
+                lg, cache = decode_step(params, cache, toks[:, i:i+1], jnp.int32(i), cfg)
+                seq.append(lg[:, 0])
+            mcache = init_kv_cache(cfg, 2, 16, quantized=True)
+            _, mcache = decode_step(params, mcache, toks[:, :4], jnp.int32(0), cfg)
+            mlg, _ = decode_step_multi(
+                params, mcache, toks[:, 4:5], jnp.array([4, 2]), cfg
+            )
+            outs[attn] = (jnp.stack(seq), mlg)
+        finally:
+            set_decode_kernel("auto")
+            set_decode_attn("auto")
+    np.testing.assert_allclose(
+        np.asarray(outs["xla"][0]), np.asarray(outs["kernel"][0]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["xla"][1]), np.asarray(outs["kernel"][1]),
+        rtol=1e-4, atol=1e-4,
+    )
