@@ -265,6 +265,10 @@ def serving_bench(cfg, spec, cfg_name, backend):
         params, cfg, max_slots=slots, max_len=max_len,
         quantized_cache=kv_bits if kv_bits < 16 else False,
         fuse=backend in ("a8", "s4") and os.environ.get("L3Q_BENCH_FUSE", "1") == "1",
+        # generation budgets are known (max_new_tokens): longest-job-first
+        # admission minimizes the drain tail (LPT); L3Q_BENCH_SCHED=fifo
+        # reverts to arrival order
+        schedule=os.environ.get("L3Q_BENCH_SCHED", "ljf"),
     )
     rng = np.random.default_rng(0)
     lengths = [(int(rng.integers(8, 64)), int(rng.integers(48, 160)))
@@ -280,21 +284,30 @@ def serving_bench(cfg, spec, cfg_name, backend):
         if batch:
             eng.add_requests(batch)
 
-    # k tokens per dispatch (ServingEngine.step_n): the per-step host
-    # round-trip costs more than the 8-slot device step through the
-    # tunnel; finishes are handled at window boundaries
-    step_tokens = int(os.environ.get("L3Q_BENCH_STEPN", 16))
+    # k tokens per dispatch. Sequential step_n: the per-window host cost
+    # (~60 ms through the tunnel) dominates small windows — 341.7 (k=8) /
+    # 405.7 (16) / 450.6 (32 — its optimum). The pipelined runner hides
+    # that host cost (window i+1 dispatched before window i is fetched;
+    # fully-async admissions), shifting the optimum down to k=12 where
+    # mid-window finish waste and the one-window admission lag are small:
+    # 494 (k=8) / 552.2 (12) / 537.9 (16) / 458.9 (32) tok/s measured.
+    step_tokens = int(os.environ.get("L3Q_BENCH_STEPN", 12))
+    pipelined = os.environ.get("L3Q_BENCH_PIPELINE", "1") == "1"
     # warmup: compile ALL prefill buckets touched by the 8-64 prompt range
     # (16/32/64) + the k-step decode scan — a bucket compiling mid-run
     # lands its remote-compile seconds inside the measured window
     warm = [(16, 2 * step_tokens), (24, 2 * step_tokens), (48, 2 * step_tokens)]
-    feed(warm)
-    eng.run(max_steps=8, step_tokens=step_tokens)
+    if pipelined:
+        for plen, glen in warm:
+            eng.submit(list(rng.integers(0, cfg.vocab_size, plen)), glen, None)
+        eng.run_pipelined(step_tokens)
+    else:
+        feed(warm)
+        eng.run(max_steps=8, step_tokens=step_tokens)
     for rid in list(eng.requests):
         eng.requests.pop(rid, None)
 
     pending = list(lengths)
-    feed(pending)
     produced = 0
     trace_dir = os.environ.get("L3Q_BENCH_TRACE")
     if trace_dir:
@@ -306,16 +319,27 @@ def serving_bench(cfg, spec, cfg_name, backend):
         import contextlib
 
         tracer = contextlib.nullcontext()
-    t0 = time.time()
-    with tracer:
-        while eng._slot_req:
-            if step_tokens > 1:
-                produced += sum(len(v) for v in eng.step_n(step_tokens).values())
-            else:
-                produced += len(eng.step())
-            if eng.free and pending:
-                feed(pending)
-    dt = time.time() - t0
+    if pipelined:
+        for plen, glen in pending:  # queue pops from the end, i.e. the
+            # same admission order as the step_n loop's feed(pending.pop())
+            eng.submit(list(rng.integers(0, cfg.vocab_size, plen)), glen, None)
+        t0 = time.time()
+        with tracer:
+            eng.run_pipelined(step_tokens)
+        dt = time.time() - t0
+        produced = sum(len(r.generated) for r in eng.requests.values())
+    else:
+        feed(pending)
+        t0 = time.time()
+        with tracer:
+            while eng._slot_req:
+                if step_tokens > 1:
+                    produced += sum(len(v) for v in eng.step_n(step_tokens).values())
+                else:
+                    produced += len(eng.step())
+                if eng.free and pending:
+                    feed(pending)
+        dt = time.time() - t0
     if trace_dir:
         log(f"profiler trace written to {trace_dir}")
     tok_s = produced / dt

@@ -100,8 +100,15 @@ def windowed_ok(cfg: ModelConfig, cache: Dict[str, jax.Array],
         return False
     from . import transformer as _t
 
-    if _t._DECODE_MESH is not None:  # v1: single-replica only
-        return False
+    if _t._DECODE_MESH is not None:
+        # round 4 lifts the v1 single-replica gate for the int8 cache:
+        # the codes-direct XLA attention is plain GSPMD (no shard_map
+        # needed — batch shards on dp, KV head groups on tp by
+        # propagation). The int4 cache still needs the Pallas kernel's
+        # scalar-prefetch BlockSpecs, which the windowed merge does not
+        # shard_map — single-replica only there.
+        if not _t._use_xla_attn(cache["k_q"].dtype):
+            return False
     arrs = tuple(cache[k] for k in sorted(cache.keys()))
     return _decode_kernel_ok(rq, arrs, 1)
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -61,6 +61,7 @@ class ServingEngine:
         top_p: float = 1.0,
         seed: int = 0,
         fuse: bool = False,
+        schedule: str = "fifo",
     ):
         import jax
         import jax.numpy as jnp
@@ -103,6 +104,17 @@ class ServingEngine:
         self.requests: Dict[int, _Request] = {}
         self._slot_req: Dict[int, int] = {}
         self._next_rid = 0
+        if schedule not in ("fifo", "ljf"):
+            raise ValueError(schedule)
+        #: admission policy for the submit queue: "fifo" (arrival order) or
+        #: "ljf" (longest-job-first by max_new_tokens — minimizes the drain
+        #: tail when generation budgets are known; classic LPT scheduling)
+        self.schedule = schedule
+        self._queue: List = []  # submitted-not-yet-admitted requests
+        # async-admission state (run_pipelined): device first-token arrays
+        # awaiting host resolution / scatter into the next window's tok0
+        self._first_pending: List = []
+        self._scatter_next: List = []
 
         def _splice(cache, slot_cache, slot):
             return {
@@ -279,83 +291,54 @@ class ServingEngine:
         if not self._slot_req:
             return {}
         jax, jnp = self._jax, self._jnp
-        from ..models.windowed import decode_window, windowed_ok
-
-        # windowed decode freezes ring eviction for the window; stay on it
-        # only while no active slot crosses the ring boundary mid-window
-        # (beyond it the per-step scan keeps exact per-step eviction)
-        active = list(self._slot_req)
-        fits_ring = k < self.max_len and all(
-            self.pos[s] + k <= self.max_len for s in active
-        )
-        if fits_ring and windowed_ok(
-            self.cfg, self.cache, self._rq, self._sink_tokens
-        ):
-            # window write-combined k-step decode: zero per-step cache
-            # traffic (models/windowed.py) — the quantized-cache serving
-            # fast path
-            if self._decode_win.get(k) is None:
-                from functools import partial as _partial
-
-                self._decode_win[k] = jax.jit(
-                    _partial(
-                        decode_window, n_steps=k, cfg=self.cfg, rq=self._rq,
-                        temperature=self.temperature, top_k=self.top_k,
-                        top_p=self.top_p,
-                    ),
-                    donate_argnums=(1,),
-                )
-            tok0 = jnp.asarray(self.next_tok[:, None].astype(np.int32))
-            pos0 = jnp.asarray(self.pos.astype(np.int32))
-            self._key, sub = jax.random.split(self._key)
-            toks, self.cache = self._decode_win[k](
-                self.params, self.cache, tok0, pos0, sample_key=sub
-            )
-            toks = np.asarray(toks).T  # [k, B]
-            return self._collect_step_n(toks, k)
-        if self._decode_n is None:
-            from functools import partial as _partial
-
-            from ..models.transformer import decode_step_multi, sample_logits
-
-            cfg, rq, sink = self.cfg, self._rq, self._sink_tokens
-            temp, tk, tp = self.temperature, self.top_k, self.top_p
-
-            @_partial(jax.jit, static_argnames=("k",), donate_argnums=(1,))
-            def decode_n(params, cache, tok0, pos0, key, k):
-                from ..ops.matmul import prepare_decode_params
-
-                params = prepare_decode_params(params)  # s4: prep off-scan
-
-                def body(carry, i):
-                    tok, pos, cache = carry
-                    logits, cache = decode_step_multi(
-                        params, cache, tok, pos, cfg=cfg, rq=rq, sink_tokens=sink
-                    )
-                    lg = logits[:, 0, :]
-                    if temp <= 0.0:
-                        nxt = jnp.argmax(lg, axis=-1)
-                    else:
-                        nxt = sample_logits(
-                            lg, jax.random.fold_in(key, i),
-                            temperature=temp, top_k=tk, top_p=tp,
-                        )
-                    nxt = nxt.astype(jnp.int32)
-                    return (nxt[:, None], pos + 1, cache), nxt
-
-                (_, _, cache), toks = jax.lax.scan(
-                    body, (tok0, pos0, cache), jnp.arange(k)
-                )
-                return toks, cache  # toks [k, B]
-
-            self._decode_n = decode_n
         tok0 = jnp.asarray(self.next_tok[:, None].astype(np.int32))
         pos0 = jnp.asarray(self.pos.astype(np.int32))
         self._key, sub = jax.random.split(self._key)
-        toks, self.cache = self._decode_n(
-            self.params, self.cache, tok0, pos0, sub, k
-        )
-        return self._collect_step_n(np.asarray(toks), k)
+        toks, layout = self._dispatch_window(k, tok0, pos0, sub)
+        arr = np.asarray(toks)
+        if layout == "bk":
+            arr = arr.T  # -> [k, B]
+        return self._collect_step_n(arr, k)
+
+    def _build_decode_n(self) -> None:
+        if self._decode_n is not None:
+            return
+        from functools import partial as _partial
+
+        from ..models.transformer import decode_step_multi, sample_logits
+
+        jax, jnp = self._jax, self._jnp
+        cfg, rq, sink = self.cfg, self._rq, self._sink_tokens
+        temp, tk, tp = self.temperature, self.top_k, self.top_p
+
+        @_partial(jax.jit, static_argnames=("k",), donate_argnums=(1,))
+        def decode_n(params, cache, tok0, pos0, key, k):
+            from ..ops.matmul import prepare_decode_params
+
+            params = prepare_decode_params(params)  # s4: prep off-scan
+
+            def body(carry, i):
+                tok, pos, cache = carry
+                logits, cache = decode_step_multi(
+                    params, cache, tok, pos, cfg=cfg, rq=rq, sink_tokens=sink
+                )
+                lg = logits[:, 0, :]
+                if temp <= 0.0:
+                    nxt = jnp.argmax(lg, axis=-1)
+                else:
+                    nxt = sample_logits(
+                        lg, jax.random.fold_in(key, i),
+                        temperature=temp, top_k=tk, top_p=tp,
+                    )
+                nxt = nxt.astype(jnp.int32)
+                return (nxt[:, None], pos + 1, cache), nxt
+
+            (_, _, cache), toks = jax.lax.scan(
+                body, (tok0, pos0, cache), jnp.arange(k)
+            )
+            return toks, cache  # toks [k, B]
+
+        self._decode_n = decode_n
 
     def _collect_step_n(self, toks, k: int) -> Dict[int, List[int]]:
         """Distribute a [k, B] token window to requests; finishes at the
@@ -379,6 +362,253 @@ class ServingEngine:
         return out
 
     # ------------------------------------------------------------------
+    def _dispatch_window(self, k: int, tok0, pos0, sub):
+        """Dispatch one k-step decode window (windowed write-combined path
+        when applicable, else the scan fallback) WITHOUT fetching results.
+        Returns the device token array ([B, k] or [k, B] — see
+        `_window_rows`)."""
+        jax = self._jax
+        from ..models.windowed import decode_window, windowed_ok
+
+        active = list(self._slot_req)
+        fits_ring = k < self.max_len and all(
+            self.pos[s] + k <= self.max_len for s in active
+        )
+        if fits_ring and windowed_ok(
+            self.cfg, self.cache, self._rq, self._sink_tokens
+        ):
+            if self._decode_win.get(k) is None:
+                from functools import partial as _partial
+
+                self._decode_win[k] = jax.jit(
+                    _partial(
+                        decode_window, n_steps=k, cfg=self.cfg, rq=self._rq,
+                        temperature=self.temperature, top_k=self.top_k,
+                        top_p=self.top_p,
+                    ),
+                    donate_argnums=(1,),
+                )
+            toks, self.cache = self._decode_win[k](
+                self.params, self.cache, tok0, pos0, sample_key=sub
+            )
+            return toks, "bk"  # [B, k]
+        self._build_decode_n()
+        toks, self.cache = self._decode_n(
+            self.params, self.cache, tok0, pos0, sub, k
+        )
+        return toks, "kb"  # [k, B]
+
+    def run_pipelined(self, step_tokens: int, max_windows: int = 10**6) -> None:
+        """Continuous batching with the host hidden behind the device:
+        window i+1 is dispatched from DEVICE-resident token state before
+        window i's tokens are fetched, so the per-window host work (result
+        sync + python bookkeeping + admission prefill, ~60 ms through a
+        remote-attached chip) overlaps device compute instead of idling it.
+
+        Semantics match the sequential `step_n` loop exactly for every
+        request's OUTPUT tokens (same cache chain, same greedy/sampled
+        math — tested): what changes is only when the host LEARNS of a
+        finish — one window later — so a freed slot idles one extra
+        window before its replacement joins, the price of the overlap.
+        Slot reuse splices a fresh prefill over the speculative window's
+        dead writes (the same mechanism mid-window finishes already use).
+        """
+        import os as _os
+        import time as _time
+
+        dbg = _os.environ.get("L3Q_SERVE_DEBUG") == "1"
+        t_disp = t_coll = t_adm = 0.0
+        jax, jnp = self._jax, self._jnp
+        k = step_tokens
+        prev = None  # (toks_dev, layout, slotmap at dispatch time)
+        self._admissions_async()  # admit queued work upfront (no sync)
+        dev_last = None  # [B, 1] device tokens chained from the last window
+        windows = 0
+        while (
+            self._slot_req or prev is not None or self._queue
+        ) and windows < max_windows:
+            if not self._slot_req and prev is None:
+                self._admissions_async()
+            if self._slot_req:
+                _t0 = _time.time()
+                tok0 = (
+                    dev_last
+                    if dev_last is not None
+                    else jnp.zeros((self.max_slots, 1), jnp.int32)
+                )
+                # newly admitted slots: first tokens merged straight from
+                # the prefill argmax device arrays — never fetched. FIXED
+                # [B]-shaped gather+where (a variable-length scatter
+                # compiles per admission pattern — measured compile storm)
+                for nxts_dev, slotmap in self._scatter_next:
+                    rows = np.zeros(self.max_slots, np.int32)
+                    sel = np.zeros((self.max_slots, 1), bool)
+                    for s, (row, _rid) in slotmap.items():
+                        rows[s] = row
+                        sel[s] = True
+                    tok0 = jnp.where(
+                        jnp.asarray(sel),
+                        nxts_dev[jnp.asarray(rows)][:, None],
+                        tok0,
+                    )
+                self._scatter_next = []
+                pos0 = jnp.asarray(self.pos.astype(np.int32))
+                self._key, sub = jax.random.split(self._key)
+                toks, layout = self._dispatch_window(k, tok0, pos0, sub)
+                dev_last = (
+                    toks[:, -1:] if layout == "bk" else toks[-1, :, None]
+                ).astype(jnp.int32)
+                cur = (toks, layout, dict(self._slot_req))
+                self.pos += k  # every row advanced (dead rows harmless:
+                #                slot reuse splices over their writes)
+                windows += 1
+                t_disp += _time.time() - _t0
+            else:
+                cur = None
+            if prev is not None:
+                toks_p, layout_p, slotmap = prev
+                _t1 = _time.time()
+                arr = np.asarray(toks_p)  # sync window i; device runs i+1
+                if layout_p == "bk":
+                    arr = arr.T  # -> [k, B]
+                _t2 = _time.time()
+                self._resolve_first_tokens()
+                self._collect_pipelined(arr, k, slotmap)
+                self._admissions_async()
+                t_coll += _t2 - _t1
+                t_adm += _time.time() - _t2
+            prev = cur
+        self._resolve_first_tokens()
+        if dbg:
+            import sys as _sys
+            print(
+                f"run_pipelined: {windows} windows, dispatch {t_disp:.2f}s, "
+                f"result-sync {t_coll:.2f}s, collect+admit {t_adm:.2f}s",
+                file=_sys.stderr,
+            )
+
+    def _collect_pipelined(self, toks, k: int, slotmap) -> None:
+        """Distribute a fetched [k, B] window to the requests that were
+        active WHEN IT WAS DISPATCHED (finish bookkeeping only — `pos` is
+        advanced at dispatch time in the pipelined loop)."""
+        for slot, rid in slotmap.items():
+            req = self.requests.get(rid)
+            if req is None or req.done:
+                continue
+            for i in range(k):
+                tok = int(toks[i, slot])
+                req.generated.append(tok)
+                self.next_tok[slot] = tok
+                if (req.eos_id is not None and tok == req.eos_id) or len(
+                    req.generated
+                ) >= req.max_new_tokens:
+                    self._finish(req)
+                    break
+
+    def _admissions_hook(self):
+        """Admit queued requests into free slots; returns the slots newly
+        claimed (their first token must come from the host at the next
+        dispatch). The bench and servers enqueue with `submit`."""
+        newly = []
+        self._order_queue()
+        while self.free and self._queue:
+            batch = []
+            while self.free and len(batch) < len(self.free) and self._queue:
+                batch.append(self._queue.pop())
+            if not batch:
+                break
+            before = set(self._slot_req)
+            self.add_requests(batch)
+            newly.extend(set(self._slot_req) - before)
+        return newly
+
+    def _order_queue(self) -> None:
+        if self.schedule == "ljf" and len(self._queue) > 1:
+            self._queue.sort(key=lambda r: r[1])  # pop() takes the longest
+
+    def _admissions_async(self):
+        """Admit queued requests WITHOUT any device sync: the prefill's
+        argmax stays a device array, scattered into the next window's
+        `tok0` on device and resolved into host bookkeeping at the next
+        collect boundary (`_resolve_first_tokens`). This is what keeps the
+        speculative pipeline's device queue busy — the synchronous
+        `add_requests` fetches the first token immediately, which blocks
+        on everything already queued (measured: ~41 ms/window of host
+        stall, the whole pipelining win given back)."""
+        jnp = self._jnp
+        self._order_queue()
+        while self.free and self._queue:
+            batch = []
+            while self.free and len(batch) < len(self.free) and self._queue:
+                batch.append(self._queue.pop())
+            if not batch:
+                return
+            by_bucket: Dict[int, List[int]] = {}
+            for i, (prompt, _, _) in enumerate(batch):
+                plen = len(prompt)
+                if plen >= self.max_len:
+                    raise ValueError(
+                        f"prompt of {plen} tokens does not fit max_len="
+                        f"{self.max_len}"
+                    )
+                by_bucket.setdefault(self._bucket(plen), []).append(i)
+            for bucket, idxs in by_bucket.items():
+                npad = self.max_slots
+                toks_np = np.zeros((npad, bucket), np.int32)
+                last_np = np.zeros(npad, np.int64)
+                for row, i in enumerate(idxs):
+                    prompt = np.asarray(batch[i][0], np.int32)
+                    toks_np[row, : len(prompt)] = prompt
+                    last_np[row] = len(prompt) - 1
+                batch_cache = self._batch_cache(npad)
+                logits, batch_cache = self._prefill(
+                    self.params, batch_cache, jnp.asarray(toks_np), jnp.int32(0)
+                )
+                nxts_dev = self._pick(
+                    logits[jnp.arange(npad), jnp.asarray(last_np), :]
+                ).astype(jnp.int32)  # [npad] device, NOT fetched
+                slotmap: Dict[int, Tuple[int, int]] = {}
+                for row, i in enumerate(idxs):
+                    prompt, max_new, eos_id = batch[i]
+                    slot = self.free.pop()
+                    self._write_slot_cache(
+                        slot,
+                        {kk: v[:, row : row + 1] for kk, v in batch_cache.items()},
+                    )
+                    rid = self._next_rid
+                    self._next_rid += 1
+                    req = _Request(rid, slot, len(prompt), max_new, [], eos_id)
+                    self.requests[rid] = req
+                    self._slot_req[slot] = rid
+                    self.pos[slot] = len(prompt)
+                    slotmap[slot] = (row, rid)
+                self._first_pending.append((nxts_dev, slotmap))
+                self._scatter_next.append((nxts_dev, slotmap))
+
+    def _resolve_first_tokens(self) -> None:
+        """Fetch the pending prefill first-tokens (their prefills are
+        behind the window we just synced, so this is a short wait) and
+        fold them into request bookkeeping."""
+        for nxts_dev, slotmap in self._first_pending:
+            vals = np.asarray(nxts_dev)
+            for slot, (row, rid) in slotmap.items():
+                req = self.requests.get(rid)
+                if req is None:
+                    continue
+                tok = int(vals[row])
+                req.generated.append(tok)
+                self.next_tok[slot] = tok
+                if (req.eos_id is not None and tok == req.eos_id) or len(
+                    req.generated
+                ) >= req.max_new_tokens:
+                    self._finish(req)
+        self._first_pending = []
+
+    def submit(self, prompt_tokens, max_new_tokens: int = 64, eos_id=None) -> None:
+        """Queue a request for admission at the next free-slot window
+        boundary (used with `run_pipelined`)."""
+        self._queue.append((list(prompt_tokens), max_new_tokens, eos_id))
+
     def run(self, max_steps: int = 10_000, step_tokens: int = 1) -> None:
         steps = 0
         while self._slot_req and steps < max_steps:

@@ -522,3 +522,66 @@ def test_step_n_slot_reuse(setup):
     eng.run(max_steps=10, step_tokens=4)
     g2 = list(eng.requests[r2].generated)
     assert g2 == g1  # same prompt, same greedy continuation
+
+
+def test_run_pipelined_matches_sequential(setup):
+    """The speculative window pipeline (round 4: window i+1 dispatched
+    before window i's tokens are fetched) must produce byte-identical
+    outputs to the sequential step_n loop — only the host-side timing of
+    finish discovery changes, never the token chain — including slot
+    reuse over speculative dead writes."""
+    cfg, params = setup
+    prompts = [[1, 2, 3, 4], [9, 8, 7], [5, 5, 5, 5, 5], [2, 4, 6],
+               [7, 7, 1], [3, 1, 4, 1, 5]]
+    lens = [9, 5, 7, 12, 4, 6]
+    k = 4
+
+    eng_a = ServingEngine(params, cfg, max_slots=2, max_len=64)
+    pend = list(zip(prompts, lens))
+
+    def feed():
+        batch = []
+        while eng_a.free and len(batch) < len(eng_a.free) and pend:
+            p, n = pend.pop()
+            batch.append((p, n, None))
+        if batch:
+            eng_a.add_requests(batch)
+
+    feed()
+    rids_a = {}
+    while eng_a._slot_req:
+        eng_a.step_n(k)
+        if eng_a.free and pend:
+            feed()
+    outs_a = {tuple(r.generated[: lens[i]]) for i, r in
+              enumerate(sorted(eng_a.requests.values(), key=lambda r: r.rid))}
+
+    eng_b = ServingEngine(params, cfg, max_slots=2, max_len=64)
+    for p, n in zip(prompts, lens):
+        eng_b.submit(p, n, None)
+    eng_b.run_pipelined(k)
+    outs_b = {tuple(r.generated[: lens[i]]) for i, r in
+              enumerate(sorted(eng_b.requests.values(), key=lambda r: r.rid))}
+
+    # the two schedulers admit in the same order; the truncated output
+    # sets must match exactly
+    assert outs_a == outs_b
+    for r in eng_b.requests.values():
+        assert len(r.generated) <= max(lens)
+
+
+def test_run_pipelined_eos(setup):
+    """eos finishes one window late in the pipeline but the reported
+    generation still stops at eos (trailing speculative tokens dropped)."""
+    cfg, params = setup
+    probe = ServingEngine(params, cfg, max_slots=1, max_len=64)
+    rid = probe.add_request([1, 2, 3], max_new_tokens=10)
+    probe.run(step_tokens=2)
+    seq = probe.result(rid)
+    eos = seq[3]  # a token known to appear at position 3
+
+    eng = ServingEngine(params, cfg, max_slots=1, max_len=64)
+    eng.submit([1, 2, 3], 10, eos)
+    eng.run_pipelined(2)
+    got = list(eng.requests.values())[0].generated
+    assert got == seq[:4]  # stops right after the eos token

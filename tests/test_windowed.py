@@ -125,3 +125,55 @@ def test_decode_window_multi_slot_positions():
             assert not changed[p + 3 :].any()
     finally:
         set_decode_kernel("auto")
+
+
+def test_windowed_serve_under_tp_mesh():
+    """Round 4 lifts windowed_ok's v1 single-replica gate: with the int8
+    cache on the codes-direct XLA attention (plain GSPMD — no shard_map),
+    the windowed serving fast path runs under a dp x tp decode mesh and
+    emits exactly the single-replica tokens."""
+    from llama3_quantization_tpu.models import init_params
+    from llama3_quantization_tpu.models.transformer import (
+        set_decode_attn,
+        set_decode_mesh,
+    )
+    from llama3_quantization_tpu.parallel import shard_params
+    from llama3_quantization_tpu.serving import ServingEngine
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompts = [[1, 2, 3, 4], [9, 8, 7]]
+    lens = [6, 8]
+
+    def run(shard):
+        set_decode_kernel("interpret")
+        set_decode_attn("xla")
+        try:
+            p = params
+            if shard:
+                # submesh: slots=2 bounds dp, kv_heads=2 bounds tp
+                from jax.sharding import Mesh
+
+                mesh = Mesh(
+                    np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp")
+                )
+                set_decode_mesh(mesh)
+                p = shard_params(params, mesh, cfg)
+            eng = ServingEngine(p, cfg, max_slots=2, max_len=64,
+                                quantized_cache=True)
+            assert windowed_ok(cfg, eng.cache, eng._rq, eng._sink_tokens), (
+                "windowed fast path must engage (mesh gate lifted)"
+            )
+            for pr, n in zip(prompts, lens):
+                eng.submit(pr, n, None)
+            eng.run_pipelined(4)
+            assert eng._decode_win, "windowed program was not used"
+            return sorted(tuple(r.generated) for r in eng.requests.values())
+        finally:
+            set_decode_kernel("auto")
+            set_decode_attn("auto")
+            set_decode_mesh(None)
+
+    ref = run(shard=False)
+    out = run(shard=True)
+    assert ref == out
