@@ -316,3 +316,143 @@ class DummyLM(LM):
 
     def greedy_until(self, requests):
         return ["lol" for _ in requests]
+
+
+class Seq2SeqJAXLM(BaseLM):
+    """T5-family request engine over the native encoder-decoder trunk
+    (`models/seq2seq.py`): context tokens feed the ENCODER, continuations
+    are scored by the teacher-forced DECODER — the reference's hf-seq2seq
+    adapter semantics (`/root/reference/lm_eval/models/huggingface.py:
+    422-586`, the T0-3B special case of `models/LMClass.py:35-39`), now
+    reachable without torch."""
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer,
+        rq=None,
+        batch_size: int = 8,
+        max_length: Optional[int] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ...models.seq2seq import decode_logits, encode, _pad_mask
+        from ...models.transformer import NO_QUANT
+
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.rq = rq or NO_QUANT
+        self.batch_size = batch_size
+        self.max_length = max_length or 512
+        self._jnp = jnp
+
+        def _score(params, enc, dec_in, targets, mask):
+            enc_mask = _pad_mask(enc, cfg.pad_token_id)
+            enc_h = encode(params, enc, cfg, self.rq, enc_mask)
+            logits = decode_logits(
+                params, dec_in, enc_h, cfg, self.rq, enc_mask
+            ).astype(jnp.float32)
+            logz = jax.scipy.special.logsumexp(logits, axis=-1)
+            tok_lp = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0] - logz
+            lls = jnp.sum(tok_lp * mask, axis=-1)
+            greedy = jnp.argmax(logits, axis=-1) == targets
+            greedy_ok = jnp.all(jnp.where(mask > 0, greedy, True), axis=-1)
+            return lls, greedy_ok
+
+        self._score_jit = jax.jit(_score)
+        self._gen_jit = None
+
+    @property
+    def eot_token_id(self) -> int:
+        return self.cfg.eos_token_id
+
+    def tok_encode(self, string: str) -> List[int]:
+        try:
+            ids = self.tokenizer.encode(string, add_special_tokens=False)
+        except TypeError:
+            ids = self.tokenizer.encode(string)
+        return list(map(int, ids))
+
+    def tok_decode(self, tokens) -> str:
+        return self.tokenizer.decode(list(tokens))
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        from ...eval.data import bucket_pow2
+
+        return bucket_pow2(max(n, 1))
+
+    def _score_tokens(self, inps, targets, mask):  # pragma: no cover
+        raise NotImplementedError("seq2seq scores (enc, dec) pairs")
+
+    def _loglikelihood_tokens(self, requests, disable_reorder: bool = False):
+        """Seq2seq batching: the causal concat of the base engine does not
+        apply — encoder takes the context, decoder input is the start-
+        shifted continuation, every continuation token is scored."""
+        import numpy as np
+
+        jnp = self._jnp
+        reord = Reorderer(
+            requests,
+            (lambda x: 0) if disable_reorder else (lambda x: -(len(x[1]) + len(x[2]))),
+        )
+        ordered = reord.get_reordered() if not disable_reorder else requests
+        results = []
+        start_id = self.cfg.decoder_start_token_id
+        pad_id = self.cfg.pad_token_id
+        for s0 in range(0, len(ordered), self.batch_size):
+            chunk = ordered[s0 : s0 + self.batch_size]
+            b = len(chunk)
+            encs = [list(c[1])[-self.max_length:] for c in chunk]
+            conts = [list(c[2])[: self.max_length] for c in chunk]
+            el = self._bucket(max(len(e) for e in encs))
+            dl = self._bucket(max(len(c) for c in conts))
+            enc = np.full((b, el), pad_id, np.int32)
+            dec = np.full((b, dl), pad_id, np.int32)
+            tgt = np.zeros((b, dl), np.int32)
+            msk = np.zeros((b, dl), np.float32)
+            for i, (e, c) in enumerate(zip(encs, conts)):
+                enc[i, : len(e)] = e
+                dec[i, 0] = start_id
+                dec[i, 1 : len(c)] = c[:-1]
+                tgt[i, : len(c)] = c
+                msk[i, : len(c)] = 1.0
+            lls, ok = self._score_jit(
+                self.params, jnp.asarray(enc), jnp.asarray(dec),
+                jnp.asarray(tgt), jnp.asarray(msk),
+            )
+            lls, ok = np.asarray(lls), np.asarray(ok)
+            results.extend((float(lls[i]), bool(ok[i])) for i in range(b))
+        return reord.get_original(results) if not disable_reorder else results
+
+    def _model_generate(self, context: List[int], max_gen: int, stops: List[str]) -> str:
+        import jax
+        import numpy as np
+        from functools import partial
+
+        jnp = self._jnp
+        if self._gen_jit is None:
+            from ...models.seq2seq import greedy_generate_seq2seq
+
+            self._gen_jit = jax.jit(
+                partial(greedy_generate_seq2seq, cfg=self.cfg, rq=self.rq),
+                static_argnames=("n_steps",),
+            )
+        el = self._bucket(len(context))
+        enc = np.full((1, el), self.cfg.pad_token_id, np.int32)
+        enc[0, : len(context)] = context[-el:]
+        toks = np.asarray(
+            self._gen_jit(self.params, jnp.asarray(enc), n_steps=min(max_gen, 64))
+        )[0]
+        out = []
+        for t in toks:
+            if int(t) == self.cfg.eos_token_id:
+                break
+            out.append(int(t))
+        text = self.tok_decode(out)
+        for stop in stops:
+            text = text.split(stop)[0]
+        return text

@@ -27,3 +27,11 @@ from .transformer import (  # noqa: F401
     set_moe_capacity,
     init_kv_cache,
 )
+
+from .seq2seq import (  # noqa: E402,F401  (native T5/T0 trunk, round 4)
+    Seq2SeqConfig,
+    forward_logits_seq2seq,
+    from_hf_seq2seq,
+    greedy_generate_seq2seq,
+    quantize_seq2seq_rtn,
+)

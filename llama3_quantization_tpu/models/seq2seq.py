@@ -1,0 +1,390 @@
+"""Native T5-family encoder-decoder trunk (T0/T5/FLAN).
+
+The reference special-cases T0-3B through `AutoModelForSeq2SeqLM`
+(`/root/reference/models/LMClass.py:35-39`) and the harness ships an
+`hf-seq2seq` adapter (`lm_eval/models/huggingface.py:422-586`); round 3
+covered that surface only via the torch adapter. This module closes the
+gap TPU-natively: a functional, scan-stacked T5 stack whose linears are
+`qlinear` calls, so every quantization transform (RTN/GPTQ/AWQ/... —
+anything producing QuantizedTensor leaves) applies to seq2seq models
+exactly as to the decoder-only trunk.
+
+Architecture notes (HF `modeling_t5.py` parity, tested in
+tests/test_hf_parity.py):
+
+- T5LayerNorm == RMSNorm (no mean subtraction, no bias), fp32 statistics;
+- attention has NO 1/sqrt(d_kv) scaling (folded into init by T5);
+- relative position bias: bucketed (num_buckets, max_distance) learned
+  [buckets, H] embeddings, owned by block 0 and shared by all layers;
+  bidirectional buckets for the encoder, causal for the decoder,
+  none for cross-attention;
+- v1.1 ("gated-gelu") MLP: wo(gelu(wi_0 x) * wi_1 x); v1.0: wo(relu(wi x));
+- tied embeddings scale decoder output by d_model**-0.5 before the LM
+  projection (untied checkpoints, e.g. T0/v1.1, carry a real lm_head).
+
+Decode is teacher-forced full-sequence (the eval harness's scoring mode);
+`greedy_generate_seq2seq` re-runs the decoder over a fixed-size buffer per
+step — O(T^2) but static-shaped and jittable, fine for the short
+generations the harness asks of T0. A KV-cached incremental decoder is
+the obvious follow-up if seq2seq serving ever matters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.matmul import qlinear
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class Seq2SeqConfig:
+    vocab_size: int = 32128
+    d_model: int = 512
+    d_kv: int = 64
+    d_ff: int = 2048
+    num_heads: int = 8
+    num_layers: int = 6  # encoder
+    num_decoder_layers: int = 6
+    rel_buckets: int = 32
+    rel_max_distance: int = 128
+    gated_act: bool = True  # v1.1 gated-gelu vs v1.0 relu
+    tie_word_embeddings: bool = False
+    layer_norm_eps: float = 1e-6
+    decoder_start_token_id: int = 0
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+
+
+def _rms(w: jax.Array, x: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (w * (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)).astype(x.dtype)
+
+
+def _relative_position_bucket(
+    rel: jax.Array, bidirectional: bool, num_buckets: int, max_distance: int
+) -> jax.Array:
+    """HF `T5Attention._relative_position_bucket` verbatim semantics
+    (`rel = memory_position - query_position`)."""
+    ret = jnp.zeros_like(rel)
+    n = rel
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n > 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = -jnp.minimum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-9)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_large = jnp.minimum(val_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_large)
+
+
+def _position_bias(
+    emb: jax.Array,  # [buckets, H]
+    qlen: int,
+    klen: int,
+    bidirectional: bool,
+    cfg: Seq2SeqConfig,
+    dtype,
+) -> jax.Array:  # [1, H, qlen, klen]
+    ctx = jnp.arange(qlen)[:, None]
+    mem = jnp.arange(klen)[None, :]
+    buckets = _relative_position_bucket(
+        mem - ctx, bidirectional, cfg.rel_buckets, cfg.rel_max_distance
+    )  # [q, k]
+    bias = emb[buckets]  # [q, k, H]
+    return jnp.transpose(bias, (2, 0, 1))[None].astype(dtype)
+
+
+def _t5_attention(
+    p: Params,
+    x: jax.Array,  # [B, S, D] queries
+    kv: jax.Array,  # [B, T, D] keys/values source
+    bias_mask: Optional[jax.Array],  # [*, H or 1, S, T] additive (f32)
+    cfg: Seq2SeqConfig,
+    rq,
+    prefix: str = "",
+) -> jax.Array:
+    b, s, _ = x.shape
+    t = kv.shape[1]
+    h, dk = cfg.num_heads, cfg.d_kv
+    q = qlinear(x, p[prefix + "q"], None, rq.act).reshape(b, s, h, dk)
+    k = qlinear(kv, p[prefix + "k"], None, rq.act).reshape(b, t, h, dk)
+    v = qlinear(kv, p[prefix + "v"], None, rq.act).reshape(b, t, h, dk)
+    # NO 1/sqrt(dk): T5 folds it into initialization
+    scores = jnp.einsum("bshd,bthd->bhst", q, k).astype(jnp.float32)
+    if bias_mask is not None:
+        scores = scores + bias_mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(b, s, h * dk)
+    return qlinear(o, p[prefix + "o"], None, rq.act)
+
+
+def _t5_mlp(p: Params, x: jax.Array, cfg: Seq2SeqConfig, rq) -> jax.Array:
+    if cfg.gated_act:
+        g = jax.nn.gelu(qlinear(x, p["wi0"], None, rq.act), approximate=True)
+        u = qlinear(x, p["wi1"], None, rq.act)
+        return qlinear(g * u, p["wo"], None, rq.act)
+    hdn = jax.nn.relu(qlinear(x, p["wi"], None, rq.act))
+    return qlinear(hdn, p["wo"], None, rq.act)
+
+
+def _pad_mask(toks: jax.Array, pad_id: int) -> jax.Array:
+    """[B, T] token ids -> [B, 1, 1, T] additive f32 (pad = -1e9)."""
+    return jnp.where(toks == pad_id, -1e9, 0.0).astype(jnp.float32)[:, None, None, :]
+
+
+from ..models.transformer import NO_QUANT, RuntimeQuantConfig  # noqa: E402
+
+
+def encode(
+    params: Params,
+    enc_toks: jax.Array,  # [B, S]
+    cfg: Seq2SeqConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+    enc_mask: Optional[jax.Array] = None,  # [B, 1, 1, S] additive
+) -> jax.Array:
+    emb = params["shared"]
+    h = jnp.asarray(emb)[enc_toks] if not hasattr(emb, "k") else None
+    if h is None:  # quantized embedding unsupported — keep fp shared table
+        raise ValueError("shared embedding must stay a dense array")
+    s = enc_toks.shape[1]
+    bias = _position_bias(
+        params["enc_rel"], s, s, True, cfg, jnp.float32
+    )
+    bm = bias if enc_mask is None else bias + enc_mask
+    eps = cfg.layer_norm_eps
+
+    def body(hc, lp):
+        x = _rms(lp["ln1"], hc, eps)
+        hc = hc + _t5_attention(lp, x, x, bm, cfg, rq)
+        x = _rms(lp["ln2"], hc, eps)
+        hc = hc + _t5_mlp(lp, x, cfg, rq)
+        return hc, ()
+
+    h, _ = jax.lax.scan(body, h, params["enc"]["layers"])
+    return _rms(params["enc_ln"], h, eps)
+
+
+def decode_logits(
+    params: Params,
+    dec_toks: jax.Array,  # [B, T] decoder input ids (start-shifted)
+    enc_hidden: jax.Array,  # [B, S, D]
+    cfg: Seq2SeqConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+    enc_mask: Optional[jax.Array] = None,  # [B, 1, 1, S] additive
+) -> jax.Array:
+    h = jnp.asarray(params["shared"])[dec_toks]
+    t = dec_toks.shape[1]
+    causal = jnp.where(
+        jnp.arange(t)[:, None] >= jnp.arange(t)[None, :], 0.0, -1e9
+    ).astype(jnp.float32)[None, None]
+    bias = _position_bias(params["dec_rel"], t, t, False, cfg, jnp.float32)
+    self_bm = bias + causal
+    cross_bm = enc_mask  # no positional bias on cross-attention
+    eps = cfg.layer_norm_eps
+
+    def body(hc, lp):
+        x = _rms(lp["ln1"], hc, eps)
+        hc = hc + _t5_attention(lp, x, x, self_bm, cfg, rq)
+        x = _rms(lp["ln2"], hc, eps)
+        hc = hc + _t5_attention(lp, x, enc_hidden, cross_bm, cfg, rq, prefix="c")
+        x = _rms(lp["ln3"], hc, eps)
+        hc = hc + _t5_mlp(lp, x, cfg, rq)
+        return hc, ()
+
+    h, _ = jax.lax.scan(body, h, params["dec"]["layers"])
+    h = _rms(params["dec_ln"], h, eps)
+    if cfg.tie_word_embeddings:
+        h = h * (cfg.d_model ** -0.5)
+        return jnp.einsum("btd,vd->btv", h, jnp.asarray(params["shared"]))
+    return qlinear(h, params["lm_head"], None, rq.act)
+
+
+def forward_logits_seq2seq(
+    params: Params,
+    enc_toks: jax.Array,
+    dec_toks: jax.Array,
+    cfg: Seq2SeqConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> jax.Array:
+    """Teacher-forced encoder+decoder forward (the harness scoring mode)."""
+    enc_mask = _pad_mask(enc_toks, cfg.pad_token_id)
+    enc_h = encode(params, enc_toks, cfg, rq, enc_mask)
+    return decode_logits(params, dec_toks, enc_h, cfg, rq, enc_mask)
+
+
+def greedy_generate_seq2seq(
+    params: Params,
+    enc_toks: jax.Array,  # [B, S]
+    n_steps: int,
+    cfg: Seq2SeqConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> jax.Array:  # [B, n_steps]
+    """Greedy decode by re-running the decoder over a fixed [B, n_steps+1]
+    buffer each step (static shapes; O(T^2) — see module docstring)."""
+    b = enc_toks.shape[0]
+    enc_mask = _pad_mask(enc_toks, cfg.pad_token_id)
+    enc_h = encode(params, enc_toks, cfg, rq, enc_mask)
+    buf0 = jnp.full((b, n_steps + 1), cfg.pad_token_id, jnp.int32)
+    buf0 = buf0.at[:, 0].set(cfg.decoder_start_token_id)
+
+    def step(i, buf):
+        logits = decode_logits(params, buf, enc_h, cfg, rq, enc_mask)
+        nxt = jnp.argmax(logits[:, i, :], axis=-1).astype(jnp.int32)
+        return buf.at[:, i + 1].set(nxt)
+
+    buf = jax.lax.fori_loop(0, n_steps, step, buf0)
+    return buf[:, 1:]
+
+
+# ----------------------------------------------------------------------
+# HF checkpoint loading (T5/T0/FLAN family)
+
+
+def config_from_hf_seq2seq(path: str) -> Seq2SeqConfig:
+    with open(os.path.join(path, "config.json")) as f:
+        c = json.load(f)
+    if c.get("model_type") not in ("t5", "mt5", "longt5"):
+        raise ValueError(f"not a T5-family checkpoint: {c.get('model_type')}")
+    ff = c.get("feed_forward_proj", "relu")
+    return Seq2SeqConfig(
+        vocab_size=c["vocab_size"],
+        d_model=c["d_model"],
+        d_kv=c["d_kv"],
+        d_ff=c["d_ff"],
+        num_heads=c["num_heads"],
+        num_layers=c["num_layers"],
+        num_decoder_layers=c.get("num_decoder_layers", c["num_layers"]),
+        rel_buckets=c.get("relative_attention_num_buckets", 32),
+        rel_max_distance=c.get("relative_attention_max_distance", 128),
+        gated_act=ff.startswith("gated"),
+        tie_word_embeddings=c.get("tie_word_embeddings", True),
+        layer_norm_eps=c.get("layer_norm_epsilon", 1e-6),
+        decoder_start_token_id=c.get("decoder_start_token_id", 0) or 0,
+        pad_token_id=c.get("pad_token_id", 0) or 0,
+        eos_token_id=c.get("eos_token_id", 1) or 1,
+    )
+
+
+def from_hf_seq2seq(path: str, dtype=jnp.float32) -> Tuple[Params, Seq2SeqConfig]:
+    """Load a T5-family HF checkpoint into the scan-stacked pytree.
+
+    Weights transpose to `[in, out]` (`y = x @ W` — the qlinear layout);
+    per-stack leaves stack along a leading layer axis for `lax.scan`."""
+    from .hf_loader import _load_tensors
+
+    cfg = config_from_hf_seq2seq(path)
+    raw = _load_tensors(path)
+
+    def get(name):
+        return jnp.asarray(raw[name].astype(np.float32), dtype)
+
+    def lin(name):
+        return jnp.asarray(raw[name].astype(np.float32).T, dtype)
+
+    def stack(fmt, n, names):
+        out: Dict[str, jax.Array] = {}
+        for ours, theirs in names.items():
+            leaves = []
+            for i in range(n):
+                nm = fmt.format(i=i) + theirs
+                leaves.append(
+                    lin(nm) if theirs.endswith(".weight") and "layer_norm" not in nm
+                    else get(nm)
+                )
+            out[ours] = jnp.stack(leaves)
+        return out
+
+    enc_names = {
+        "q": "layer.0.SelfAttention.q.weight",
+        "k": "layer.0.SelfAttention.k.weight",
+        "v": "layer.0.SelfAttention.v.weight",
+        "o": "layer.0.SelfAttention.o.weight",
+        "ln1": "layer.0.layer_norm.weight",
+        "ln2": "layer.1.layer_norm.weight",
+    }
+    dec_names = {
+        "q": "layer.0.SelfAttention.q.weight",
+        "k": "layer.0.SelfAttention.k.weight",
+        "v": "layer.0.SelfAttention.v.weight",
+        "o": "layer.0.SelfAttention.o.weight",
+        "cq": "layer.1.EncDecAttention.q.weight",
+        "ck": "layer.1.EncDecAttention.k.weight",
+        "cv": "layer.1.EncDecAttention.v.weight",
+        "co": "layer.1.EncDecAttention.o.weight",
+        "ln1": "layer.0.layer_norm.weight",
+        "ln2": "layer.1.layer_norm.weight",
+        "ln3": "layer.2.layer_norm.weight",
+    }
+    if cfg.gated_act:
+        enc_mlp = {"wi0": "layer.1.DenseReluDense.wi_0.weight",
+                   "wi1": "layer.1.DenseReluDense.wi_1.weight",
+                   "wo": "layer.1.DenseReluDense.wo.weight"}
+        dec_mlp = {"wi0": "layer.2.DenseReluDense.wi_0.weight",
+                   "wi1": "layer.2.DenseReluDense.wi_1.weight",
+                   "wo": "layer.2.DenseReluDense.wo.weight"}
+    else:
+        enc_mlp = {"wi": "layer.1.DenseReluDense.wi.weight",
+                   "wo": "layer.1.DenseReluDense.wo.weight"}
+        dec_mlp = {"wi": "layer.2.DenseReluDense.wi.weight",
+                   "wo": "layer.2.DenseReluDense.wo.weight"}
+
+    params: Params = {
+        "shared": get("shared.weight"),
+        "enc": {"layers": stack("encoder.block.{i}.", cfg.num_layers,
+                                {**enc_names, **enc_mlp})},
+        "dec": {"layers": stack("decoder.block.{i}.", cfg.num_decoder_layers,
+                                {**dec_names, **dec_mlp})},
+        "enc_ln": get("encoder.final_layer_norm.weight"),
+        "dec_ln": get("decoder.final_layer_norm.weight"),
+        "enc_rel": get(
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        ),
+        "dec_rel": get(
+            "decoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        ),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = lin("lm_head.weight")
+    return params, cfg
+
+
+def quantize_seq2seq_rtn(params: Params, cfg: Seq2SeqConfig, spec, pack=True) -> Params:
+    """RTN-quantize every stacked linear (same storage as the decoder-only
+    trunk — QuantizedTensor leaves served by qlinear); embeddings, norms
+    and relative-bias tables stay dense."""
+    from ..quant.qtensor import quantize_rtn
+
+    out = dict(params)
+    for side in ("enc", "dec"):
+        qlayers: Dict[str, Any] = {}
+        for name, w in params[side]["layers"].items():
+            if name.startswith("ln"):
+                qlayers[name] = w
+                continue
+            # uniform shapes across the stack: quantize per layer, stack
+            # the QuantizedTensor leaves back along the scan axis
+            per = [quantize_rtn(w[i], spec, pack=pack) for i in range(w.shape[0])]
+            qlayers[name] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per)
+        out[side] = {"layers": qlayers}
+    # lm_head (untied checkpoints) stays fp — reference parity keeps the
+    # head unquantized (`/root/reference/quant/omniquant.py` skips it)
+    return out

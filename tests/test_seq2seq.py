@@ -1,0 +1,140 @@
+"""Native T5-family encoder-decoder trunk (models/seq2seq.py) — VERDICT
+round-3 item 8: the reference's T0-3B / hf-seq2seq surface
+(`/root/reference/models/LMClass.py:35-39`,
+`lm_eval/models/huggingface.py:422-586`) reached TPU-natively.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from llama3_quantization_tpu.models.seq2seq import (  # noqa: E402
+    forward_logits_seq2seq,
+    from_hf_seq2seq,
+    greedy_generate_seq2seq,
+    quantize_seq2seq_rtn,
+)
+
+
+def _tiny_t5(tie=False, gated=True):
+    cfg = transformers.T5Config(
+        vocab_size=96,
+        d_model=32,
+        d_kv=8,
+        d_ff=64,
+        num_layers=2,
+        num_decoder_layers=2,
+        num_heads=4,
+        relative_attention_num_buckets=8,
+        relative_attention_max_distance=32,
+        feed_forward_proj="gated-gelu" if gated else "relu",
+        tie_word_embeddings=tie,
+        decoder_start_token_id=0,
+        pad_token_id=0,
+        eos_token_id=1,
+    )
+    torch.manual_seed(0)
+    return transformers.T5ForConditionalGeneration(cfg).eval().float()
+
+
+@pytest.mark.parametrize("tie,gated", [(False, True), (True, False)])
+def test_t5_hf_parity(tmp_path, tie, gated):
+    """fp32 teacher-forced logits match HF transformers for both the v1.1
+    (gated-gelu, untied) and v1.0 (relu, tied) variants."""
+    model = _tiny_t5(tie=tie, gated=gated)
+    model.save_pretrained(str(tmp_path))
+    params, cfg = from_hf_seq2seq(str(tmp_path))
+    assert cfg.gated_act == gated and cfg.tie_word_embeddings == tie
+
+    rng = np.random.default_rng(0)
+    enc = rng.integers(2, cfg.vocab_size, (2, 12))
+    enc[1, 9:] = 0  # padding on row 1 exercises the encoder mask
+    dec = rng.integers(2, cfg.vocab_size, (2, 7))
+    dec[:, 0] = cfg.decoder_start_token_id
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.tensor(enc),
+            attention_mask=torch.tensor((enc != 0).astype(np.int64)),
+            decoder_input_ids=torch.tensor(dec),
+        ).logits.numpy()
+    ours = np.asarray(
+        forward_logits_seq2seq(params, jnp.asarray(enc), jnp.asarray(dec), cfg)
+    )
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_t5_greedy_matches_hf_generate(tmp_path):
+    model = _tiny_t5(tie=False, gated=True)
+    model.save_pretrained(str(tmp_path))
+    params, cfg = from_hf_seq2seq(str(tmp_path))
+    enc = np.array([[5, 9, 17, 3, 2, 11]], np.int64)
+    n = 6
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.tensor(enc), max_new_tokens=n, do_sample=False,
+            num_beams=1, eos_token_id=None, min_new_tokens=n,
+        ).numpy()[0, 1:]
+    ours = np.asarray(
+        greedy_generate_seq2seq(params, jnp.asarray(enc, jnp.int32), n, cfg)
+    )[0]
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_t5_rtn_quantization_degrades_monotonically(tmp_path):
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    model = _tiny_t5()
+    model.save_pretrained(str(tmp_path))
+    params, cfg = from_hf_seq2seq(str(tmp_path))
+    rng = np.random.default_rng(1)
+    enc = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 10)), jnp.int32)
+    dec = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 5)), jnp.int32)
+    fp = forward_logits_seq2seq(params, enc, dec, cfg)
+    errs = []
+    for bits in (8, 4, 2):
+        qp = quantize_seq2seq_rtn(params, cfg, QuantSpec(n_bits=bits, group_size=8))
+        q = forward_logits_seq2seq(qp, enc, dec, cfg)
+        errs.append(float(jnp.mean(jnp.abs(q - fp))))
+    assert errs[0] < errs[1] < errs[2], errs
+
+
+class _IdTok:
+    """Tokenizer stub: strings are space-joined int ids."""
+
+    def encode(self, s, add_special_tokens=False):
+        return [int(x) for x in s.split()]
+
+    def decode(self, toks):
+        return " ".join(str(int(t)) for t in toks)
+
+
+def test_seq2seq_jaxlm_requests(tmp_path):
+    """The harness engine drives the native trunk: loglikelihood ranks the
+    argmax continuation above an alternative, and greedy_until returns the
+    teacher-forced greedy string."""
+    from llama3_quantization_tpu.eval.harness.lm import Seq2SeqJAXLM
+
+    model = _tiny_t5()
+    model.save_pretrained(str(tmp_path))
+    params, cfg = from_hf_seq2seq(str(tmp_path))
+    lm = Seq2SeqJAXLM(params, cfg, _IdTok(), batch_size=4, max_length=32)
+
+    ctx = "5 9 17 3"
+    gen = greedy_generate_seq2seq(
+        params, jnp.asarray([[5, 9, 17, 3]], jnp.int32), 3, cfg
+    )
+    best = " ".join(str(int(t)) for t in np.asarray(gen)[0])
+    worse = " ".join(str((int(t) + 7) % cfg.vocab_size) for t in np.asarray(gen)[0])
+    (ll_best, ok_best), (ll_worse, _) = lm.loglikelihood(
+        [(ctx, " " + best), (ctx, " " + worse)]
+    )
+    assert ll_best > ll_worse
+    assert ok_best  # greedy continuation is greedy-matched
+
+    out = lm.greedy_until([(ctx, ["zzz"])])[0]
+    assert out.split()[: 3] == best.split()[:3]
