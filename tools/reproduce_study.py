@@ -47,6 +47,13 @@ METHODS = {
     # blocksize2*64 or ICQ skips them (the reference's bnb behavior)
     "irqlora": {"tau_n": 10, "blocksize2": 4},
     "mixed": {"blocksize": 32},
+    # execution-backend rows (round 4): the SAME rtn quantization run
+    # through the fast TPU paths — s4 (native-int4 BD dots) and a8
+    # (per-group s8 MXU dots), both with per-token int8 activations. A
+    # real checkpoint therefore exercises the fast paths, not just the
+    # reference-parity dequant backend (VERDICT round-3 item 9).
+    "rtn_s4": {},
+    "rtn_a8": {},
 }
 
 SEQLEN = 64
@@ -126,20 +133,32 @@ def run_study(methods=None, via_hf_checkpoint=None):
         def decode(self, ids):
             return tok.decode(ids)
 
+    import contextlib
+
+    from llama3_quantization_tpu.ops import matmul as mm
+
     spec = QuantSpec(n_bits=4, group_size=32)
     out = {}
     for method, kwargs in (methods or METHODS).items():
-        if method == "fp":
+        exec_backend = None
+        base_method = method
+        if "_" in method and method.split("_")[1] in ("s4", "a8"):
+            base_method, exec_backend = method.split("_", 1)
+        if base_method == "fp":
             qp = params
         else:
-            qp = quantize(params, cfg, method=method, spec=spec,
-                          calib_tokens=calib, pack=True, **kwargs)
-        ppl = compute_ppl(qp, cfg, testenc, seqlen=SEQLEN, limit=PPL_LIMIT)
-        lm = JAXLM(qp, cfg, Tok(), batch_size=4, max_length=SEQLEN)
-        res = simple_evaluate(
-            lm, ["piqa", "arc_easy"], num_fewshot=0, bootstrap_iters=2,
-            task_data=TASK_DATA,
-        )["results"]
+            qp = quantize(params, cfg, method=base_method, spec=spec,
+                          calib_tokens=calib,
+                          pack=exec_backend != "a8",  # a8 needs s8 containers
+                          **kwargs)
+        bctx = mm.backend(exec_backend) if exec_backend else contextlib.nullcontext()
+        with bctx:
+            ppl = compute_ppl(qp, cfg, testenc, seqlen=SEQLEN, limit=PPL_LIMIT)
+            lm = JAXLM(qp, cfg, Tok(), batch_size=4, max_length=SEQLEN)
+            res = simple_evaluate(
+                lm, ["piqa", "arc_easy"], num_fewshot=0, bootstrap_iters=2,
+                task_data=TASK_DATA,
+            )["results"]
         out[method] = {
             "ppl_wikitext2": round(ppl, 4),
             "piqa_acc": round(res["piqa"]["acc"], 4),
