@@ -1060,7 +1060,10 @@ def greedy_generate(
         # path's pure-DUS writes are cheap (2.2 us/layer) and measure
         # faster than the window overheads (141.5 vs 135.7 at b1) — the
         # multi-slot serving engine routes windowed itself (374 vs 344).
-        return decode_window(params, cache, first_token, pos0, n_steps, cfg, rq)
+        return decode_window(
+            params, cache, first_token, pos0, n_steps, cfg, rq,
+            sink_tokens=sink_tokens,
+        )
 
     params = prepare_decode_params(params)  # s4: hoist int4 prep off the scan
 

@@ -31,8 +31,9 @@ production serving stacks; the reference has nothing comparable (its
 cache is an eager torch.cat, `/root/reference/models/int_llama_layer.py:
 130-135`).
 
-Scope: quantized stacked caches (int8 / int4), sink_tokens == 0,
-single-token steps. Callers fall back to `decode_step`/`decode_step_multi`
+Scope: quantized stacked caches (int8 / int4), single-token steps
+(sink tokens supported since round 4 — the merge maps absolute positions
+onto the sink+ring layout). Callers fall back to `decode_step`/`decode_step_multi`
 otherwise (`windowed_ok`).
 """
 
@@ -94,7 +95,7 @@ def windowed_ok(cfg: ModelConfig, cache: Dict[str, jax.Array],
     would self-alias)."""
     if _WINDOWED is False:
         return False
-    if sink_tokens or cfg.is_moe or cfg.parallel_block:
+    if cfg.is_moe or cfg.parallel_block:
         return False
     if sorted(cache.keys()) != ["k_q", "k_s", "v_q", "v_s"]:
         return False
@@ -250,24 +251,36 @@ def _decode_step_windowed(
     return lm_head(params, h, cfg), new_w
 
 
-def _ring_gather_merge(buf, win, pos0, t_logical, packed):
-    """Write `win` ([L, B, H, KW, *]) into the ring buffer `buf` at logical
-    positions pos0_b + j — as ONE vectorized gather + where over the token
-    axis (no scatter, no RMW-in-scan; wrap-safe).
+def _ring_gather_merge(buf, win, pos0, t_logical, packed, sink: int = 0):
+    """Write `win` ([L, B, H, KW, *]) into the sink+ring buffer `buf` at
+    ABSOLUTE positions pos0_b + j — as ONE vectorized gather + where over
+    the token axis (no scatter, no RMW-in-scan; wrap-safe).
 
-    `packed=True`: buf rows are T-pair-packed int4 bytes (`kv4_pack`) and
-    `win` holds signed codes — nibbles compose at the byte-row level."""
+    Slot occupancy follows `_ring_write_and_mask`: slots [0, sink) pin
+    absolute positions 0..sink-1 forever; ring slot t >= sink holds the
+    LARGEST position p <= last with p == t (mod w), w = T - sink (for
+    sink == 0 this reduces to the plain ring j = (slot - pos0) mod T —
+    proven equivalent). `packed=True`: buf rows are T-pair-packed int4
+    bytes (`kv4_pack`) and `win` holds signed codes — nibbles compose at
+    the byte-row level."""
     kw = win.shape[3]
     if getattr(pos0, "ndim", 0) == 0:
         pos0 = pos0[None]
     p0 = pos0[None, :, None, None]  # over [L, B, H, T']
+    w = t_logical - sink
+    last = p0 + kw - 1
 
     def gather_tok(tok_idx):
-        """For each ring slot, the window index that lands there
-        (j = (slot - slot0) mod T) and whether it is in this window.
-        Returns 5D (indices broadcast over [L, ., H, ., last])."""
-        j = jnp.mod(tok_idx - p0, t_logical)  # [1, B, 1, T']
-        take = (j < kw)[..., None]  # [1, B, 1, T', 1]
+        """For each cache slot, the window index that lands there and
+        whether this window touches it. Returns 5D (indices broadcast
+        over [L, ., H, ., last])."""
+        ring_abs = last - jnp.mod(last - tok_idx, w)
+        abs_ = jnp.where(tok_idx < sink, tok_idx, ring_abs)  # [1, B, 1, T']
+        j = abs_ - p0
+        # a ring slot only holds positions >= sink (positions below sink
+        # live in the pinned sink slots, never in the ring)
+        valid = (tok_idx < sink) | (abs_ >= sink)
+        take = ((j >= 0) & (j < kw) & valid)[..., None]  # [1, B, 1, T', 1]
         jc = jnp.clip(j, 0, kw - 1)[..., None]
         g = jnp.take_along_axis(win, jc, axis=3)
         return g, take
@@ -287,17 +300,18 @@ def _ring_gather_merge(buf, win, pos0, t_logical, packed):
     return (nib_lo | (nib_hi << 4)).astype(jnp.uint8)
 
 
-def merge_window_into_cache(cache, w_bufs, pos0, cfg) -> Dict[str, jax.Array]:
+def merge_window_into_cache(cache, w_bufs, pos0, cfg, sink: int = 0) -> Dict[str, jax.Array]:
     """One whole-buffer rewrite per window: O(cache) read+write once per
-    KW tokens (vs per step), amortized to ~1/KW of an xs/ys step copy."""
+    KW tokens (vs per step), amortized to ~1/KW of an xs/ys step copy.
+    `pos0` is the ABSOLUTE position of the window's first token."""
     wk, wks, wv, wvs = w_bufs
     int4 = cache["k_q"].dtype == jnp.uint8
     t_logical = cache["k_s"].shape[3]
     return {
-        "k_q": _ring_gather_merge(cache["k_q"], wk, pos0, t_logical, int4),
-        "k_s": _ring_gather_merge(cache["k_s"], wks, pos0, t_logical, False),
-        "v_q": _ring_gather_merge(cache["v_q"], wv, pos0, t_logical, int4),
-        "v_s": _ring_gather_merge(cache["v_s"], wvs, pos0, t_logical, False),
+        "k_q": _ring_gather_merge(cache["k_q"], wk, pos0, t_logical, int4, sink),
+        "k_s": _ring_gather_merge(cache["k_s"], wks, pos0, t_logical, False, sink),
+        "v_q": _ring_gather_merge(cache["v_q"], wv, pos0, t_logical, int4, sink),
+        "v_s": _ring_gather_merge(cache["v_s"], wvs, pos0, t_logical, False, sink),
     }
 
 
@@ -313,6 +327,7 @@ def decode_window(
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,
+    sink_tokens: int = 0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """`n_steps` greedy/sampled tokens in ONE dispatch with write-combined
     cache updates. Returns (tokens [B, n_steps], updated cache)."""
@@ -322,14 +337,13 @@ def decode_window(
     kw = n_steps
     int4 = cache["k_q"].dtype == jnp.uint8
     t_logical = cache["k_s"].shape[3]
-    if kw >= t_logical:
-        # the merge maps window index j -> ring slot (slot0 + j) mod T; a
-        # window spanning the whole ring would alias slots and keep the
-        # OLDEST wrap (j < kw selects the first hit). Callers chunk
-        # n_steps below the ring length instead.
+    if kw >= t_logical - sink_tokens:
+        # the merge maps window positions onto ring slots; a window
+        # spanning the whole ring width would alias slots and keep the
+        # OLDEST wrap. Callers chunk n_steps below the ring width instead.
         raise ValueError(
-            f"decode_window n_steps={n_steps} must be < cache length "
-            f"{t_logical} (ring merge would self-alias)"
+            f"decode_window n_steps={n_steps} must be < ring width "
+            f"{t_logical - sink_tokens} (merge would self-alias)"
         )
     bt = 1024 if t_logical % 1024 == 0 else 512
     from .transformer import _DECODE_KERNEL
@@ -339,12 +353,12 @@ def decode_window(
     posv = pos0 if getattr(pos0, "ndim", 0) == 1 else jnp.broadcast_to(
         jnp.asarray(pos0, jnp.int32), (b,)
     )
-    # main-cache visibility is frozen at the WINDOW START: ring mask for a
-    # query at pos0 - 1 (STRICTLY before the window — the slot at pos0
-    # holds stale data until the merge; the window segment supplies every
-    # newer token). Loop-invariant across the window; ring aging advances
-    # only at window granularity.
-    _, mask0 = _ring_write_and_mask(posv - 1, 1, t_logical, 0)
+    # main-cache visibility is frozen at the WINDOW START: sink+ring mask
+    # for a query at pos0 - 1 (STRICTLY before the window — the slot at
+    # pos0 holds stale data until the merge; the window segment supplies
+    # every newer token). Loop-invariant across the window; ring aging
+    # advances only at window granularity.
+    _, mask0 = _ring_write_and_mask(posv - 1, 1, t_logical, sink_tokens)
     main_mask = _kernel_mask(mask0, b, t_logical)
     # pos0 == 0: nothing in the main cache is visible
     main_mask = jnp.where(posv[:, None] >= 1, main_mask, -1e30)
@@ -380,7 +394,6 @@ def decode_window(
     (_, _, w_bufs), toks = jax.lax.scan(
         body, (tok0.astype(jnp.int32), posv, w_bufs), jnp.arange(n_steps)
     )
-    # write-slot positions may wrap; merge maps logical -> ring slots
-    slot0 = jnp.mod(posv, t_logical)
-    cache = merge_window_into_cache(cache, w_bufs, slot0, cfg)
+    # the merge maps ABSOLUTE window positions onto sink+ring slots
+    cache = merge_window_into_cache(cache, w_bufs, posv, cfg, sink_tokens)
     return toks.T, cache

@@ -384,7 +384,7 @@ class ServingEngine:
                     _partial(
                         decode_window, n_steps=k, cfg=self.cfg, rq=self._rq,
                         temperature=self.temperature, top_k=self.top_k,
-                        top_p=self.top_p,
+                        top_p=self.top_p, sink_tokens=self._sink_tokens,
                     ),
                     donate_argnums=(1,),
                 )

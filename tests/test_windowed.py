@@ -177,3 +177,80 @@ def test_windowed_serve_under_tp_mesh():
     ref = run(shard=False)
     out = run(shard=True)
     assert ref == out
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_ring_gather_merge_sink_aware(packed):
+    """Sink+ring merge (round 4): slots [0, sink) pin absolute positions;
+    ring slots hold the largest p <= last with p == slot (mod w). Checked
+    against a step-by-step numpy simulation of `_ring_write_and_mask`'s
+    write rule across a wrap."""
+    L, B, H, T, D, KW, SINK = 1, 2, 2, 16, 4, 5, 4
+    w = T - SINK
+    rng = np.random.default_rng(3)
+    old_codes = rng.integers(-7, 8, (L, B, H, T, D)).astype(np.int8)
+    win = rng.integers(-7, 8, (L, B, H, KW, D)).astype(np.int8)
+    pos0 = [14, 3]  # row 0 wraps the ring (positions 14..18), row 1 does not
+    exp = old_codes.copy()
+    for b in range(B):
+        for j in range(KW):
+            p = pos0[b] + j
+            slot = p if p < T else SINK + (p - SINK) % w
+            exp[:, b, :, slot, :] = win[:, b, :, j, :]
+    p0 = jnp.asarray(pos0)
+    if packed:
+        buf = kv4_pack(jnp.asarray(old_codes))
+        got = _ring_gather_merge(buf, jnp.asarray(win), p0, T, True, SINK)
+        got = np.asarray(kv4_unpack_codes(got))
+    else:
+        got = np.asarray(
+            _ring_gather_merge(
+                jnp.asarray(old_codes), jnp.asarray(win), p0, T, False, SINK
+            )
+        )
+    assert np.array_equal(got, exp)
+
+
+def test_decode_window_sink_tokens_matches_per_step():
+    """windowed_ok's last v1 gate (sink_tokens == 0) lifted: pre-wrap, the
+    sink+ring windowed decode agrees with the per-step path."""
+    from llama3_quantization_tpu.models.transformer import NO_QUANT
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, cfg.vocab_size)
+    n_new, sink = 4, 2
+    set_decode_kernel("interpret")
+    try:
+        cache_a = init_kv_cache(cfg, 2, 16, quantized=8)
+        lg, cache_a = decode_step(
+            params, cache_a, toks, jnp.int32(0), cfg, sink_tokens=sink
+        )
+        tok = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
+        seq_a, tok_a = [], tok
+        for i in range(n_new):
+            lg, cache_a = decode_step(
+                params, cache_a, tok_a, jnp.int32(8 + i), cfg, sink_tokens=sink
+            )
+            seq_a.append(int(jnp.argmax(lg[0, -1])))
+            tok_a = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
+
+        cache_b = init_kv_cache(cfg, 2, 16, quantized=8)
+        _, cache_b = decode_step(
+            params, cache_b, toks, jnp.int32(0), cfg, sink_tokens=sink
+        )
+        assert windowed_ok(cfg, cache_b, NO_QUANT, sink)
+        toks_b, cache_b = decode_window(
+            params, cache_b, tok, jnp.int32(8), n_new, cfg, sink_tokens=sink
+        )
+    finally:
+        set_decode_kernel("auto")
+    seq_b = [int(toks_b[0, i]) for i in range(n_new)]
+    agree = sum(a == b for a, b in zip(seq_a, seq_b))
+    assert agree >= n_new - 1, (seq_a, seq_b)
+    # merged cache scales match the per-step cache (same codes written)
+    if agree == n_new:
+        np.testing.assert_allclose(
+            np.asarray(cache_a["k_s"]), np.asarray(cache_b["k_s"]),
+            rtol=0.1, atol=1e-3,
+        )
