@@ -98,6 +98,20 @@ def load_model(args):
     from .models.hf_loader import from_hf_checkpoint
 
     if args.model:
+        import json as _json
+        import os as _os
+
+        try:
+            with open(_os.path.join(args.model, "config.json")) as f:
+                mt = _json.load(f).get("model_type")
+        except OSError:
+            mt = None
+        if mt in ("t5", "mt5", "longt5"):
+            # the reference's T0-3B seq2seq special case
+            # (`models/LMClass.py:35-39`) — native T5 trunk (round 4)
+            from .models.seq2seq import from_hf_seq2seq
+
+            return from_hf_seq2seq(args.model)
         return from_hf_checkpoint(args.model)
     if args.net:
         cfg = NAMED_CONFIGS[args.net]
@@ -124,12 +138,64 @@ def get_calib(args, tokenizer, vocab_size: int) -> np.ndarray:
     return np.concatenate([inp for inp, _ in loader], axis=0)
 
 
+def _main_seq2seq(args, params, cfg):
+    """Seq2seq (T5/T0) driver path: RTN weight quantization + harness task
+    eval through `Seq2SeqJAXLM`. PPL streams and the calibration
+    algorithms are decoder-only surface (the reference evaluates T0 on
+    tasks only, `new_scripts/` has no T0 PPL job)."""
+    from .models.seq2seq import quantize_seq2seq_rtn
+    from .quant.quantizer import QuantSpec
+
+    tokenizer = None
+    if args.model:
+        from .eval.data import HFTokenizer
+
+        try:
+            tokenizer = HFTokenizer(args.model)
+        except Exception as e:
+            print(f"[cli] tokenizer unavailable: {e}", file=sys.stderr)
+    if args.quant_method not in ("none",) and args.wbits < 16:
+        if args.quant_method != "rtn":
+            raise SystemExit(
+                f"seq2seq supports --quant_method rtn (got {args.quant_method}); "
+                "calibration algorithms are decoder-only"
+            )
+        spec = QuantSpec(
+            n_bits=args.wbits, group_size=args.group_size,
+            symmetric=args.symmetric, disable_zero_point=args.disable_zero_point,
+        )
+        params = quantize_seq2seq_rtn(params, cfg, spec)
+        print(f"[cli] rtn W{args.wbits} g{args.group_size} applied (seq2seq)",
+              file=sys.stderr)
+    if args.eval_ppl:
+        print("[cli] --eval_ppl is decoder-only; skipping for seq2seq",
+              file=sys.stderr)
+    if args.tasks:
+        from .eval.data import ByteTokenizer
+        from .eval.harness import make_table, simple_evaluate
+        from .eval.harness.lm import Seq2SeqJAXLM
+
+        lm = Seq2SeqJAXLM(params, cfg, tokenizer or ByteTokenizer(),
+                          batch_size=args.batch_size)
+        res = simple_evaluate(lm, args.tasks.split(","),
+                              num_fewshot=args.num_fewshot)
+        print(make_table(res))
+    return None
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     t0 = time.time()
     params, cfg = load_model(args)
-    print(f"[cli] model ready ({cfg.arch}, {cfg.num_layers}L) in {time.time()-t0:.1f}s",
+    from .models.seq2seq import Seq2SeqConfig
+
+    is_seq2seq = isinstance(cfg, Seq2SeqConfig)
+    arch = "t5-seq2seq" if is_seq2seq else cfg.arch
+    nl = cfg.num_layers
+    print(f"[cli] model ready ({arch}, {nl}L) in {time.time()-t0:.1f}s",
           file=sys.stderr)
+    if is_seq2seq:
+        return _main_seq2seq(args, params, cfg)
     if args.seqlen > cfg.max_position_embeddings:
         # reference pins seqlen to the model's position table
         # (`models/LMClass.py:34,43`)

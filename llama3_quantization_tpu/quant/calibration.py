@@ -195,19 +195,34 @@ def gptq_quantize_model(
     del h
 
     aliases = capture_aliases(cfg)
-    capture = jax.jit(
+
+    def _capture(p, hb):
         # alias keys dropped INSIDE the jit: identical outputs are NOT
         # deduplicated into one device buffer, so returning q/k/v three
-        # times would hold three copies of attn_in in HBM
-        lambda p, hb: {
-            k: v
-            for k, v in layer_linear_inputs(p, hb, cfg, rq, cos_sin, mask).items()
-            if k not in aliases
-        }
-    )
-    run_layer = jax.jit(
-        lambda p, hb: decoder_layer(p, hb, cfg, rq, cos_sin, mask)[0]
-    )
+        # times would hold three copies of attn_in in HBM. xla backend
+        # pinned for the same reasons as _run_layer below.
+        from ..ops import matmul as _mm
+
+        with _mm.backend("xla"):
+            caps = layer_linear_inputs(p, hb, cfg, rq, cos_sin, mask)
+        return {k: v for k, v in caps.items() if k not in aliases}
+
+    capture = jax.jit(_capture)
+    def _run_layer(p, hb):
+        # quantized-input propagation uses the reference-numerics dequant
+        # path REGARDLESS of the process-global serving backend: the
+        # reference propagates through the fake-quant layer
+        # (`/root/reference/llama.py:135-137`), and the s4/a8 execution
+        # backends would (a) add per-token activation quantization the
+        # solve never assumed and (b) at calibration batch sizes (16k
+        # tokens) the s4 grouped-dot epilogue materializes a [G, B, N]
+        # partial — 30 GB for down_proj at 8B, a measured OOM
+        from ..ops import matmul as _mm
+
+        with _mm.backend("xla"):
+            return decoder_layer(p, hb, cfg, rq, cos_sin, mask)[0]
+
+    run_layer = jax.jit(_run_layer)
 
     names = linear_names(cfg)
     if true_sequential and cfg.arch in _TRUE_SEQ_GROUPS:

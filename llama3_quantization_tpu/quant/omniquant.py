@@ -333,7 +333,19 @@ def omniquant_model(
     use_shift = cfg.arch not in ("llama", "mixtral") and rq.act is not None
 
     run_fp = jax.jit(lambda p, hb: decoder_layer(p, hb, cfg, NO_QUANT, cos_sin, mask)[0])
-    run_q = jax.jit(lambda p, hb: decoder_layer(p, hb, cfg, rq, cos_sin, mask)[0])
+
+    def _run_q(p, hb):
+        # quantized-stream propagation pins the reference-numerics dequant
+        # path regardless of the process-global serving backend (the s4/a8
+        # paths add activation quantization the optimization never saw,
+        # and the s4 grouped epilogue OOMs at calibration batch sizes —
+        # see quant/calibration.py)
+        from ..ops import matmul as _mm
+
+        with _mm.backend("xla"):
+            return decoder_layer(p, hb, cfg, rq, cos_sin, mask)[0]
+
+    run_q = jax.jit(_run_q)
 
     # two LR groups like the reference's AdamW([{let params, let_lr},
     # {lwc params, lwc_lr}]) (`quant/omniquant.py:257-264`)

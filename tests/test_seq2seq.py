@@ -138,3 +138,19 @@ def test_seq2seq_jaxlm_requests(tmp_path):
 
     out = lm.greedy_until([(ctx, ["zzz"])])[0]
     assert out.split()[: 3] == best.split()[:3]
+
+
+def test_cli_routes_t5_checkpoint(tmp_path, capsys):
+    """The CLI detects a T5-family config.json and takes the seq2seq
+    driver path (reference `models/LMClass.py:35-39`), applying RTN."""
+    from llama3_quantization_tpu import cli
+
+    model = _tiny_t5()
+    model.save_pretrained(str(tmp_path))
+    cli.main([
+        "--model", str(tmp_path), "--quant_method", "rtn",
+        "--wbits", "4", "--group_size", "8",
+    ])
+    err = capsys.readouterr().err
+    assert "t5-seq2seq" in err
+    assert "rtn W4 g8 applied (seq2seq)" in err
