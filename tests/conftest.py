@@ -55,20 +55,16 @@ import pytest  # noqa: E402
 
 
 def pytest_collection_modifyitems(config, items):
-    # `big_compile`-marked modules get fresh XLA caches before their first
-    # test: the CPU compiler SIGSEGVs when a large interpret-mode scan
-    # compiles with the whole suite's executables cached (reproduced twice
-    # at test_windowed in full-suite runs, never standalone). A marker
-    # instead of a per-module fixture so any future big-compile module
-    # opts in without re-discovering the failure mode (ordering-dependent
-    # otherwise).
-    seen_modules = set()
+    # `big_compile`-marked tests get fresh XLA caches first: the CPU
+    # compiler SIGSEGVs when a large interpret-mode scan/shard_map kernel
+    # compiles with the whole suite's executables cached (reproduced at
+    # test_windowed and test_sharding::test_flash_decode_kernel_sharded
+    # in full-suite runs, never standalone). Applied per marked ITEM —
+    # a per-module clear was not enough: the module's own earlier
+    # compiles re-fill the budget before a late heavy test.
     for item in items:
         if item.get_closest_marker("big_compile"):
-            mod = item.module.__name__
-            if mod not in seen_modules:
-                seen_modules.add(mod)
-                item.fixturenames.insert(0, "_l3q_fresh_caches")
+            item.fixturenames.insert(0, "_l3q_fresh_caches")
 
 
 @pytest.fixture

@@ -416,6 +416,7 @@ def test_tp_overlap_forward():
     np.testing.assert_allclose(np.asarray(qout), np.asarray(qref), atol=1e-4)
 
 
+@pytest.mark.big_compile
 def test_flash_decode_kernel_sharded_matches_single_replica():
     """Partition-aware flash decode: with `set_decode_mesh`, the Pallas
     kernel call is shard_map-wrapped (batch on dp, KV head groups on tp)
