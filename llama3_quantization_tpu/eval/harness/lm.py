@@ -435,10 +435,12 @@ class Seq2SeqJAXLM(BaseLM):
 
         jnp = self._jnp
         if self._gen_jit is None:
-            from ...models.seq2seq import greedy_generate_seq2seq
+            from ...models.seq2seq import greedy_generate_seq2seq_cached
 
+            # KV-cached incremental decoder: O(T) per generation vs the
+            # O(T^2) re-forward fallback (greedy streams identical, tested)
             self._gen_jit = jax.jit(
-                partial(greedy_generate_seq2seq, cfg=self.cfg, rq=self.rq),
+                partial(greedy_generate_seq2seq_cached, cfg=self.cfg, rq=self.rq),
                 static_argnames=("n_steps",),
             )
         el = self._bucket(len(context))

@@ -30,8 +30,11 @@ from .transformer import (  # noqa: F401
 
 from .seq2seq import (  # noqa: E402,F401  (native T5/T0 trunk, round 4)
     Seq2SeqConfig,
+    decode_step_seq2seq,
     forward_logits_seq2seq,
     from_hf_seq2seq,
     greedy_generate_seq2seq,
+    greedy_generate_seq2seq_cached,
+    init_seq2seq_state,
     quantize_seq2seq_rtn,
 )

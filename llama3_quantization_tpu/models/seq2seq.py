@@ -22,11 +22,12 @@ tests/test_hf_parity.py):
 - tied embeddings scale decoder output by d_model**-0.5 before the LM
   projection (untied checkpoints, e.g. T0/v1.1, carry a real lm_head).
 
-Decode is teacher-forced full-sequence (the eval harness's scoring mode);
-`greedy_generate_seq2seq` re-runs the decoder over a fixed-size buffer per
-step — O(T^2) but static-shaped and jittable, fine for the short
-generations the harness asks of T0. A KV-cached incremental decoder is
-the obvious follow-up if seq2seq serving ever matters.
+Scoring is teacher-forced full-sequence (the eval harness's mode).
+Generation has two decoders: `greedy_generate_seq2seq` (O(T^2) re-forward
+over a fixed buffer — the simple reference) and the KV-cached incremental
+`greedy_generate_seq2seq_cached` / `decode_step_seq2seq` (encoder + cross
+K/V computed once, self K/V appended into a preallocated buffer — the
+harness default; greedy streams identical, tested).
 """
 
 from __future__ import annotations
@@ -388,3 +389,127 @@ def quantize_seq2seq_rtn(params: Params, cfg: Seq2SeqConfig, spec, pack=True) ->
     # lm_head (untied checkpoints) stays fp — reference parity keeps the
     # head unquantized (`/root/reference/quant/omniquant.py` skips it)
     return out
+
+
+# ----------------------------------------------------------------------
+# Incremental (KV-cached) decoding — O(T) greedy instead of the O(T^2)
+# re-forward fallback above. Cross-attention K/V are computed ONCE from
+# the encoder output; decoder self-attention K/V append into a
+# preallocated buffer (same design as the decoder-only trunk's cache —
+# not the reference's torch.cat anti-pattern).
+
+
+def init_seq2seq_state(
+    params: Params,
+    enc_toks: jax.Array,  # [B, S]
+    max_new: int,
+    cfg: Seq2SeqConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> Dict[str, jax.Array]:
+    """Encode + precompute cross K/V; allocate the decoder self cache."""
+    b, s = enc_toks.shape
+    h, dk = cfg.num_heads, cfg.d_kv
+    enc_mask = _pad_mask(enc_toks, cfg.pad_token_id)
+    enc_h = encode(params, enc_toks, cfg, rq, enc_mask)
+
+    def cross_kv(lp):
+        ck = qlinear(enc_h, lp["ck"], None, rq.act).reshape(b, s, h, dk)
+        cv = qlinear(enc_h, lp["cv"], None, rq.act).reshape(b, s, h, dk)
+        return ck, cv
+
+    ck, cv = jax.lax.map(cross_kv, params["dec"]["layers"])  # [L, B, S, H, dk]
+    L = ck.shape[0]
+    return {
+        "enc_h": enc_h,
+        "enc_mask": enc_mask,
+        "cross_k": ck,
+        "cross_v": cv,
+        "self_k": jnp.zeros((L, b, max_new + 1, h, dk), enc_h.dtype),
+        "self_v": jnp.zeros((L, b, max_new + 1, h, dk), enc_h.dtype),
+    }
+
+
+def decode_step_seq2seq(
+    params: Params,
+    state: Dict[str, jax.Array],
+    tok: jax.Array,  # [B, 1]
+    pos,  # scalar int32: decoder position of `tok`
+    cfg: Seq2SeqConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """One decoder step over the cached state -> (logits [B, 1, V], state)."""
+    b = tok.shape[0]
+    h, dk = cfg.num_heads, cfg.d_kv
+    t_max = state["self_k"].shape[2]
+    x = jnp.asarray(params["shared"])[tok]  # [B, 1, D]
+    eps = cfg.layer_norm_eps
+    # relative bias column for a query at `pos` vs keys 0..t_max-1
+    mem = jnp.arange(t_max)[None, :]
+    buckets = _relative_position_bucket(
+        mem - pos, False, cfg.rel_buckets, cfg.rel_max_distance
+    )[0]  # [t_max]
+    bias = jnp.transpose(params["dec_rel"][buckets], (1, 0))[None, :, None, :]
+    causal = jnp.where(mem <= pos, 0.0, -1e9).astype(jnp.float32)[None, None]
+    self_bm = bias.astype(jnp.float32) + causal  # [1, H, 1, T]
+
+    def body(hc, xs):
+        lp, ck_l, cv_l, sk_l, sv_l = xs
+        xa = _rms(lp["ln1"], hc, eps)
+        q = qlinear(xa, lp["q"], None, rq.act).reshape(b, 1, h, dk)
+        k = qlinear(xa, lp["k"], None, rq.act).reshape(b, 1, h, dk)
+        v = qlinear(xa, lp["v"], None, rq.act).reshape(b, 1, h, dk)
+        sk_l = jax.lax.dynamic_update_slice(sk_l, k, (0, pos, 0, 0))
+        sv_l = jax.lax.dynamic_update_slice(sv_l, v, (0, pos, 0, 0))
+        s = jnp.einsum("bshd,bthd->bhst", q, sk_l).astype(jnp.float32) + self_bm
+        p = jax.nn.softmax(s, axis=-1).astype(hc.dtype)
+        o = jnp.einsum("bhst,bthd->bshd", p, sv_l).reshape(b, 1, h * dk)
+        hc = hc + qlinear(o, lp["o"], None, rq.act)
+
+        xc = _rms(lp["ln2"], hc, eps)
+        qc = qlinear(xc, lp["cq"], None, rq.act).reshape(b, 1, h, dk)
+        sc = jnp.einsum("bshd,bthd->bhst", qc, ck_l).astype(jnp.float32)
+        sc = sc + state["enc_mask"]
+        pc = jax.nn.softmax(sc, axis=-1).astype(hc.dtype)
+        oc = jnp.einsum("bhst,bthd->bshd", pc, cv_l).reshape(b, 1, h * dk)
+        hc = hc + qlinear(oc, lp["co"], None, rq.act)
+
+        xm = _rms(lp["ln3"], hc, eps)
+        hc = hc + _t5_mlp(lp, xm, cfg, rq)
+        return hc, (sk_l, sv_l)
+
+    hval, (sk, sv) = jax.lax.scan(
+        body, x,
+        (params["dec"]["layers"], state["cross_k"], state["cross_v"],
+         state["self_k"], state["self_v"]),
+    )
+    state = dict(state, self_k=sk, self_v=sv)
+    hval = _rms(params["dec_ln"], hval, eps)
+    if cfg.tie_word_embeddings:
+        hval = hval * (cfg.d_model ** -0.5)
+        logits = jnp.einsum("btd,vd->btv", hval, jnp.asarray(params["shared"]))
+    else:
+        logits = qlinear(hval, params["lm_head"], None, rq.act)
+    return logits, state
+
+
+def greedy_generate_seq2seq_cached(
+    params: Params,
+    enc_toks: jax.Array,  # [B, S]
+    n_steps: int,
+    cfg: Seq2SeqConfig,
+    rq: RuntimeQuantConfig = NO_QUANT,
+) -> jax.Array:  # [B, n_steps]
+    """O(T) greedy decode over the cached state (one encoder pass, one
+    cross-K/V projection, per-step self-cache appends)."""
+    b = enc_toks.shape[0]
+    state = init_seq2seq_state(params, enc_toks, n_steps, cfg, rq)
+    tok0 = jnp.full((b, 1), cfg.decoder_start_token_id, jnp.int32)
+
+    def body(carry, i):
+        tok, state = carry
+        logits, state = decode_step_seq2seq(params, state, tok, i, cfg, rq)
+        nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
+        return (nxt[:, None], state), nxt
+
+    (_, _), toks = jax.lax.scan(body, (tok0, state), jnp.arange(n_steps))
+    return toks.T

@@ -154,3 +154,22 @@ def test_cli_routes_t5_checkpoint(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "t5-seq2seq" in err
     assert "rtn W4 g8 applied (seq2seq)" in err
+
+
+def test_cached_greedy_matches_reforward(tmp_path):
+    """The KV-cached incremental decoder (init_seq2seq_state /
+    decode_step_seq2seq) produces the same greedy stream as the O(T^2)
+    re-forward decoder — and therefore as HF generate."""
+    from llama3_quantization_tpu.models.seq2seq import (
+        greedy_generate_seq2seq_cached,
+    )
+
+    for tie in (False, True):
+        model = _tiny_t5(tie=tie)
+        model.save_pretrained(str(tmp_path / ("t" if tie else "u")))
+        params, cfg = from_hf_seq2seq(str(tmp_path / ("t" if tie else "u")))
+        enc = jnp.asarray([[5, 9, 17, 3, 2, 11], [8, 4, 30, 0, 0, 0]], jnp.int32)
+        n = 7
+        ref = np.asarray(greedy_generate_seq2seq(params, enc, n, cfg))
+        got = np.asarray(greedy_generate_seq2seq_cached(params, enc, n, cfg))
+        np.testing.assert_array_equal(got, ref)
