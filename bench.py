@@ -10,8 +10,9 @@ checkpoint downloads); throughput depends only on shapes/layout.
 Prints ONE JSON line per metric to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": ...,
    "vs_sol": ..., "vs_prev": ...}
-The default run (no L3Q_BENCH_MODE) guards all three production workloads:
-decode + serving + GPTQ calibration, each in its own subprocess (HBM
+The default run (no L3Q_BENCH_MODE) guards the production workloads:
+decode + serving + GPTQ/OmniQuant calibration + prefill, each in its own
+subprocess (HBM
 isolation — an idle 8B of decode weights under the calibration run is a
 measured OOM). `vs_sol` is the fraction of the physics bound for this
 format on this chip (1.0 == optimum; the reference publishes no throughput
@@ -363,7 +364,7 @@ def run_all() -> int:
     import subprocess
 
     rc_all = 0
-    for mode in ("decode", "serve", "gptq"):
+    for mode in ("decode", "serve", "gptq", "omniquant", "prefill"):
         log(f"=== bench stage: {mode} ===")
         env = dict(os.environ, L3Q_BENCH_MODE=mode)
         proc = subprocess.run(
