@@ -16,6 +16,15 @@ from llama3_quantization_tpu.parallel.train import init_model_lwc, make_lwc_trai
 from llama3_quantization_tpu.quant import QuantSpec
 
 
+
+# big-compile module: every test here compiles a fresh shard_map/GSPMD
+# program; the conftest big_compile hook clears XLA caches before each so
+# the CPU compiler's memory budget is never hit mid-suite (SIGSEGVs
+# reproduced at test_flash_decode_kernel_sharded AND
+# test_pipeline_parallel_all_archs in different full-suite runs — the
+# crash point moves with cache state, so the whole module opts in)
+pytestmark = pytest.mark.big_compile
+
 @pytest.fixture(scope="module")
 def mesh():
     assert len(jax.devices()) == 8, "tests expect the 8-device CPU mesh"
@@ -416,7 +425,6 @@ def test_tp_overlap_forward():
     np.testing.assert_allclose(np.asarray(qout), np.asarray(qref), atol=1e-4)
 
 
-@pytest.mark.big_compile
 def test_flash_decode_kernel_sharded_matches_single_replica():
     """Partition-aware flash decode: with `set_decode_mesh`, the Pallas
     kernel call is shard_map-wrapped (batch on dp, KV head groups on tp)
