@@ -22,4 +22,10 @@ from .pipeline import (  # noqa: F401
 )
 from .ring_attention import make_sp_forward, ring_attention  # noqa: F401
 from .tp_overlap import make_tp_overlap_forward, tp_overlap_pspecs  # noqa: F401
-from .sharding import model_pspecs, shard_params, make_sharded_forward  # noqa: F401
+from .sharding import (  # noqa: F401
+    make_sharded_forward,
+    model_pspecs,
+    seq2seq_pspecs,
+    shard_params,
+    shard_params_seq2seq,
+)

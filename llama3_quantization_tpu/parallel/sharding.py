@@ -168,3 +168,55 @@ def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, rq=None):
         )
 
     return fwd
+
+
+#: seq2seq (T5) linear kinds: column-parallel projections, row-parallel
+#: output/down projections — one all-reduce per attention / cross-attention
+#: / MLP block, exactly the Megatron recipe of `_LINEAR_KIND`
+_SEQ2SEQ_KIND = {
+    "q": "col", "k": "col", "v": "col", "o": "row",
+    "cq": "col", "ck": "col", "cv": "col", "co": "row",
+    "wi": "col", "wi0": "col", "wi1": "col", "wo": "row",
+}
+
+
+def seq2seq_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpecs for a `models/seq2seq.py` param pytree (round 4):
+    tensor parallelism over `tp` for every encoder/decoder linear
+    (fp arrays or QuantizedTensor leaves), everything else replicated.
+    Requires num_heads % tp == 0 (head groups follow the sharded inner
+    axis) and d_ff % tp == 0."""
+    def side(layers):
+        out = {}
+        for name, w in layers.items():
+            if name.startswith("ln"):
+                out[name] = P(None, None)
+            else:
+                out[name] = _weight_spec(w, _SEQ2SEQ_KIND[name], stacked=True)
+        return {"layers": out}
+
+    specs: Dict[str, Any] = {
+        "shared": P(None, None),
+        "enc": side(params["enc"]["layers"]),
+        "dec": side(params["dec"]["layers"]),
+        "enc_ln": P(None),
+        "dec_ln": P(None),
+        "enc_rel": P(None, None),
+        "dec_rel": P(None, None),
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = P(None, "tp")
+    return specs
+
+
+def shard_params_seq2seq(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a seq2seq param pytree on the mesh per `seq2seq_pspecs`."""
+    specs = seq2seq_pspecs(params)
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_s, _ = jax.tree_util.tree_flatten(
+        specs, is_leaf=lambda x: isinstance(x, P)
+    )
+    placed = [
+        jax.device_put(p, NamedSharding(mesh, s)) for p, s in zip(flat_p, flat_s)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, placed)

@@ -173,3 +173,35 @@ def test_cached_greedy_matches_reforward(tmp_path):
         ref = np.asarray(greedy_generate_seq2seq(params, enc, n, cfg))
         got = np.asarray(greedy_generate_seq2seq_cached(params, enc, n, cfg))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_seq2seq_tp_sharded_matches_single_device(tmp_path):
+    """Megatron-sharded T5 (seq2seq_pspecs: col q/k/v/c*/wi*, row o/co/wo)
+    reproduces the single-device teacher-forced logits under a dp x tp
+    mesh — fp and RTN-quantized leaves."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from llama3_quantization_tpu.parallel import shard_params_seq2seq
+    from llama3_quantization_tpu.quant import QuantSpec
+    from llama3_quantization_tpu.models.seq2seq import quantize_seq2seq_rtn
+
+    model = _tiny_t5()
+    model.save_pretrained(str(tmp_path))
+    params, cfg = from_hf_seq2seq(str(tmp_path))
+    rng = np.random.default_rng(4)
+    enc = jnp.asarray(rng.integers(2, cfg.vocab_size, (4, 10)), jnp.int32)
+    dec = jnp.asarray(rng.integers(2, cfg.vocab_size, (4, 6)), jnp.int32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+
+    for qp in (params, quantize_seq2seq_rtn(params, cfg, QuantSpec(n_bits=8, group_size=8))):
+        ref = forward_logits_seq2seq(qp, enc, dec, cfg)
+        sharded = shard_params_seq2seq(qp, mesh)
+        enc_s = jax.device_put(enc, NamedSharding(mesh, P("dp", None)))
+        dec_s = jax.device_put(dec, NamedSharding(mesh, P("dp", None)))
+        with mesh:
+            out = jax.jit(
+                lambda p, e, d: forward_logits_seq2seq(p, e, d, cfg)
+            )(sharded, enc_s, dec_s)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+        )
