@@ -44,6 +44,13 @@ class _Request:
     generated: List[int] = dataclasses.field(default_factory=list)
     eos_id: Optional[int] = None
     done: bool = False
+    #: tokens scheduled on device so far (prefill first token + dispatched
+    #: windows) — lets the pipelined loop free budget-bound slots at
+    #: DISPATCH time instead of one window later (see run_pipelined)
+    scheduled: int = 0
+    #: slot already returned to the free pool (guards double-free when a
+    #: pre-freed request's late-collected finish calls _finish)
+    freed: bool = False
 
 
 class ServingEngine:
@@ -230,7 +237,8 @@ class ServingEngine:
                 nxt = int(nxts[row])
                 rid = self._next_rid
                 self._next_rid += 1
-                req = _Request(rid, slot, plen, max_new, [nxt], eos_id)
+                req = _Request(rid, slot, plen, max_new, [nxt], eos_id,
+                               scheduled=1)
                 self.requests[rid] = req
                 self._slot_req[slot] = rid
                 self.pos[slot] = plen
@@ -249,8 +257,25 @@ class ServingEngine:
 
     def _finish(self, req: _Request) -> None:
         req.done = True
-        self._slot_req.pop(req.slot, None)
-        self.free.append(req.slot)
+        self._release_slot(req)
+
+    def _release_slot(self, req: _Request) -> None:
+        if not req.freed:
+            req.freed = True
+            self._slot_req.pop(req.slot, None)
+            self.free.append(req.slot)
+
+    def _prefree_scheduled(self) -> None:
+        """Free slots whose request is fully scheduled on device (budget-
+        bound, eos-less): the in-flight window already contains its final
+        tokens, so the slot can take a new admission NOW — one window
+        earlier than waiting for the collect boundary to notice the
+        finish. Token bookkeeping still happens at collect time (`freed`
+        guards the double-free)."""
+        for slot, rid in list(self._slot_req.items()):
+            req = self.requests[rid]
+            if req.eos_id is None and req.scheduled >= req.max_new_tokens:
+                self._release_slot(req)
 
     # ------------------------------------------------------------------
     def step(self) -> Dict[int, int]:
@@ -408,10 +433,15 @@ class ServingEngine:
         Semantics match the sequential `step_n` loop exactly for every
         request's OUTPUT tokens (same cache chain, same greedy/sampled
         math — tested): what changes is only when the host LEARNS of a
-        finish — one window later — so a freed slot idles one extra
-        window before its replacement joins, the price of the overlap.
+        finish. Budget-bound requests (eos_id=None) are freed at DISPATCH
+        time the moment their final window is in flight
+        (`_prefree_scheduled`), so their slots re-admit with no idle
+        window at all; eos finishes are still discovered one window late.
         Slot reuse splices a fresh prefill over the speculative window's
         dead writes (the same mechanism mid-window finishes already use).
+        The drain tail additionally clamps the dispatch window to the
+        largest remaining budget (rounded up into `_window_sizes`) so the
+        last windows stop paying dead decode steps.
         """
         import os as _os
         import time as _time
@@ -420,15 +450,15 @@ class ServingEngine:
         t_disp = t_coll = t_adm = 0.0
         jax, jnp = self._jax, self._jnp
         k = step_tokens
-        prev = None  # (toks_dev, layout, slotmap at dispatch time)
+        prev = None  # (toks_dev, layout, slotmap, k) at dispatch time
         self._admissions_async()  # admit queued work upfront (no sync)
         dev_last = None  # [B, 1] device tokens chained from the last window
         windows = 0
         while (
             self._slot_req or prev is not None or self._queue
         ) and windows < max_windows:
-            if not self._slot_req and prev is None:
-                self._admissions_async()
+            self._prefree_scheduled()  # fully-scheduled slots admit NOW
+            self._admissions_async()
             if self._slot_req:
                 _t0 = _time.time()
                 tok0 = (
@@ -454,26 +484,45 @@ class ServingEngine:
                 self._scatter_next = []
                 pos0 = jnp.asarray(self.pos.astype(np.int32))
                 self._key, sub = jax.random.split(self._key)
-                toks, layout = self._dispatch_window(k, tok0, pos0, sub)
+                # drain-tail clamp: no active request can need more than
+                # its remaining budget (eos can only finish EARLIER), so
+                # shrink the window to the largest remaining budget —
+                # rounded up to a small candidate set {1,2,4,...,k} to
+                # bound the number of compiled window programs. In steady
+                # state max(remaining) >= k and nothing changes; in the
+                # drain tail this stops paying dead decode steps.
+                rem = [
+                    self.requests[rid].max_new_tokens
+                    - self.requests[rid].scheduled
+                    for rid in self._slot_req.values()
+                ]
+                k_eff = min(k, max(1, max(rem) if rem else k))
+                for cand in self._window_sizes(k):
+                    if cand >= k_eff:
+                        k_eff = cand
+                        break
+                toks, layout = self._dispatch_window(k_eff, tok0, pos0, sub)
                 dev_last = (
                     toks[:, -1:] if layout == "bk" else toks[-1, :, None]
                 ).astype(jnp.int32)
-                cur = (toks, layout, dict(self._slot_req))
-                self.pos += k  # every row advanced (dead rows harmless:
-                #                slot reuse splices over their writes)
+                cur = (toks, layout, dict(self._slot_req), k_eff)
+                self.pos += k_eff  # every row advanced (dead rows harmless:
+                #                    slot reuse splices over their writes)
+                for rid in self._slot_req.values():
+                    self.requests[rid].scheduled += k_eff
                 windows += 1
                 t_disp += _time.time() - _t0
             else:
                 cur = None
             if prev is not None:
-                toks_p, layout_p, slotmap = prev
+                toks_p, layout_p, slotmap, k_p = prev
                 _t1 = _time.time()
                 arr = np.asarray(toks_p)  # sync window i; device runs i+1
                 if layout_p == "bk":
                     arr = arr.T  # -> [k, B]
                 _t2 = _time.time()
                 self._resolve_first_tokens()
-                self._collect_pipelined(arr, k, slotmap)
+                self._collect_pipelined(arr, k_p, slotmap)
                 self._admissions_async()
                 t_coll += _t2 - _t1
                 t_adm += _time.time() - _t2
@@ -487,6 +536,19 @@ class ServingEngine:
                 file=_sys.stderr,
             )
 
+    @staticmethod
+    def _window_sizes(k: int) -> List[int]:
+        """Allowed dispatch-window sizes (ascending): powers of two up to
+        k, plus k itself — the compile-bounded candidate set the drain-
+        tail clamp rounds up into."""
+        sizes = []
+        c = 1
+        while c < k:
+            sizes.append(c)
+            c *= 2
+        sizes.append(k)
+        return sizes
+
     def _collect_pipelined(self, toks, k: int, slotmap) -> None:
         """Distribute a fetched [k, B] window to the requests that were
         active WHEN IT WAS DISPATCHED (finish bookkeeping only — `pos` is
@@ -498,7 +560,10 @@ class ServingEngine:
             for i in range(k):
                 tok = int(toks[i, slot])
                 req.generated.append(tok)
-                self.next_tok[slot] = tok
+                if self._slot_req.get(slot) == rid:
+                    # pre-freed slots may already host a NEW request whose
+                    # next_tok must not be clobbered by this late collect
+                    self.next_tok[slot] = tok
                 if (req.eos_id is not None and tok == req.eos_id) or len(
                     req.generated
                 ) >= req.max_new_tokens:
@@ -577,7 +642,8 @@ class ServingEngine:
                     )
                     rid = self._next_rid
                     self._next_rid += 1
-                    req = _Request(rid, slot, len(prompt), max_new, [], eos_id)
+                    req = _Request(rid, slot, len(prompt), max_new, [],
+                                   eos_id, scheduled=1)
                     self.requests[rid] = req
                     self._slot_req[slot] = rid
                     self.pos[slot] = len(prompt)
@@ -597,7 +663,8 @@ class ServingEngine:
                     continue
                 tok = int(vals[row])
                 req.generated.append(tok)
-                self.next_tok[slot] = tok
+                if self._slot_req.get(slot) == rid:
+                    self.next_tok[slot] = tok
                 if (req.eos_id is not None and tok == req.eos_id) or len(
                     req.generated
                 ) >= req.max_new_tokens:

@@ -585,3 +585,29 @@ def test_run_pipelined_eos(setup):
     eng.run_pipelined(2)
     got = list(eng.requests.values())[0].generated
     assert got == seq[:4]  # stops right after the eos token
+
+def test_prefree_and_drain_clamp(setup):
+    """Round-4 serving levers: (a) a budget-bound (eos-less) request's
+    slot frees at DISPATCH time of its final window, so the replacement
+    admits with no idle window; (b) the drain tail clamps the dispatch
+    window to the largest remaining budget (rounded into _window_sizes),
+    so tiny-budget requests dispatch tiny windows. Outputs must still be
+    byte-identical to the reference single-sequence decode."""
+    cfg, params = setup
+    eng = ServingEngine(params, cfg, max_slots=1, max_len=64)
+    assert eng._window_sizes(12) == [1, 2, 4, 8, 12]
+    assert eng._window_sizes(8) == [1, 2, 4, 8]
+    # one slot, two budget-bound requests: with k=8 > max_new=3 the clamp
+    # dispatches a 4-step window; pre-free must hand the slot to request
+    # 2 after ONE window for request 1
+    eng.submit([1, 2, 3, 4], 3, None)
+    eng.submit([9, 8, 7], 3, None)
+    eng.run_pipelined(8)
+    gens = [r.generated for r in
+            sorted(eng.requests.values(), key=lambda r: r.rid)]
+    # the submit queue pops from the end (LIFO): [9,8,7] admits first
+    assert gens[0] == _single_greedy(params, cfg, [9, 8, 7], 3)
+    assert gens[1] == _single_greedy(params, cfg, [1, 2, 3, 4], 3)
+    # every slot was freed exactly once per finish (no double-free)
+    assert sorted(eng.free) == [0]
+    assert all(r.done and r.freed for r in eng.requests.values())
