@@ -296,10 +296,12 @@ def serving_bench(cfg, spec, cfg_name, backend):
     # (~60 ms through the tunnel) dominates small windows — 341.7 (k=8) /
     # 405.7 (16) / 450.6 (32 — its optimum). The pipelined runner hides
     # that host cost (window i+1 dispatched before window i is fetched;
-    # fully-async admissions), shifting the optimum down to k=12 where
-    # mid-window finish waste and the one-window admission lag are small:
+    # fully-async admissions), shifting the optimum down to k=12:
     # 494 (k=8) / 552.2 (12) / 537.9 (16) / 458.9 (32) tok/s measured.
-    step_tokens = int(os.environ.get("L3Q_BENCH_STEPN", 12))
+    # With dispatch-time pre-free of budget-bound slots + the drain-tail
+    # window clamp (no admission lag, no dead drain steps) the optimum
+    # moved back up to k=16: 609.9 (12) / 617.5 (16) / 603.6 (24).
+    step_tokens = int(os.environ.get("L3Q_BENCH_STEPN", 16))
     pipelined = os.environ.get("L3Q_BENCH_PIPELINE", "1") == "1"
     # warmup: compile ALL prefill buckets touched by the 8-64 prompt range
     # (16/32/64) + the k-step decode scan — a bucket compiling mid-run
