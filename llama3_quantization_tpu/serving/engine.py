@@ -440,8 +440,9 @@ class ServingEngine:
         Slot reuse splices a fresh prefill over the speculative window's
         dead writes (the same mechanism mid-window finishes already use).
         The drain tail additionally clamps the dispatch window to the
-        largest remaining budget (rounded up into `_window_sizes`) so the
-        last windows stop paying dead decode steps.
+        largest remaining budget (rounded down into `_window_sizes`, the
+        residual decoding as further shrinking windows) so the last
+        windows stop paying dead decode steps.
         """
         import os as _os
         import time as _time
@@ -486,21 +487,20 @@ class ServingEngine:
                 self._key, sub = jax.random.split(self._key)
                 # drain-tail clamp: no active request can need more than
                 # its remaining budget (eos can only finish EARLIER), so
-                # shrink the window to the largest remaining budget —
-                # rounded up to a small candidate set {1,2,4,...,k} to
-                # bound the number of compiled window programs. In steady
-                # state max(remaining) >= k and nothing changes; in the
-                # drain tail this stops paying dead decode steps.
+                # shrink the window to the largest remaining budget,
+                # rounded DOWN into a small candidate set {1,2,4,...,k}
+                # (bounds the number of compiled window programs). The
+                # residual decodes as further shrinking windows — e.g.
+                # remaining 11 runs 8+2+1 — so the pacing slot finishes
+                # exactly at a window boundary with zero dead steps. In
+                # steady state max(remaining) >= k and nothing changes.
                 rem = [
                     self.requests[rid].max_new_tokens
                     - self.requests[rid].scheduled
                     for rid in self._slot_req.values()
                 ]
-                k_eff = min(k, max(1, max(rem) if rem else k))
-                for cand in self._window_sizes(k):
-                    if cand >= k_eff:
-                        k_eff = cand
-                        break
+                target = min(k, max(1, max(rem) if rem else k))
+                k_eff = max(c for c in self._window_sizes(k) if c <= target)
                 toks, layout = self._dispatch_window(k_eff, tok0, pos0, sub)
                 dev_last = (
                     toks[:, -1:] if layout == "bk" else toks[-1, :, None]

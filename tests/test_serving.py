@@ -598,8 +598,8 @@ def test_prefree_and_drain_clamp(setup):
     assert eng._window_sizes(12) == [1, 2, 4, 8, 12]
     assert eng._window_sizes(8) == [1, 2, 4, 8]
     # one slot, two budget-bound requests: with k=8 > max_new=3 the clamp
-    # dispatches a 4-step window; pre-free must hand the slot to request
-    # 2 after ONE window for request 1
+    # dispatches 2+1 step windows (round-down, zero dead steps); pre-free
+    # must hand the slot to request 2 as soon as request 1 is scheduled
     eng.submit([1, 2, 3, 4], 3, None)
     eng.submit([9, 8, 7], 3, None)
     eng.run_pipelined(8)
