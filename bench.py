@@ -308,9 +308,12 @@ def serving_bench(cfg, spec, cfg_name, backend):
     # lands its remote-compile seconds inside the measured window
     warm = [(16, 2 * step_tokens), (24, 2 * step_tokens), (48, 2 * step_tokens)]
     if pipelined:
+        # one pipelined run PER prompt so each prefill bucket (16/32/64)
+        # compiles during warmup — merged-bucket admissions would
+        # otherwise compile only the largest bucket of a shared round
         for plen, glen in warm:
             eng.submit(list(rng.integers(0, cfg.vocab_size, plen)), glen, None)
-        eng.run_pipelined(step_tokens)
+            eng.run_pipelined(step_tokens)
     else:
         feed(warm)
         eng.run(max_steps=8, step_tokens=step_tokens)

@@ -178,29 +178,32 @@ class ServingEngine:
     def add_requests(self, requests) -> List[int]:
         """Admit a batch of (prompt_tokens, max_new_tokens, eos_id) at once.
 
-        Requests sharing a prompt-length bucket are prefilled in ONE
-        forward at a FIXED batch of `max_slots` rows (one compiled program
-        per bucket, ever — not per admission pattern):
-        under churn the engine admits several requests per free-slot
-        window, and per-request prefills serialized between decode windows
-        were a measured occupancy cost. Row i's cache is spliced into its
+        The WHOLE batch prefills in ONE forward at a FIXED batch of
+        `max_slots` rows, padded to the LARGEST prompt-length bucket
+        present (one compiled program per bucket, ever — not per
+        admission pattern): every prefill dispatch reads the full
+        weights, which dominates its cost at these lengths, and the
+        batch is padded to max_slots rows regardless, so merging buckets
+        only adds padded FLOPs on the shorter prompts. Under churn the
+        engine admits several requests per free-slot window; per-request
+        (and per-bucket) prefills serialized between decode windows were
+        a measured occupancy cost. Row i's cache is spliced into its
         slot; extra padded rows are discarded."""
         if len(requests) > len(self.free):
             raise RuntimeError(
                 f"{len(requests)} requests for {len(self.free)} free slots"
             )
         jnp = self._jnp
-        by_bucket: Dict[int, List[int]] = {}
-        for i, (prompt, _, _) in enumerate(requests):
-            plen = len(prompt)
-            if plen >= self.max_len:
+        for prompt, _, _ in requests:
+            if len(prompt) >= self.max_len:
                 raise ValueError(
-                    f"prompt of {plen} tokens does not fit max_len="
+                    f"prompt of {len(prompt)} tokens does not fit max_len="
                     f"{self.max_len}; truncate explicitly or raise max_len"
                 )
-            by_bucket.setdefault(self._bucket(plen), []).append(i)
         rids: Dict[int, int] = {}
-        for bucket, idxs in by_bucket.items():
+        if requests:
+            bucket = self._bucket(max(len(p) for p, _, _ in requests))
+            idxs = list(range(len(requests)))
             # FIXED prefill batch (= max_slots): one compiled program per
             # bucket, ever. A per-admission row count compiles a fresh
             # program per (count, bucket) pair — measured 341 -> 126 tok/s
@@ -608,48 +611,51 @@ class ServingEngine:
                 batch.append(self._queue.pop())
             if not batch:
                 return
-            by_bucket: Dict[int, List[int]] = {}
-            for i, (prompt, _, _) in enumerate(batch):
-                plen = len(prompt)
+            for plen in (len(p) for p, _, _ in batch):
                 if plen >= self.max_len:
                     raise ValueError(
                         f"prompt of {plen} tokens does not fit max_len="
                         f"{self.max_len}"
                     )
-                by_bucket.setdefault(self._bucket(plen), []).append(i)
-            for bucket, idxs in by_bucket.items():
-                npad = self.max_slots
-                toks_np = np.zeros((npad, bucket), np.int32)
-                last_np = np.zeros(npad, np.int64)
-                for row, i in enumerate(idxs):
-                    prompt = np.asarray(batch[i][0], np.int32)
-                    toks_np[row, : len(prompt)] = prompt
-                    last_np[row] = len(prompt) - 1
-                batch_cache = self._batch_cache(npad)
-                logits, batch_cache = self._prefill(
-                    self.params, batch_cache, jnp.asarray(toks_np), jnp.int32(0)
+            # ONE prefill dispatch per admission round, at the LARGEST
+            # bucket present: every dispatch reads the full weights
+            # (~10.6 ms for 8B a8 — prefill at these lengths is weight-
+            # read-bound, not compute-bound), and the batch is padded to
+            # max_slots rows regardless, so merging buckets only adds
+            # padded FLOPs on the shorter prompts — strictly cheaper
+            # than one weight read per bucket.
+            bucket = self._bucket(max(len(p) for p, _, _ in batch))
+            npad = self.max_slots
+            toks_np = np.zeros((npad, bucket), np.int32)
+            last_np = np.zeros(npad, np.int64)
+            for row, (prompt, _, _) in enumerate(batch):
+                prompt = np.asarray(prompt, np.int32)
+                toks_np[row, : len(prompt)] = prompt
+                last_np[row] = len(prompt) - 1
+            batch_cache = self._batch_cache(npad)
+            logits, batch_cache = self._prefill(
+                self.params, batch_cache, jnp.asarray(toks_np), jnp.int32(0)
+            )
+            nxts_dev = self._pick(
+                logits[jnp.arange(npad), jnp.asarray(last_np), :]
+            ).astype(jnp.int32)  # [npad] device, NOT fetched
+            slotmap: Dict[int, Tuple[int, int]] = {}
+            for row, (prompt, max_new, eos_id) in enumerate(batch):
+                slot = self.free.pop()
+                self._write_slot_cache(
+                    slot,
+                    {kk: v[:, row : row + 1] for kk, v in batch_cache.items()},
                 )
-                nxts_dev = self._pick(
-                    logits[jnp.arange(npad), jnp.asarray(last_np), :]
-                ).astype(jnp.int32)  # [npad] device, NOT fetched
-                slotmap: Dict[int, Tuple[int, int]] = {}
-                for row, i in enumerate(idxs):
-                    prompt, max_new, eos_id = batch[i]
-                    slot = self.free.pop()
-                    self._write_slot_cache(
-                        slot,
-                        {kk: v[:, row : row + 1] for kk, v in batch_cache.items()},
-                    )
-                    rid = self._next_rid
-                    self._next_rid += 1
-                    req = _Request(rid, slot, len(prompt), max_new, [],
-                                   eos_id, scheduled=1)
-                    self.requests[rid] = req
-                    self._slot_req[slot] = rid
-                    self.pos[slot] = len(prompt)
-                    slotmap[slot] = (row, rid)
-                self._first_pending.append((nxts_dev, slotmap))
-                self._scatter_next.append((nxts_dev, slotmap))
+                rid = self._next_rid
+                self._next_rid += 1
+                req = _Request(rid, slot, len(prompt), max_new, [],
+                               eos_id, scheduled=1)
+                self.requests[rid] = req
+                self._slot_req[slot] = rid
+                self.pos[slot] = len(prompt)
+                slotmap[slot] = (row, rid)
+            self._first_pending.append((nxts_dev, slotmap))
+            self._scatter_next.append((nxts_dev, slotmap))
 
     def _resolve_first_tokens(self) -> None:
         """Fetch the pending prefill first-tokens (their prefills are
