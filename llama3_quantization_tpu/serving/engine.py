@@ -181,10 +181,14 @@ class ServingEngine:
         The WHOLE batch prefills in ONE forward at a FIXED batch of
         `max_slots` rows, padded to the LARGEST prompt-length bucket
         present (one compiled program per bucket, ever — not per
-        admission pattern): every prefill dispatch reads the full
-        weights, which dominates its cost at these lengths, and the
-        batch is padded to max_slots rows regardless, so merging buckets
-        only adds padded FLOPs on the shorter prompts. Under churn the
+        admission pattern). In the measured short-prompt serving regime
+        (buckets <= 64) every prefill dispatch is weight-read-bound, so
+        merging buckets into one dispatch only adds padded FLOPs on the
+        shorter prompts and is strictly cheaper than per-bucket
+        prefills; with a prompt whose bucket approaches max_len the
+        quadratic attention FLOPs of the large bucket can invert that —
+        callers mixing very long prompts into a batch may prefer
+        per-request `submit`. Under churn the
         engine admits several requests per free-slot window; per-request
         (and per-bucket) prefills serialized between decode windows were
         a measured occupancy cost. Row i's cache is spliced into its
@@ -433,9 +437,14 @@ class ServingEngine:
         sync + python bookkeeping + admission prefill, ~60 ms through a
         remote-attached chip) overlaps device compute instead of idling it.
 
-        Semantics match the sequential `step_n` loop exactly for every
-        request's OUTPUT tokens (same cache chain, same greedy/sampled
-        math — tested): what changes is only when the host LEARNS of a
+        GREEDY output tokens match the sequential `step_n` loop exactly
+        (same cache chain, same argmax — tested). Sampled (temperature>0)
+        streams are window-partition-dependent: the drain-tail clamp
+        varies window sizes, which changes the per-window
+        `jax.random.split` count and fold_in step indices, so a sampled
+        run need not match a fixed-k sequential run token-for-token
+        (both are valid draws from the same per-step distributions).
+        Beyond that, what changes is only when the host LEARNS of a
         finish. Budget-bound requests (eos_id=None) are freed at DISPATCH
         time the moment their final window is in flight
         (`_prefree_scheduled`), so their slots re-admit with no idle
@@ -543,7 +552,9 @@ class ServingEngine:
     def _window_sizes(k: int) -> List[int]:
         """Allowed dispatch-window sizes (ascending): powers of two up to
         k, plus k itself — the compile-bounded candidate set the drain-
-        tail clamp rounds up into."""
+        tail clamp rounds DOWN into (max candidate <= the remaining
+        budget; the residual decodes as further shrinking windows, so the
+        drain never pays dead decode steps)."""
         sizes = []
         c = 1
         while c < k:
