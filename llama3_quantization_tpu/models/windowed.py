@@ -300,18 +300,133 @@ def _ring_gather_merge(buf, win, pos0, t_logical, packed, sink: int = 0):
     return (nib_lo | (nib_hi << 4)).astype(jnp.uint8)
 
 
+def _piece_merge_row(buf, win, row, pos0_b, t_logical, packed, sink, kw):
+    """Merge one batch row's window into the shared cache buffer with
+    BOUNDED scratch: the circular ring span the window touches is covered
+    by two static-width slices (plus a pinned-sink slice when
+    `sink > 0`), each a `dynamic_slice -> masked merge ->
+    dynamic_update_slice` on the FULL buffer (row index + token start as
+    one multi-dim DUS, so the chain aliases in place — no per-row
+    concat). Slot-occupancy semantics are IDENTICAL to
+    `_ring_gather_merge` (the same mask math, evaluated on a kw-wide
+    slice instead of the whole token axis), so a piece that also covers
+    untouched or out-of-span slots writes back exactly what it read.
+
+    buf: [L, B, H, T', *]; win: [L, B, H, KW, *]; pos0_b: traced scalar.
+    """
+    w = t_logical - sink
+    last = pos0_b + kw - 1
+    l, b, h = buf.shape[0], buf.shape[1], buf.shape[2]
+    d = buf.shape[4]
+    win_row = jax.lax.slice_in_dim(win, row, row + 1, axis=1)
+    zero = jnp.int32(0)
+    ri = jnp.int32(row)
+
+    def merge_piece(buf, q, width):
+        sl = jax.lax.dynamic_slice(
+            buf, (zero, ri, zero, q, zero), (l, 1, h, width, d)
+        )
+
+        def gather_tok(tok_idx):
+            ring_abs = last - jnp.mod(last - tok_idx, w)
+            abs_ = jnp.where(tok_idx < sink, tok_idx, ring_abs)
+            j = abs_ - pos0_b
+            valid = (tok_idx < sink) | (abs_ >= sink)
+            take = ((j >= 0) & (j < kw) & valid)[None, None, None, :, None]
+            jc = jnp.clip(j, 0, kw - 1)[None, None, None, :, None]
+            g = jnp.take_along_axis(win_row, jc, axis=3)
+            return g, take
+
+        if not packed:
+            tok = q + jnp.arange(width)
+            g, take = gather_tok(tok)
+            sl = jnp.where(take, g, sl)
+        else:
+            rows = q + jnp.arange(width)
+            g_lo, take_lo = gather_tok(2 * rows)
+            g_hi, take_hi = gather_tok(2 * rows + 1)
+            old_lo = sl & 0xF
+            old_hi = sl >> 4
+            nib_lo = jnp.where(take_lo, g_lo.astype(jnp.uint8) & 0xF, old_lo)
+            nib_hi = jnp.where(take_hi, g_hi.astype(jnp.uint8) & 0xF, old_hi)
+            sl = (nib_lo | (nib_hi << 4)).astype(jnp.uint8)
+        return jax.lax.dynamic_update_slice(buf, sl, (zero, ri, zero, q, zero))
+
+    if not packed:
+        tb, width = t_logical, kw
+        s1 = sink + jnp.mod(pos0_b - sink, w)  # ring slot of pos0
+        q_sink = jnp.minimum(pos0_b, tb - width)
+        q_ring0 = jnp.int32(sink)
+    else:
+        tb, width = t_logical // 2, kw // 2 + 1
+        s1 = (sink + jnp.mod(pos0_b - sink, w)) // 2
+        q_sink = jnp.minimum(pos0_b // 2, tb - width)
+        q_ring0 = jnp.int32(sink // 2)
+    # piece A: the non-wrapped ring span; piece B: the wrap-around back to
+    # the ring start (mask-empty when the window does not wrap). B reads
+    # AFTER A's write through the DUS chain, so overlap is harmless.
+    buf = merge_piece(buf, jnp.minimum(s1, tb - width).astype(jnp.int32), width)
+    buf = merge_piece(buf, q_ring0, width)
+    if sink > 0:
+        # pinned-slot piece: positions below `sink` land at slot == pos
+        buf = merge_piece(buf, jnp.maximum(q_sink, 0).astype(jnp.int32), width)
+    return buf
+
+
+def _ring_piece_merge(buf, win, pos0, t_logical, packed, sink: int = 0):
+    """Bounded-scratch equivalent of `_ring_gather_merge`: per batch row,
+    2-3 static-width slice merges instead of one whole-buffer gather
+    (whose full-cache scratch is why kv8 cannot fit 24+ serving slots —
+    round-4 finding). Exactness vs the gather merge is tested
+    (tests/test_windowed.py)."""
+    kw = win.shape[3]
+    if getattr(pos0, "ndim", 0) == 0:
+        pos0 = pos0[None]
+    b = buf.shape[1]
+    for i in range(b):
+        buf = _piece_merge_row(
+            buf, win, i, pos0[i], t_logical, packed, sink, kw
+        )
+    return buf
+
+
+def _use_piece_merge(packed: bool, sink: int) -> bool:
+    """Piece merge handles every sink==0 case and even-sink unpacked
+    caches; packed (int4) rows share bytes across the sink/ring boundary
+    when sink is odd — those fall back to the gather merge."""
+    import os as _os
+
+    if _os.environ.get("L3Q_WINDOW_MERGE") == "gather":
+        return False
+    if sink == 0:
+        return True
+    return sink % 2 == 0
+
+
 def merge_window_into_cache(cache, w_bufs, pos0, cfg, sink: int = 0) -> Dict[str, jax.Array]:
-    """One whole-buffer rewrite per window: O(cache) read+write once per
-    KW tokens (vs per step), amortized to ~1/KW of an xs/ys step copy.
+    """Write the window buffers into the ring cache once per KW tokens.
+
+    Default: the bounded-scratch piece merge (`_ring_piece_merge`) —
+    touches only the 2-3 kw-wide slices the window maps onto, so the
+    steady-state merge cost is O(window), not O(cache), and there is no
+    full-cache gather scratch. `_ring_gather_merge` (one vectorized
+    gather+where over the whole token axis) remains as the fallback for
+    odd-sink packed layouts and for A/B via L3Q_WINDOW_MERGE=gather.
     `pos0` is the ABSOLUTE position of the window's first token."""
     wk, wks, wv, wvs = w_bufs
     int4 = cache["k_q"].dtype == jnp.uint8
     t_logical = cache["k_s"].shape[3]
+    merge_q = (
+        _ring_piece_merge if _use_piece_merge(int4, sink) else _ring_gather_merge
+    )
+    merge_s = (
+        _ring_piece_merge if _use_piece_merge(False, sink) else _ring_gather_merge
+    )
     return {
-        "k_q": _ring_gather_merge(cache["k_q"], wk, pos0, t_logical, int4, sink),
-        "k_s": _ring_gather_merge(cache["k_s"], wks, pos0, t_logical, False, sink),
-        "v_q": _ring_gather_merge(cache["v_q"], wv, pos0, t_logical, int4, sink),
-        "v_s": _ring_gather_merge(cache["v_s"], wvs, pos0, t_logical, False, sink),
+        "k_q": merge_q(cache["k_q"], wk, pos0, t_logical, int4, sink),
+        "k_s": merge_s(cache["k_s"], wks, pos0, t_logical, False, sink),
+        "v_q": merge_q(cache["v_q"], wv, pos0, t_logical, int4, sink),
+        "v_s": merge_s(cache["v_s"], wvs, pos0, t_logical, False, sink),
     }
 
 

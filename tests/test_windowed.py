@@ -254,3 +254,64 @@ def test_decode_window_sink_tokens_matches_per_step():
             np.asarray(cache_a["k_s"]), np.asarray(cache_b["k_s"]),
             rtol=0.1, atol=1e-3,
         )
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize("sink", [0, 4])
+def test_ring_piece_merge_matches_gather(packed, sink):
+    """Round 5: the bounded-scratch piece merge (2-3 static-width DUS
+    slices per row instead of a whole-cache gather) is bit-identical to
+    `_ring_gather_merge` across non-wrapping, wrapping, and pinned-sink
+    positions, scalar and per-row."""
+    from llama3_quantization_tpu.models.windowed import _ring_piece_merge
+
+    L, B, H, T, D, KW = 2, 3, 2, 16, 4, 6
+    w = T - sink
+    rng = np.random.default_rng(7)
+    cases = [
+        [sink, sink + 1, sink + 2],        # fresh ring, near the start
+        [12, 14, 15],                      # wrapping rows (12+6, 14+6 > 16)
+        [sink + w - KW, 20, 33],           # edge + deep-wrap positions
+    ]
+    if sink > 0:
+        cases.append([0, 2, 3])            # windows starting in the sink
+    for pos0 in cases:
+        old = rng.integers(-7, 8, (L, B, H, T, D)).astype(np.int8)
+        win = rng.integers(-7, 8, (L, B, H, KW, D)).astype(np.int8)
+        scales = rng.normal(size=(L, B, H, T, 1)).astype(np.float32)
+        wscales = rng.normal(size=(L, B, H, KW, 1)).astype(np.float32)
+        p0 = jnp.asarray(pos0)
+        if packed:
+            buf = kv4_pack(jnp.asarray(old))
+            a = np.asarray(kv4_unpack_codes(
+                _ring_gather_merge(buf, jnp.asarray(win), p0, T, True, sink)))
+            b = np.asarray(kv4_unpack_codes(
+                _ring_piece_merge(buf, jnp.asarray(win), p0, T, True, sink)))
+        else:
+            a = np.asarray(_ring_gather_merge(
+                jnp.asarray(old), jnp.asarray(win), p0, T, False, sink))
+            b = np.asarray(_ring_piece_merge(
+                jnp.asarray(old), jnp.asarray(win), p0, T, False, sink))
+        assert np.array_equal(a, b), (packed, sink, pos0)
+        # float scale buffers ride the same code path (packed=False)
+        sa = np.asarray(_ring_gather_merge(
+            jnp.asarray(scales), jnp.asarray(wscales), p0, T, False, sink))
+        sb = np.asarray(_ring_piece_merge(
+            jnp.asarray(scales), jnp.asarray(wscales), p0, T, False, sink))
+        assert np.array_equal(sa, sb), (packed, sink, pos0)
+
+
+def test_ring_piece_merge_scalar_pos():
+    """Scalar pos0 broadcast (the b=1 greedy decode path)."""
+    from llama3_quantization_tpu.models.windowed import _ring_piece_merge
+
+    L, B, H, T, D, KW = 1, 1, 2, 16, 4, 5
+    rng = np.random.default_rng(11)
+    old = rng.integers(-7, 8, (L, B, H, T, D)).astype(np.int8)
+    win = rng.integers(-7, 8, (L, B, H, KW, D)).astype(np.int8)
+    for pos0 in (0, 7, 13, 29):
+        a = np.asarray(_ring_gather_merge(
+            jnp.asarray(old), jnp.asarray(win), jnp.int32(pos0), T, False))
+        b = np.asarray(_ring_piece_merge(
+            jnp.asarray(old), jnp.asarray(win), jnp.int32(pos0), T, False))
+        assert np.array_equal(a, b), pos0
