@@ -36,6 +36,32 @@ def quantize(
     if needs_calib and calib_tokens is None:
         raise ValueError(f"method {method!r} requires calib_tokens")
 
+    from .models.seq2seq import Seq2SeqConfig
+
+    if isinstance(cfg, Seq2SeqConfig):
+        # the encoder-decoder trunk supports rtn + gptq (round 5); the
+        # remaining algorithms are decoder-only surface
+        if method == "rtn":
+            from .models.seq2seq import quantize_seq2seq_rtn
+
+            return quantize_seq2seq_rtn(params, cfg, spec, pack=pack)
+        if method == "gptq":
+            from .quant.seq2seq_calibration import (
+                gptq_quantize_seq2seq,
+                split_calib_pairs,
+            )
+
+            if isinstance(calib_tokens, tuple):
+                enc_t, dec_t = calib_tokens
+            else:
+                enc_t, dec_t = split_calib_pairs(calib_tokens)
+            return gptq_quantize_seq2seq(
+                params, cfg, enc_t, dec_t, spec, pack=pack, **kwargs
+            )
+        raise ValueError(
+            f"seq2seq supports methods ('rtn', 'gptq'); got {method!r}"
+        )
+
     if method == "rtn":
         from .models.params import quantize_model_rtn
 

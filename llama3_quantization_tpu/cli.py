@@ -155,18 +155,35 @@ def _main_seq2seq(args, params, cfg):
         except Exception as e:
             print(f"[cli] tokenizer unavailable: {e}", file=sys.stderr)
     if args.quant_method not in ("none",) and args.wbits < 16:
-        if args.quant_method != "rtn":
+        if args.quant_method not in ("rtn", "gptq"):
             raise SystemExit(
-                f"seq2seq supports --quant_method rtn (got {args.quant_method}); "
-                "calibration algorithms are decoder-only"
+                f"seq2seq supports --quant_method rtn|gptq (got "
+                f"{args.quant_method}); the remaining calibration "
+                "algorithms are decoder-only"
             )
         spec = QuantSpec(
             n_bits=args.wbits, group_size=args.group_size,
             symmetric=args.symmetric, disable_zero_point=args.disable_zero_point,
         )
-        params = quantize_seq2seq_rtn(params, cfg, spec)
-        print(f"[cli] rtn W{args.wbits} g{args.group_size} applied (seq2seq)",
-              file=sys.stderr)
+        if args.quant_method == "gptq":
+            from .quant.seq2seq_calibration import (
+                gptq_quantize_seq2seq,
+                split_calib_pairs,
+            )
+
+            calib = get_calib(args, tokenizer, cfg.vocab_size)
+            enc_t, dec_t = split_calib_pairs(calib)
+            params = gptq_quantize_seq2seq(
+                params, cfg, enc_t, dec_t, spec,
+                actorder=getattr(args, "act_order", False),
+            )
+        else:
+            params = quantize_seq2seq_rtn(params, cfg, spec)
+        print(
+            f"[cli] {args.quant_method} W{args.wbits} g{args.group_size} "
+            "applied (seq2seq)",
+            file=sys.stderr,
+        )
     if args.eval_ppl:
         print("[cli] --eval_ppl is decoder-only; skipping for seq2seq",
               file=sys.stderr)

@@ -5,9 +5,16 @@ The reference special-cases T0-3B through `AutoModelForSeq2SeqLM`
 `hf-seq2seq` adapter (`lm_eval/models/huggingface.py:422-586`); round 3
 covered that surface only via the torch adapter. This module closes the
 gap TPU-natively: a functional, scan-stacked T5 stack whose linears are
-`qlinear` calls, so every quantization transform (RTN/GPTQ/AWQ/... —
-anything producing QuantizedTensor leaves) applies to seq2seq models
-exactly as to the decoder-only trunk.
+`qlinear` calls, so any transform that produces QuantizedTensor leaves
+executes through the same storage/kernel paths as the decoder-only
+trunk. Shipped seq2seq quantizers: RTN (`quantize_seq2seq_rtn`) and
+GPTQ with encoder+decoder Catcher streaming
+(`quant/seq2seq_calibration.gptq_quantize_seq2seq`, round 5), both
+reachable via `api.quantize`; the remaining calibration algorithms
+(AWQ/OmniQuant/...) are decoder-only surface — `cli.py` rejects them
+for seq2seq checkpoints. PPL streams are likewise decoder-only by
+design (the reference evaluates T0 on tasks only; `new_scripts/` has no
+T0 PPL job), so `--eval_ppl` warns and skips for seq2seq.
 
 Architecture notes (HF `modeling_t5.py` parity, tested in
 tests/test_hf_parity.py):
