@@ -1047,6 +1047,22 @@ def greedy_generate(
     # onto itself in the merge (the oldest wrap would survive — advisor
     # round-3 medium finding); fall back to per-step decode there
     t_logical = cache["k_s"].shape[-2] if "k_s" in cache else 0
+
+    def per_step(cache):
+        p2 = prepare_decode_params(params)  # s4: hoist int4 prep off the scan
+
+        def body(carry, _):
+            tok, pos, cache = carry
+            logits, cache = decode_step(p2, cache, tok, pos, cfg, rq, sink_tokens)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+            return (nxt, pos + 1, cache), nxt[:, 0]
+
+        (_, _, cache), toks = jax.lax.scan(
+            body, (first_token.astype(jnp.int32), jnp.int32(pos0), cache), None,
+            length=n_steps,
+        )
+        return toks.T, cache
+
     if (
         int4_cache
         and n_steps < t_logical
@@ -1060,24 +1076,28 @@ def greedy_generate(
         # path's pure-DUS writes are cheap (2.2 us/layer) and measure
         # faster than the window overheads (141.5 vs 135.7 at b1) — the
         # multi-slot serving engine routes windowed itself (374 vs 344).
-        return decode_window(
-            params, cache, first_token, pos0, n_steps, cfg, rq,
-            sink_tokens=sink_tokens,
+        #
+        # EXACTNESS GATE (round 5, VERDICT r4 item 9): the window path is
+        # bit-exact only while nothing is evicted during the dispatch
+        # (pos0 + n_steps <= ring length). Past that, its frozen
+        # main-cache mask lets a query see up to n_steps already-evicted
+        # tokens — measured 1/8 post-wrap token agreement vs per-step on
+        # a tiny ring (tests/test_windowed.py) — so the auto-route picks
+        # per-step decode at runtime once the dispatch would cross the
+        # ring boundary (positions are traced; lax.cond compiles both
+        # branches). The serving engine applies the same gate on the
+        # host (`ServingEngine._dispatch_window` fits_ring).
+        def windowed(cache):
+            return decode_window(
+                params, cache, first_token, pos0, n_steps, cfg, rq,
+                sink_tokens=sink_tokens,
+            )
+
+        return jax.lax.cond(
+            jnp.asarray(pos0) + n_steps <= t_logical, windowed, per_step, cache
         )
 
-    params = prepare_decode_params(params)  # s4: hoist int4 prep off the scan
-
-    def body(carry, _):
-        tok, pos, cache = carry
-        logits, cache = decode_step(params, cache, tok, pos, cfg, rq, sink_tokens)
-        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
-        return (nxt, pos + 1, cache), nxt[:, 0]
-
-    (_, _, cache), toks = jax.lax.scan(
-        body, (first_token.astype(jnp.int32), jnp.int32(pos0), cache), None,
-        length=n_steps,
-    )
-    return toks.T, cache
+    return per_step(cache)
 
 
 def speculative_generate(

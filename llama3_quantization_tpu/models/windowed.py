@@ -87,10 +87,15 @@ def windowed_ok(cfg: ModelConfig, cache: Dict[str, jax.Array],
     (`pos + n_steps > max_len`) eviction advances at WINDOW granularity —
     a query can see up to `n_steps` already-evicted tokens alongside
     their in-window replacements, a numeric divergence from
-    `decode_step`'s per-step ring. Positions are traced here, so callers
-    that know them on the host gate the route themselves (the serving
-    engine falls back to the per-step scan when any active slot would
-    cross the ring boundary inside the window; `ServingEngine.step_n`).
+    `decode_step`'s per-step ring (measured 1/8 post-wrap token
+    agreement on a tiny ring — tests/test_windowed.py). Positions are
+    traced here, so the gate lives in the callers: the serving engine
+    falls back to the per-step scan on the host when any active slot
+    would cross the ring boundary inside the window
+    (`ServingEngine._dispatch_window` fits_ring), and
+    `greedy_generate`'s auto-route guards with an in-jit `lax.cond` on
+    `pos0 + n_steps <= ring length` (round 5 — direct `decode_window`
+    callers past that boundary own the approximation).
     `decode_window` separately rejects n_steps >= ring length (the merge
     would self-alias)."""
     if _WINDOWED is False:

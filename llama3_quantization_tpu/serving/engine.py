@@ -511,7 +511,18 @@ class ServingEngine:
                     - self.requests[rid].scheduled
                     for rid in self._slot_req.values()
                 ]
-                target = min(k, max(1, max(rem) if rem else k))
+                # round-5 NEGATIVE result, kept as an A/B knob: clamping
+                # to the MINIMUM remaining budget (so every finish lands
+                # on a window boundary with zero dead slot-steps) was
+                # measured strictly WORSE — 8 slots 639 -> 550 tok/s,
+                # 32 slots 1642 -> 1032 — because each finish then
+                # fragments everyone's window into the 8/4/2/1 ladder and
+                # the per-window costs (host bookkeeping, merge, window-
+                # segment attention) exceed the ~k/2 dead slot-steps
+                # saved. The max-remaining clamp (drain-tail only) stays
+                # the default; L3Q_SERVE_CLAMP=min re-tests.
+                pick = min if _os.environ.get("L3Q_SERVE_CLAMP") == "min" else max
+                target = min(k, max(1, pick(rem) if rem else k))
                 k_eff = max(c for c in self._window_sizes(k) if c <= target)
                 toks, layout = self._dispatch_window(k_eff, tok0, pos0, sub)
                 dev_last = (

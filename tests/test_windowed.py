@@ -315,3 +315,49 @@ def test_ring_piece_merge_scalar_pos():
         b = np.asarray(_ring_piece_merge(
             jnp.asarray(old), jnp.asarray(win), jnp.int32(pos0), T, False))
         assert np.array_equal(a, b), pos0
+
+
+def test_greedy_generate_gates_ring_crossing():
+    """Round 5 (VERDICT r4 item 9): the windowed path's eviction
+    approximation (frozen main-cache mask -> up to n_steps evicted-but-
+    visible tokens once pos0 + n_steps > max_len) measured 1/8 post-wrap
+    token agreement vs per-step decode on this ring — so greedy_generate
+    now gates it with an in-jit lax.cond and must match the per-step
+    chain EXACTLY both before and after the ring boundary."""
+    from llama3_quantization_tpu.models.transformer import greedy_generate
+
+    cfg = TINY_LLAMA
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, cfg.vocab_size)
+    T, KW = 16, 4
+    set_decode_kernel("interpret")
+    try:
+        cache_a = init_kv_cache(cfg, 1, T, quantized=4)
+        from llama3_quantization_tpu.models.transformer import NO_QUANT
+
+        # the windowed branch must be REACHABLE (otherwise this test
+        # degenerates to per-step == per-step)
+        assert windowed_ok(cfg, cache_a, NO_QUANT, 0)
+        lg, cache_a = decode_step(params, cache_a, toks, jnp.int32(0), cfg)
+        tok = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
+        cache_b = jax.tree_util.tree_map(lambda x: x, cache_a)
+        seq_a, tok_a = [], tok
+        for i in range(16):
+            lg, cache_a = decode_step(
+                params, cache_a, tok_a, jnp.int32(8 + i), cfg
+            )
+            seq_a.append(int(jnp.argmax(lg[0, -1])))
+            tok_a = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
+        # windowed auto-route in KW-step dispatches: windows at pos 8 and
+        # 12 stay inside the ring (exact windowed math); pos 16 and 20
+        # cross it — the cond must route those through per-step decode
+        seq_b, tok_b = [], tok
+        for wi in range(4):
+            wtoks, cache_b = greedy_generate(
+                params, cache_b, tok_b, jnp.int32(8 + KW * wi), KW, cfg
+            )
+            seq_b.extend(int(t) for t in np.asarray(wtoks)[0])
+            tok_b = wtoks[:, -1:].astype(jnp.int32)
+    finally:
+        set_decode_kernel("auto")
+    assert seq_a == seq_b, (seq_a, seq_b)
