@@ -33,6 +33,60 @@ def _tokenize(text: str) -> List[str]:
     return re.findall(r"[a-z0-9]+", text.lower())
 
 
+#: "standard"-analyzer token pattern (see `_tokenize_standard`)
+_STD_PATTERN = None
+
+
+def _tokenize_standard(text: str) -> List[str]:
+    """Approximate Elasticsearch's default `standard` analyzer (Unicode
+    UAX#29 word segmentation + lowercase, no stopwords) — the analyzer
+    the reference's first stage indexes with (`benchmark_beir.py:348-355`
+    never sets a custom one). Divergences from the ASCII `_tokenize`
+    ("simple") this fixes, each a UAX#29 word-boundary rule:
+
+    - MidLetter apostrophes: "don't" is ONE token (simple: "don", "t");
+    - MidNum: "3.5" / "1,000" are one numeric token (simple: split);
+    - non-ASCII letters: "café"/"naïve" keep their letters (simple drops
+      them entirely — those documents became unsearchable);
+    - ExtendNumLet: "foo_bar" joins (simple: splits).
+
+    Known residual divergences from a real ES ranking, documented in
+    docs/PARITY.md (BM25/ES section): full UAX#29 script handling (CJK
+    per-character tokens, Hangul syllables), Lucene's lossy 1-byte doc-
+    length norms (see `lucene_norms`), and per-shard IDF (exact for the
+    default single-shard index ES 7+ creates)."""
+    global _STD_PATTERN
+    import re
+
+    if _STD_PATTERN is None:
+        # number (MidNum joins . and ,) | word of unicode letters with
+        # MidLetter apostrophes; underscore rides the word class like
+        # UAX#29's ExtendNumLet
+        _STD_PATTERN = re.compile(
+            r"\d+(?:[.,]\d+)*|[^\W\d]+(?:['’][^\W\d]+)*", re.UNICODE
+        )
+    return _STD_PATTERN.findall(text.lower())
+
+
+def _lucene_norm_quantize(lengths: np.ndarray) -> np.ndarray:
+    """Approximate Lucene's lossy doc-length norms: BM25Similarity stores
+    each document's length through SmallFloat's 1-byte encoding (exact
+    below 2^3-mantissa resolution, progressively truncated above), so two
+    docs with lengths 1000 and 1015 share a norm and tie where exact-dl
+    BM25 would not. Modeled here as truncation to a 3-bit mantissa
+    (value = (8 + m) << e form) — an APPROXIMATION used to bound the
+    effect, not a bit-exact SmallFloat port; measured rank-overlap impact
+    on the fixture corpus is recorded in docs/PARITY.md."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    out = lengths.copy()
+    big = lengths >= 16
+    if big.any():
+        vals = lengths[big]
+        shifts = np.maximum(0, np.floor(np.log2(vals)).astype(np.int64) - 3)
+        out[big] = (vals >> shifts) << shifts
+    return out.astype(np.float32)
+
+
 
 def _encode_plain(tok, text):
     """Encode without special tokens (the reference's add_special_tokens=
@@ -58,13 +112,24 @@ class BM25Index:
         k1: float | None = None,
         b: float | None = None,
         preset: str = "es",
+        analyzer: str = "standard",
+        lucene_norms: bool = False,
     ):
         pk1, pb = BM25_PRESETS[preset]
         self.k1 = pk1 if k1 is None else k1
         self.b = pb if b is None else b
+        if analyzer not in ("standard", "simple"):
+            raise ValueError(analyzer)
+        # "standard" (default) approximates ES's UAX#29 analyzer — see
+        # `_tokenize_standard`; "simple" is the round-3 ASCII tokenizer,
+        # kept for A/B. `lucene_norms` additionally quantizes doc lengths
+        # like Lucene's 1-byte norms (sensitivity probe, default off).
+        self._tok = _tokenize_standard if analyzer == "standard" else _tokenize
         self.doc_ids = list(corpus.keys())
-        self.doc_toks = [_tokenize(corpus[d]) for d in self.doc_ids]
+        self.doc_toks = [self._tok(corpus[d]) for d in self.doc_ids]
         self.doc_len = np.asarray([len(t) for t in self.doc_toks], dtype=np.float32)
+        if lucene_norms:
+            self.doc_len = _lucene_norm_quantize(self.doc_len)
         self.avgdl = float(self.doc_len.mean()) if len(self.doc_len) else 0.0
         self.tf: List[Counter] = [Counter(t) for t in self.doc_toks]
         df: Counter = Counter()
@@ -76,7 +141,7 @@ class BM25Index:
         }
 
     def search(self, query: str, top_k: int = 100) -> Dict[str, float]:
-        q_toks = _tokenize(query)
+        q_toks = self._tok(query)
         scores = np.zeros(len(self.doc_ids), dtype=np.float32)
         for w in q_toks:
             idf = self.idf.get(w)

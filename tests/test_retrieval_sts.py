@@ -140,3 +140,74 @@ def test_benchmark_sts_cli(tmp_path):
     tsv.write_text("5.0\tsame words here\tsame words here\n0.0\talpha beta\tgamma delta\n")
     res = main(["--net", "tiny-llama", "--data_tsv", str(tsv)])
     assert -1.0 <= res["spearman_cosine"] <= 1.0
+
+
+def test_standard_analyzer_es_divergence_cases():
+    """Round 5 (VERDICT r4 item 7): the default analyzer now approximates
+    ES's `standard` (UAX#29 + lowercase). Each case below is a measured
+    divergence class where the old ASCII tokenizer and a real ES ranking
+    disagreed on the candidate set; the standard analyzer resolves them
+    the ES way. Residual divergences are documented in docs/PARITY.md."""
+    from llama3_quantization_tpu.eval.retrieval import (
+        _lucene_norm_quantize,
+        _tokenize,
+        _tokenize_standard,
+    )
+
+    # MidLetter apostrophe: one token, like UAX#29
+    assert _tokenize_standard("Don't stop") == ["don't", "stop"]
+    assert _tokenize("Don't stop") == ["don", "t", "stop"]
+    # MidNum: decimal and thousands separators join
+    assert _tokenize_standard("rose 3.5% to 1,000") == ["rose", "3.5", "to", "1,000"]
+    # non-ASCII letters survive (the simple tokenizer DROPPED them)
+    assert _tokenize_standard("Café naïve") == ["café", "naïve"]
+    assert _tokenize("Café naïve") == ["caf", "na", "ve"]
+    # retrieval consequence: an accented document is findable again
+    corpus = {
+        "d1": "the café on the corner serves espresso",
+        "d2": "a completely unrelated document about trains",
+    }
+    idx = BM25Index(corpus)  # standard is the default
+    assert max(idx.search("café", top_k=2), key=idx.search("café").get) == "d1"
+    # the round-3 failure mode: the ASCII tokenizer indexes a mangled
+    # term ("caf"), so its posting lists diverge from an ES index (which
+    # holds "café") — self-consistent retrieval still works, but any
+    # ES-built query/index pairing misses
+    old = BM25Index(corpus, analyzer="simple")
+    assert "café" in idx.idf and "café" not in old.idf
+    assert "caf" in old.idf
+
+    # Lucene lossy-norm sensitivity probe: quantization only perturbs
+    # long documents (exact below 16) and never by more than 2^-3 rel
+    lens = np.array([3, 15, 16, 100, 1000, 4096])
+    q = _lucene_norm_quantize(lens)
+    assert (q[:2] == lens[:2]).all()
+    assert (np.abs(q - lens) / np.maximum(lens, 1) <= 0.125).all()
+
+
+def test_analyzer_rank_overlap_on_fixture_corpus():
+    """Quantified analyzer divergence on the vendored wikitext-style
+    corpus: the two analyzers must agree on the vast majority of top-10
+    candidates (the fixture text is mostly plain ASCII words), bounding
+    how much of a BEIR-style ranking the tokenizer choice can shift."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "wikitext2_slice.txt")
+    docs = [d for d in open(path).read().split("\n\n") if len(d) > 200][:120]
+    corpus = {f"d{i}": d for i, d in enumerate(docs)}
+    std = BM25Index(corpus)
+    simple = BM25Index(corpus, analyzer="simple")
+    rng = np.random.default_rng(0)
+    overlaps = []
+    for _ in range(20):
+        doc = docs[int(rng.integers(len(docs)))]
+        words = doc.split()
+        i = int(rng.integers(max(1, len(words) - 8)))
+        query = " ".join(words[i : i + 6])
+        a = list(std.search(query, top_k=10))
+        b = list(simple.search(query, top_k=10))
+        if a and b:
+            overlaps.append(len(set(a) & set(b)) / max(len(a), len(b)))
+    mean_overlap = float(np.mean(overlaps))
+    # measured ~0.9+ on this corpus; assert the documented bound
+    assert mean_overlap >= 0.8, mean_overlap
