@@ -380,20 +380,35 @@ def omniquant_model(
         updates, opt_state = opt.update(grads, opt_state, aux)
         return optax.apply_updates(aux, updates), opt_state, loss
 
+    import os as _os
+    import time as _time
+
+    # L3Q_OMNI_PROFILE=1: per-layer phase timings to stderr (round-5
+    # regression forensics — see docs/BENCH_NOTES.md omniquant section)
+    _prof = _os.environ.get("L3Q_OMNI_PROFILE") == "1"
+
+    def _sync(xs):
+        if _prof:
+            jax.block_until_ready(xs)
+        return _time.time()
+
     new_layers = []
     for l in range(cfg.num_layers):
         p_l = _layer_slice(params["layers"], l)
+        _t0 = _time.time()
         # aug targets first (they read the PRE-update quantized stream):
         # fp layer on the quantized inputs (fp_inps_2, `quant/omniquant.py:
         # 219-221`)
         targets2 = (
             [run_fp(p_l, hb) for hb in h_q] if ocfg.aug_loss else None
         )
+        _t1 = _sync(targets2)
         # fp propagation in place — the updated fp stream IS the target
         # list (the reference's fp_inps double duty, `omniquant.py:213-221`)
         for bi in range(len(h_fp)):
             h_fp[bi] = run_fp(p_l, h_fp[bi])
         targets = h_fp
+        _t2 = _sync(targets)
         if targets2 is None:
             targets2 = targets
 
@@ -428,6 +443,7 @@ def omniquant_model(
                     break
                 best = aux
             _save_aux(ocfg.resume_dir, l, aux)
+        _t3 = _sync(aux)
 
         # fold LET permanently, then bake learned clipping into
         # real-quantized weights (`smooth_and_quant_inplace`,
@@ -458,11 +474,22 @@ def omniquant_model(
                 experts[name] = entry
             q_l["experts"] = experts
 
+        _t4 = _sync(q_l)
         # h_fp already advanced (targets alias it); advance the quantized
         # stream in place so each old batch frees as its replacement lands
         for bi in range(len(h_q)):
             h_q[bi] = run_q(q_l, h_q[bi])
         new_layers.append(q_l)
+        if _prof:
+            _t5 = _sync(h_q)
+            import sys as _sys
+
+            print(
+                f"[omni-prof] layer {l}: aug-targets {_t1-_t0:.2f}s "
+                f"fp-prop {_t2-_t1:.2f}s train {_t3-_t2:.2f}s "
+                f"quantize+pack {_t4-_t3:.2f}s q-prop {_t5-_t4:.2f}s",
+                file=_sys.stderr, flush=True,
+            )
         if progress:
             progress(l + 1, cfg.num_layers, last_loss)
 
