@@ -375,6 +375,55 @@ def from_hf_seq2seq(path: str, dtype=jnp.float32) -> Tuple[Params, Seq2SeqConfig
     return params, cfg
 
 
+def init_seq2seq_params(
+    cfg: Seq2SeqConfig, key: jax.Array, dtype=jnp.float32
+) -> Params:
+    """Seeded synthetic init with the exact `from_hf_seq2seq` pytree
+    layout (scan-stacked [L, in, out] linears, shared rel-bias tables) —
+    for tests, golden studies, and benches in the zero-egress container
+    where no checkpoint exists."""
+    d, dk, ff, h = cfg.d_model, cfg.d_kv, cfg.d_ff, cfg.num_heads
+    keys = iter(jax.random.split(key, 64))
+
+    def lin(n, i, o):
+        return (jax.random.normal(next(keys), (n, i, o), dtype)
+                * (0.4 / math.sqrt(i)))
+
+    def side(n, cross):
+        p = {
+            "q": lin(n, d, h * dk), "k": lin(n, d, h * dk),
+            "v": lin(n, d, h * dk), "o": lin(n, h * dk, d),
+            "ln1": jnp.ones((n, d), dtype), "ln2": jnp.ones((n, d), dtype),
+        }
+        if cross:
+            p.update(
+                cq=lin(n, d, h * dk), ck=lin(n, d, h * dk),
+                cv=lin(n, d, h * dk), co=lin(n, h * dk, d),
+                ln3=jnp.ones((n, d), dtype),
+            )
+        if cfg.gated_act:
+            p.update(wi0=lin(n, d, ff), wi1=lin(n, d, ff), wo=lin(n, ff, d))
+        else:
+            p.update(wi=lin(n, d, ff), wo=lin(n, ff, d))
+        return {"layers": p}
+
+    params: Params = {
+        "shared": jax.random.normal(next(keys), (cfg.vocab_size, d), dtype) * 0.5,
+        "enc": side(cfg.num_layers, cross=False),
+        "dec": side(cfg.num_decoder_layers, cross=True),
+        "enc_ln": jnp.ones((d,), dtype),
+        "dec_ln": jnp.ones((d,), dtype),
+        "enc_rel": jax.random.normal(next(keys), (cfg.rel_buckets, h), dtype) * 0.1,
+        "dec_rel": jax.random.normal(next(keys), (cfg.rel_buckets, h), dtype) * 0.1,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (
+            jax.random.normal(next(keys), (d, cfg.vocab_size), dtype)
+            * (0.4 / math.sqrt(d))
+        )
+    return params
+
+
 def quantize_seq2seq_rtn(params: Params, cfg: Seq2SeqConfig, spec, pack=True) -> Params:
     """RTN-quantize every stacked linear (same storage as the decoder-only
     trunk — QuantizedTensor leaves served by qlinear); embeddings, norms

@@ -28,9 +28,14 @@ def test_study_table_matches_golden():
     for m, row in table.items():
         for k, v in row.items():
             g = golden[m][k]
-            assert abs(v - g) <= 2e-3 * max(1.0, abs(g)), (
-                f"{m}.{k}: got {v}, golden {g}"
-            )
+            if isinstance(v, str) or isinstance(v, int):
+                # round-5 rows: the serving-engine stream digest/count
+                # must match EXACTLY (greedy streams are deterministic)
+                assert v == g, f"{m}.{k}: got {v}, golden {g}"
+            else:
+                assert abs(v - g) <= 2e-3 * max(1.0, abs(g)), (
+                    f"{m}.{k}: got {v}, golden {g}"
+                )
 
 
 def test_study_via_hf_checkpoint_matches_golden(tmp_path):
@@ -61,6 +66,6 @@ def test_quantization_perturbs_ppl():
         golden = json.load(f)
     fp = golden["fp"]["ppl_wikitext2"]
     for m, row in golden.items():
-        if m == "fp":
-            continue
+        if m == "fp" or "ppl_wikitext2" not in row:
+            continue  # seq2seq/serving rows carry no decoder PPL column
         assert row["ppl_wikitext2"] != fp, f"{m} left PPL bit-identical to fp"

@@ -140,6 +140,8 @@ def run_study(methods=None, via_hf_checkpoint=None):
     spec = QuantSpec(n_bits=4, group_size=32)
     out = {}
     for method, kwargs in (methods or METHODS).items():
+        if method.startswith("seq2seq") or method == "serving":
+            continue  # handled by the dedicated runners below
         exec_backend = None
         base_method = method
         if "_" in method and method.split("_")[1] in ("s4", "a8"):
@@ -167,7 +169,91 @@ def run_study(methods=None, via_hf_checkpoint=None):
         print(f"  {method:<12} ppl={out[method]['ppl_wikitext2']:<10} "
               f"piqa={out[method]['piqa_acc']} "
               f"arc={out[method]['arc_easy_acc_norm']}", flush=True)
+
+    if methods is None or any(m.startswith("seq2seq") for m in methods):
+        out.update(_seq2seq_rows(calib, Tok, tok))
+    if methods is None or "serving" in (methods or {}):
+        out["serving_a8"] = _serving_row(params, cfg, spec)
+        print(f"  serving_a8   digest={out['serving_a8']['digest']} "
+              f"tokens={out['serving_a8']['tokens']}", flush=True)
     return out
+
+
+#: seq2seq study rows (round 5): the SAME table shape over the T5 trunk —
+#: fp / rtn / gptq (every quantizer api.quantize accepts for seq2seq)
+SEQ2SEQ_METHODS = ("fp", "rtn", "gptq")
+
+
+def _seq2seq_rows(calib, Tok, tok):
+    import jax
+    import jax.numpy as jnp
+
+    from llama3_quantization_tpu.api import quantize
+    from llama3_quantization_tpu.eval.harness import simple_evaluate
+    from llama3_quantization_tpu.eval.harness.lm import Seq2SeqJAXLM
+    from llama3_quantization_tpu.models.seq2seq import (
+        Seq2SeqConfig,
+        init_seq2seq_params,
+    )
+    from llama3_quantization_tpu.quant import QuantSpec
+
+    s2cfg = Seq2SeqConfig(
+        vocab_size=tok.vocab_size, d_model=32, d_kv=8, d_ff=64, num_heads=4,
+        num_layers=2, num_decoder_layers=2, rel_buckets=8,
+    )
+    s2params = init_seq2seq_params(s2cfg, jax.random.PRNGKey(7))
+    spec = QuantSpec(n_bits=4, group_size=8)
+    out = {}
+    for method in SEQ2SEQ_METHODS:
+        if method == "fp":
+            qp = s2params
+        else:
+            qp = quantize(s2params, s2cfg, method=method, spec=spec,
+                          calib_tokens=calib, batch_size=4)
+        lm = Seq2SeqJAXLM(qp, s2cfg, Tok(), batch_size=4, max_length=SEQLEN)
+        res = simple_evaluate(
+            lm, ["piqa", "arc_easy"], num_fewshot=0, bootstrap_iters=2,
+            task_data=TASK_DATA,
+        )["results"]
+        row = {
+            "piqa_acc": round(res["piqa"]["acc"], 4),
+            "arc_easy_acc_norm": round(res["arc_easy"]["acc_norm"], 4),
+        }
+        out[f"seq2seq_{method}"] = row
+        print(f"  seq2seq_{method:<5} piqa={row['piqa_acc']} "
+              f"arc={row['arc_easy_acc_norm']}", flush=True)
+    return out
+
+
+def _serving_row(params, cfg, spec):
+    """Continuous-batching engine digest (round 5): fixed request mix
+    through ServingEngine.run_pipelined on the a8 exec backend + int8 KV
+    — pins the engine's admission/pre-free/drain machinery end-to-end
+    (greedy streams are deterministic, so the digest is golden-able)."""
+    import hashlib
+
+    import numpy as np
+
+    from llama3_quantization_tpu.api import quantize
+    from llama3_quantization_tpu.ops import matmul as mm
+    from llama3_quantization_tpu.serving.engine import ServingEngine
+
+    qp = quantize(params, cfg, method="rtn", spec=spec, pack=False)
+    with mm.backend("a8"):
+        eng = ServingEngine(qp, cfg, max_slots=2, max_len=SEQLEN,
+                            quantized_cache=8)
+        rng = np.random.default_rng(3)
+        lengths = [(int(rng.integers(4, 12)), int(rng.integers(6, 14)))
+                   for _ in range(6)]
+        for plen, glen in lengths:
+            eng.submit(list(rng.integers(0, cfg.vocab_size, plen)), glen, None)
+        eng.run_pipelined(4)
+    streams = [eng.requests[rid].generated for rid in sorted(eng.requests)]
+    blob = ";".join(",".join(map(str, s)) for s in streams)
+    return {
+        "digest": hashlib.sha1(blob.encode()).hexdigest()[:16],
+        "tokens": sum(len(s) for s in streams),
+    }
 
 
 def main() -> None:
@@ -180,7 +266,7 @@ def main() -> None:
 
     methods = None
     if args.methods:
-        methods = {m: METHODS[m] for m in args.methods.split(",")}
+        methods = {m: METHODS.get(m) for m in args.methods.split(",")}
     table = run_study(methods)
 
     if args.update:
