@@ -410,6 +410,11 @@ def run_all() -> int:
         ("decode-b8", {"L3Q_BENCH_MODE": "decode", "L3Q_BENCH_BATCH": "8",
                         "L3Q_BENCH_BACKEND": "a8"}),
         ("serve", {}),
+        # slot-scaling leg (round 5): 32 concurrent sequences via the kv4
+        # capacity cache — the piece merge freed the gather scratch that
+        # capped this at OOM/0.42-of-bound before (docs/BENCH_NOTES.md)
+        ("serve-32", {"L3Q_BENCH_MODE": "serve", "L3Q_BENCH_SLOTS": "32",
+                       "L3Q_BENCH_REQS": "192", "L3Q_BENCH_KV": "4"}),
         ("gptq", {}),
         ("omniquant", {}),
         ("prefill", {}),
