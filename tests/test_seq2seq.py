@@ -259,3 +259,19 @@ def test_seq2seq_api_rejects_decoder_only_methods(tmp_path):
     with pytest.raises(ValueError, match="seq2seq supports"):
         api.quantize(params, cfg, method="awq", spec=QuantSpec(4, 8),
                      calib_tokens=np.zeros((2, 8), np.int64))
+
+
+def test_cli_seq2seq_gptq_route(tmp_path, capsys):
+    """Round 5: the CLI accepts --quant_method gptq for T5 checkpoints
+    (synthetic calibration in the zero-egress environment)."""
+    from llama3_quantization_tpu import cli
+
+    model = _tiny_t5()
+    model.save_pretrained(str(tmp_path))
+    cli.main([
+        "--model", str(tmp_path), "--quant_method", "gptq",
+        "--wbits", "4", "--group_size", "8",
+        "--calib_dataset", "synthetic", "--nsamples", "2", "--seqlen", "16",
+    ])
+    err = capsys.readouterr().err
+    assert "gptq W4 g8 applied (seq2seq)" in err
