@@ -452,9 +452,11 @@ def run_all() -> int:
     # stage (round-4 lesson: the driver artifact lost both decode metrics).
     # The top-level metric/value/vs_* mirror the watched decode headline.
     head = next(
-        (r for r in records if r["metric"].startswith("decode_tok_s")),
-        records[0] if records else None,
+        (r for r in records if r["metric"].startswith("decode_tok_s")), None
     )
+    # no silent promotion: if the decode stages produced nothing, the
+    # summary's headline reads 0.0 and flags it, rather than passing off
+    # another stage's number as the watched decode metric
     summary = {
         "metric": "all_stages",
         "value": head["value"] if head else 0.0,
@@ -464,6 +466,8 @@ def run_all() -> int:
         "vs_prev": head.get("vs_prev") if head else None,
         "stages": records,
     }
+    if head is None:
+        summary["missing_decode"] = True
     print(json.dumps(summary))
     return rc_all
 

@@ -139,10 +139,12 @@ def get_calib(args, tokenizer, vocab_size: int) -> np.ndarray:
 
 
 def _main_seq2seq(args, params, cfg):
-    """Seq2seq (T5/T0) driver path: RTN weight quantization + harness task
-    eval through `Seq2SeqJAXLM`. PPL streams and the calibration
-    algorithms are decoder-only surface (the reference evaluates T0 on
-    tasks only, `new_scripts/` has no T0 PPL job)."""
+    """Seq2seq (T5/T0) driver path: RTN or GPTQ weight quantization
+    (round 5 — `quant/seq2seq_calibration.py`) + harness task eval
+    through `Seq2SeqJAXLM`. PPL streams and the remaining calibration
+    algorithms (awq/omniquant/...) are decoder-only surface (the
+    reference evaluates T0 on tasks only, `new_scripts/` has no T0 PPL
+    job)."""
     from .models.seq2seq import quantize_seq2seq_rtn
     from .quant.quantizer import QuantSpec
 

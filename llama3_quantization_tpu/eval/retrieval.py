@@ -59,11 +59,15 @@ def _tokenize_standard(text: str) -> List[str]:
     import re
 
     if _STD_PATTERN is None:
-        # number (MidNum joins . and ,) | word of unicode letters with
-        # MidLetter apostrophes; underscore rides the word class like
+        # one alphanumeric run (UAX#29 does NOT break between letters
+        # and digits: "x86"/"mp3" are single tokens), optionally joined
+        # by MidLetter apostrophes (letter on both sides) or MidNum
+        # ./,(digit on both sides); underscore rides the word class like
         # UAX#29's ExtendNumLet
         _STD_PATTERN = re.compile(
-            r"\d+(?:[.,]\d+)*|[^\W\d]+(?:['’][^\W\d]+)*", re.UNICODE
+            r"\w+(?:(?<=[^\W\d_])['’](?=[^\W\d_])\w+"
+            r"|(?<=\d)[.,](?=\d)\w+)*",
+            re.UNICODE,
         )
     return _STD_PATTERN.findall(text.lower())
 

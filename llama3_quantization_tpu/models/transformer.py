@@ -1065,7 +1065,8 @@ def greedy_generate(
 
     if (
         int4_cache
-        and n_steps < t_logical
+        and n_steps < t_logical - sink_tokens  # decode_window's ring-width
+        #                                        requirement (merge self-alias)
         and windowed_ok(cfg, cache, rq, sink_tokens)
     ):
         # window write-combined decode: the main cache is a loop

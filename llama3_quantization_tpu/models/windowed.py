@@ -403,7 +403,7 @@ def _use_piece_merge(packed: bool, sink: int) -> bool:
 
     if _os.environ.get("L3Q_WINDOW_MERGE") == "gather":
         return False
-    if sink == 0:
+    if sink == 0 or not packed:
         return True
     return sink % 2 == 0
 

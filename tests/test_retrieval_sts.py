@@ -159,6 +159,9 @@ def test_standard_analyzer_es_divergence_cases():
     assert _tokenize("Don't stop") == ["don", "t", "stop"]
     # MidNum: decimal and thousands separators join
     assert _tokenize_standard("rose 3.5% to 1,000") == ["rose", "3.5", "to", "1,000"]
+    # UAX#29 does not break between letters and digits (WB9/WB10)
+    assert _tokenize_standard("the x86 mp3 b2b port") == [
+        "the", "x86", "mp3", "b2b", "port"]
     # non-ASCII letters survive (the simple tokenizer DROPPED them)
     assert _tokenize_standard("Café naïve") == ["café", "naïve"]
     assert _tokenize("Café naïve") == ["caf", "na", "ve"]
@@ -168,7 +171,8 @@ def test_standard_analyzer_es_divergence_cases():
         "d2": "a completely unrelated document about trains",
     }
     idx = BM25Index(corpus)  # standard is the default
-    assert max(idx.search("café", top_k=2), key=idx.search("café").get) == "d1"
+    res = idx.search("café", top_k=2)
+    assert max(res, key=res.get) == "d1"
     # the round-3 failure mode: the ASCII tokenizer indexes a mangled
     # term ("caf"), so its posting lists diverge from an ES index (which
     # holds "café") — self-consistent retrieval still works, but any

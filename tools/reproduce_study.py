@@ -170,8 +170,12 @@ def run_study(methods=None, via_hf_checkpoint=None):
               f"piqa={out[method]['piqa_acc']} "
               f"arc={out[method]['arc_easy_acc_norm']}", flush=True)
 
-    if methods is None or any(m.startswith("seq2seq") for m in methods):
-        out.update(_seq2seq_rows(calib, Tok, tok))
+    s2_sel = (
+        SEQ2SEQ_METHODS if methods is None
+        else tuple(m[len("seq2seq_"):] for m in methods if m.startswith("seq2seq"))
+    )
+    if s2_sel:
+        out.update(_seq2seq_rows(calib, Tok, tok, s2_sel))
     if methods is None or "serving" in (methods or {}):
         out["serving_a8"] = _serving_row(params, cfg, spec)
         print(f"  serving_a8   digest={out['serving_a8']['digest']} "
@@ -184,7 +188,7 @@ def run_study(methods=None, via_hf_checkpoint=None):
 SEQ2SEQ_METHODS = ("fp", "rtn", "gptq")
 
 
-def _seq2seq_rows(calib, Tok, tok):
+def _seq2seq_rows(calib, Tok, tok, selected=None):
     import jax
     import jax.numpy as jnp
 
@@ -204,7 +208,7 @@ def _seq2seq_rows(calib, Tok, tok):
     s2params = init_seq2seq_params(s2cfg, jax.random.PRNGKey(7))
     spec = QuantSpec(n_bits=4, group_size=8)
     out = {}
-    for method in SEQ2SEQ_METHODS:
+    for method in (selected or SEQ2SEQ_METHODS):
         if method == "fp":
             qp = s2params
         else:
@@ -266,7 +270,12 @@ def main() -> None:
 
     methods = None
     if args.methods:
-        methods = {m: METHODS.get(m) for m in args.methods.split(",")}
+        known = set(METHODS) | {f"seq2seq_{m}" for m in SEQ2SEQ_METHODS} | {"serving"}
+        names = args.methods.split(",")
+        unknown = [m for m in names if m not in known]
+        if unknown:
+            raise SystemExit(f"unknown methods {unknown}; choose from {sorted(known)}")
+        methods = {m: METHODS.get(m, {}) for m in names}
     table = run_study(methods)
 
     if args.update:
@@ -281,6 +290,12 @@ def main() -> None:
         for m, row in table.items():
             for k, v in row.items():
                 g = golden[m][k]
+                if isinstance(v, (str, int)):
+                    # serving digest/count rows: exact match (greedy
+                    # streams are deterministic)
+                    if v != g:
+                        bad.append(f"{m}.{k}: got {v}, golden {g}")
+                    continue
                 tol = 2e-3 * max(1.0, abs(g))
                 if abs(v - g) > tol:
                     bad.append(f"{m}.{k}: got {v}, golden {g}")
