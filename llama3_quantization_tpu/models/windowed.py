@@ -21,10 +21,14 @@ per-window side buffer ([L, B, H, KW, *], riding the layer scan as
 xs/ys — cheap because it is small), and attention is the online-softmax
 MERGE of (a) the stacked flash-decode kernel over the main cache
 (`return_stats=True`) and (b) exact attention over the window segment.
-After the window, ONE vectorized merge writes the window into the ring
-cache (gather + where over the token axis — no scatter, wrap-safe,
-per-row positions supported; for the int4 cache the merge composes
-nibbles at the byte-row level).
+After the window, ONE bounded-scratch merge writes the window into the
+ring cache (round 5, `_ring_piece_merge`: 2-3 static-width
+dynamic-slice/update slices per batch row covering the window's
+circular span — O(window) traffic, no full-cache gather scratch;
+wrap-safe, per-row positions supported; for the int4 cache the merge
+composes nibbles at the byte-row level. The round-3 whole-token-axis
+gather+where form remains as the odd-sink packed fallback and the
+L3Q_WINDOW_MERGE=gather A/B knob).
 
 This is the TPU-native analogue of the write-combining KV designs in
 production serving stacks; the reference has nothing comparable (its
