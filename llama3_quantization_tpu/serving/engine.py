@@ -523,6 +523,28 @@ class ServingEngine:
                 # the default; L3Q_SERVE_CLAMP=min re-tests.
                 pick = min if _os.environ.get("L3Q_SERVE_CLAMP") == "min" else max
                 target = min(k, max(1, pick(rem) if rem else k))
+                # ring-headroom clamp (round 5): as a slot nears the ring
+                # end, SHRINK the window into the candidate set so the
+                # windowed fast path keeps fitting, instead of letting
+                # _dispatch_window's fits_ring gate collapse every late
+                # window to the per-step scan (one host round-trip per
+                # token — measured 32-slot kv8 at max_len 256: 1519 tok/s
+                # from exactly this). headroom <= 0 means a slot already
+                # lives past the ring (eviction regime): keep k and let
+                # the per-step path handle it. Only applied when the
+                # windowed path exists at all — shrinking windows for the
+                # per-step path just adds host syncs.
+                from ..models.windowed import windowed_ok as _wok
+
+                if self._slot_req and _wok(
+                    self.cfg, self.cache, self._rq, self._sink_tokens
+                ):
+                    headroom = int(
+                        self.max_len
+                        - max(self.pos[s] for s in self._slot_req)
+                    )
+                    if headroom >= 1:
+                        target = min(target, headroom)
                 k_eff = max(c for c in self._window_sizes(k) if c <= target)
                 toks, layout = self._dispatch_window(k_eff, tok0, pos0, sub)
                 dev_last = (
