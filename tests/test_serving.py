@@ -611,3 +611,33 @@ def test_prefree_and_drain_clamp(setup):
     # every slot was freed exactly once per finish (no double-free)
     assert sorted(eng.free) == [0]
     assert all(r.done and r.freed for r in eng.requests.values())
+
+
+def test_pipelined_ring_headroom_clamp_parity(setup):
+    """Round 5: near the ring end, run_pipelined SHRINKS the window (the
+    ring-headroom clamp) so the windowed fast path keeps fitting instead
+    of collapsing to per-step dispatches. Streams must stay
+    byte-identical to the sequential step_n loop on a ring the workload
+    nearly fills (max_len 24, prompt+generation up to 21)."""
+    cfg, params = setup
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    lens = [16, 14]  # pos reaches 21 / 17 on a 24-slot ring
+    k = 8
+
+    eng_a = ServingEngine(params, cfg, max_slots=2, max_len=24,
+                          quantized_cache=8)
+    for p, n in zip(prompts, lens):
+        eng_a.add_request(p, max_new_tokens=n)
+    while eng_a._slot_req:
+        eng_a.step_n(k)
+    outs_a = [list(eng_a.requests[r].generated) for r in sorted(eng_a.requests)]
+
+    eng_b = ServingEngine(params, cfg, max_slots=2, max_len=24,
+                          quantized_cache=8)
+    for p, n in zip(prompts, lens):
+        eng_b.submit(p, n, None)
+    eng_b.run_pipelined(k)
+    outs_b = [list(eng_b.requests[r].generated) for r in sorted(eng_b.requests)]
+    # ljf admission may assign rids in budget order — compare unordered
+    assert sorted(map(tuple, outs_a)) == sorted(map(tuple, outs_b))
+    assert sorted(len(g) for g in outs_b) == sorted(lens)
